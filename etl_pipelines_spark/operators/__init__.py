@@ -1,0 +1,30 @@
+"""Operator library: the reference's recurring relational idioms as
+reusable, scale-aware DataFrame transforms (SURVEY.md §2.3-2.8).
+
+Every operator is a pure DataFrame -> DataFrame function built from
+Catalyst-native expressions; physical strategy (broadcast vs SMJ,
+skew handling) is left to Catalyst/AQE except where an explicit hint
+is the right call at 100 TB (documented per function).
+"""
+
+from .dedupe import dedupe_latest, with_row_number, qualify
+from .topk import top_k_per_group
+from .datespine import date_spine, dim_dates
+from .sessionize import sessionize
+from .asof import asof_join
+from .rangejoin import range_join
+from .running import running_total, rolling_agg
+
+__all__ = [
+    "dedupe_latest",
+    "with_row_number",
+    "qualify",
+    "top_k_per_group",
+    "date_spine",
+    "dim_dates",
+    "sessionize",
+    "asof_join",
+    "range_join",
+    "running_total",
+    "rolling_agg",
+]

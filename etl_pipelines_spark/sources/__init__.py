@@ -1,0 +1,23 @@
+"""Sources & sinks (SURVEY.md §2.1) and write/refresh modes (§2.2).
+
+The reference's I/O surface: internal table scans, Spectrum external
+scans over partitioned S3, COPY/UNLOAD bulk moves, JSON-lines
+compaction, JDBC pulls, REST extracts. In Spark, scans and bulk
+moves collapse into ``spark.read``/``df.write``; what remains worth
+engineering is the catalog (name -> location) and the four refresh
+patterns every model ends with.
+"""
+
+from .catalog import Catalog
+from .writers import full_refresh, upsert, snapshot, append, compact
+from .jsonl import compact_json_hour_partition
+
+__all__ = [
+    "Catalog",
+    "full_refresh",
+    "upsert",
+    "snapshot",
+    "append",
+    "compact",
+    "compact_json_hour_partition",
+]

@@ -1,0 +1,135 @@
+"""The four write/refresh patterns every reference model ends with
+(SURVEY.md §2.2 W1-W5), re-expressed as atomic parquet operations.
+
+The reference wraps DELETE+INSERT in Redshift transactions
+(3_master/customer.sql:2,332-336); parquet has no transactions, so
+atomicity comes from write-to-staging-dir + rename swap (W1) and
+dynamic partition overwrite (W2/W4) — the same read-then-swap idea
+as the reference's parquet_rewriter
+(data-airflow-prod/business_logic/segment/parquet_rewriter.py:29-54).
+
+Scale notes: upsert without Delta is implemented as anti-join +
+union + *partition-scoped* overwrite — only partitions containing
+touched keys are rewritten, so a trailing-window merge over a 100 TB
+table rewrites only the trailing window's partitions.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _atomic_swap(tmp_dir: str, final_dir: str) -> None:
+    """Replace final_dir with tmp_dir as close to atomically as a
+    filesystem rename allows (same-volume rename; object stores get
+    the overwrite-committer path instead)."""
+    old = final_dir + "." + uuid.uuid4().hex[:8] + ".old"
+    if os.path.exists(final_dir):
+        os.rename(final_dir, old)
+    os.rename(tmp_dir, final_dir)
+    if os.path.exists(old):
+        shutil.rmtree(old, ignore_errors=True)
+
+
+def full_refresh(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+) -> None:
+    """W1: CREATE TEMP AS ... ; TRUNCATE tgt; INSERT — i.e. rebuild
+    the whole table atomically (customer.sql:332-336)."""
+    tmp = path + "." + uuid.uuid4().hex[:8] + ".tmp"
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp)
+    _atomic_swap(tmp, path)
+
+
+def append(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Plain append (staging/event landing)."""
+    w = df.write.mode("append")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def snapshot(
+    df: DataFrame,
+    path: str,
+    snapshot_date: str,
+    date_col: str = "date",
+) -> None:
+    """W4: daily-snapshot history table — write exactly one date
+    partition, idempotently (subscription_historical.sql:2-110:
+    DELETE WHERE date=...; INSERT ... current_date-1 AS date).
+
+    Dynamic partition overwrite replaces only the touched partition;
+    re-running a day is a no-op-equivalent overwrite of that day.
+    """
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        df.withColumn(date_col, F.lit(snapshot_date).cast("date"))
+        .write.mode("overwrite")
+        .partitionBy(date_col)
+        .parquet(path)
+    )
+
+
+def upsert(
+    spark: SparkSession,
+    new_rows: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_by: list[str] | None = None,
+) -> None:
+    """W2/W3: delete-insert merge (05_all_events_incremental.sql:
+    160-170: DELETE FROM tgt USING tmp ON keys; INSERT tmp).
+
+    Without partitioning: anti-join existing rows against the new
+    keys, union, full atomic rewrite. With partitioning: restrict
+    the rewrite to partitions that contain touched keys (the
+    incremental trailing-window case) via dynamic overwrite.
+    """
+    if not os.path.exists(path):
+        full_refresh(new_rows, path, partition_by)
+        return
+    existing = spark.read.parquet(path)
+    if partition_by:
+        # Only partitions containing new keys get rewritten.
+        parts = new_rows.select(*partition_by).distinct()
+        touched = existing.join(F.broadcast(parts), partition_by, "left_semi")
+        kept = touched.join(new_rows.select(*keys).distinct(), keys, "left_anti")
+        out = kept.unionByName(new_rows)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        out.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    else:
+        kept = existing.join(new_rows.select(*keys).distinct(), keys, "left_anti")
+        out = kept.unionByName(new_rows)
+        # Write to a staging dir first: 'out' lazily reads the dir
+        # being replaced, so the write must land elsewhere, then swap.
+        tmp = path + "." + uuid.uuid4().hex[:8] + ".tmp"
+        out.write.mode("overwrite").parquet(tmp)
+        _atomic_swap(tmp, path)
+
+
+def schema_evolving_append(existing: DataFrame, incoming: DataFrame) -> DataFrame:
+    """W5: ALTER TABLE APPEND ... FILLTARGET equivalent — align by
+    name, missing columns become NULLs
+    (on_failure/subscription_historical_on_failure.sql:19-20)."""
+    return existing.unionByName(incoming, allowMissingColumns=True)
+
+
+def compact(spark: SparkSession, path: str, target_files: int = 1) -> None:
+    """Janitor small-file compaction (SURVEY.md §4 VACUUM row;
+    reference janitor/redshift/redshift_maintenance_ops.py:12-21)."""
+    df = spark.read.parquet(path)
+    tmp = path + "." + uuid.uuid4().hex[:8] + ".tmp"
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    _atomic_swap(tmp, path)
