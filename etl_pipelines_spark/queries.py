@@ -59,7 +59,15 @@ def q(name: str, oracle: str | None = None):
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # events.ts is parquet TIMESTAMP(NANOS), read as long via
+        # spark.sql.legacy.parquet.nanosAsLong; convert exactly to a
+        # micros timestamp (integer DIV — values are micro-precision).
+        # Oracle SQL must CAST(ts AS TIMESTAMP) for raw-ts outputs so
+        # DuckDB's nanosecond values are truncated identically.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
 
 
 # Exact-decimal casts for money-ish doubles (values are 2-decimal).
@@ -328,3 +336,544 @@ def master_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# ===========================================================================
+# Projection / filter / predicates (SURVEY §2.3 P1-P8)
+# ===========================================================================
+
+@q(
+    "p_filter_predicates",
+    oracle="""
+SELECT o_orderkey, o_totalprice, o_orderpriority, o_orderstatus
+FROM orders
+WHERE o_totalprice BETWEEN 100000 AND 300000
+  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+  AND o_orderstatus <> 'P'
+  AND o_orderdate IS NOT NULL
+ORDER BY o_orderkey
+""",
+)
+def p_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P7: BETWEEN, IN-list, <>, IS NOT NULL, boolean algebra
+    (reference 4_dwh_finance/asset_collection_curves.sql:15-19).
+    All predicates push down to the parquet scan."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            F.col("o_totalprice").between(100000, 300000)
+            & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & (F.col("o_orderstatus") != "P")
+            & F.col("o_orderdate").isNotNull()
+        )
+        .select("o_orderkey", "o_totalprice", "o_orderpriority", "o_orderstatus")
+        .orderBy("o_orderkey")
+    )
+
+
+@q(
+    "p_like_ilike",
+    oracle="""
+SELECT p_partkey, p_name, p_type
+FROM part
+WHERE p_type LIKE '%ECO%'
+   OR (p_name ILIKE '%RED%' AND p_name NOT ILIKE '%WIDGET%')
+ORDER BY p_partkey
+""",
+)
+def p_like_ilike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: LIKE / ILIKE / NOT ILIKE (233/146 files in the reference;
+    08_sessions.sql:8)."""
+    p = load(spark, sf_dir, "part")
+    return (
+        p.filter(
+            F.col("p_type").like("%ECO%")
+            | (F.col("p_name").ilike("%RED%") & ~F.col("p_name").ilike("%WIDGET%"))
+        )
+        .select("p_partkey", "p_name", "p_type")
+        .orderBy("p_partkey")
+    )
+
+
+@q(
+    "p_regex",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE regexp_matches(c_name, '^Customer#0*1[0-9]{2}$')
+ORDER BY c_custkey
+""",
+)
+def p_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/P6: POSIX ~ regex and SIMILAR TO (reference
+    01_track_events.sql:148, 1_pricing_outlier_removal.sql:16)."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_name").rlike("^Customer#0*1[0-9]{2}$"))
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@q(
+    "p_case_nested",
+    oracle="""
+SELECT
+  l_orderkey,
+  l_linenumber,
+  CASE
+    WHEN l_quantity >= 35 THEN CASE WHEN l_returnflag = 'R' THEN 'bulk_returned' ELSE 'bulk' END
+    WHEN l_quantity >= 18 THEN 'mid'
+    ELSE CASE l_linestatus WHEN 'F' THEN 'small_final' ELSE 'small_open' END
+  END AS qty_class
+FROM lineitem
+WHERE l_orderkey < 500
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+def p_case_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: nested searched + simple CASE (reference
+    3_master/customer.sql:266-304)."""
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity")
+    return (
+        li.filter(F.col("l_orderkey") < 500)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.when(
+                qty >= 35,
+                F.when(F.col("l_returnflag") == "R", "bulk_returned").otherwise("bulk"),
+            )
+            .when(qty >= 18, "mid")
+            .otherwise(
+                F.when(F.col("l_linestatus") == "F", "small_final").otherwise("small_open")
+            )
+            .alias("qty_class"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@q(
+    "p_distinct",
+    oracle="""
+SELECT DISTINCT c_mktsegment, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+ORDER BY c_mktsegment, o_orderpriority
+""",
+)
+def p_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: SELECT DISTINCT over a join (customer.sql:138)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .select("c_mktsegment", "o_orderpriority")
+        .distinct()
+        .orderBy("c_mktsegment", "o_orderpriority")
+    )
+
+
+# ===========================================================================
+# Joins (SURVEY §2.4 J3-J12; J1/J2 covered by q3/q5/master_customer)
+# ===========================================================================
+
+@q(
+    "j_full_outer_calendar",
+    oracle="""
+WITH od AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders FROM orders GROUP BY 1
+),
+ed AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_events FROM events GROUP BY 1
+)
+SELECT COALESCE(od.d, ed.d) AS date, od.n_orders, ed.n_events
+FROM od FULL OUTER JOIN ed ON od.d = ed.d
+ORDER BY date
+""",
+)
+def j_full_outer_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: FULL OUTER with USING-style key coalescing (reference
+    4_dwh_core/daily_kpi_report_main_tables.sql:209). Orders span
+    1995-2001 and events 2024, so both null sides are exercised."""
+    o = load(spark, sf_dir, "orders")
+    e = load(spark, sf_dir, "events")
+    od = o.groupBy(F.to_date("o_orderdate").alias("od_d")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    ed = e.groupBy(F.to_date("ts").alias("ed_d")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return (
+        od.join(ed, od.od_d == ed.ed_d, "full")
+        .select(
+            F.coalesce("od_d", "ed_d").alias("date"), "n_orders", "n_events"
+        )
+        .orderBy("date")
+    )
+
+
+@q(
+    "j_cross_spine",
+    oracle="""
+WITH days AS (
+  SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-31', INTERVAL 1 DAY)) AS DATE) AS date
+),
+types AS (SELECT DISTINCT event_type FROM events),
+cnt AS (
+  SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2
+)
+SELECT days.date, types.event_type, COALESCE(cnt.c, 0) AS n_events
+FROM days CROSS JOIN types
+LEFT JOIN cnt ON cnt.d = days.date AND cnt.event_type = types.event_type
+ORDER BY days.date, types.event_type
+""",
+)
+def j_cross_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: date-spine × entities cross join for gap-filling
+    (reference 1_ods_core/00_asset_payments_new_infra.sql:39). The
+    spine is broadcast — a cross join against a 31-row side is a
+    broadcast nested loop, safe at any left-side scale."""
+    e = load(spark, sf_dir, "events")
+    days = date_spine(spark, "2024-01-01", "2024-01-31", "date")
+    types = e.select("event_type").distinct()
+    cnt = e.groupBy(F.to_date("ts").alias("d"), "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        days.crossJoin(types)
+        .join(
+            cnt,
+            (cnt.d == F.col("date")) & (cnt.event_type == types.event_type),
+            "left",
+        )
+        .select("date", types.event_type, F.coalesce("c", F.lit(0)).alias("n_events"))
+        .orderBy("date", "event_type")
+    )
+
+
+@q(
+    "j_right_parts",
+    oracle="""
+SELECT p.p_partkey, p.p_name, COUNT(l.l_orderkey) AS n_lineitems
+FROM lineitem l RIGHT JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_partkey, p.p_name
+ORDER BY p.p_partkey
+""",
+)
+def j_right_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: RIGHT JOIN (1 hit in the reference corpus) — parts with
+    zero lineitems retained with count 0."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey, "right")
+        .groupBy("p_partkey", "p_name")
+        .agg(F.count("l_orderkey").alias("n_lineitems"))
+        .orderBy("p_partkey")
+    )
+
+
+@q(
+    "j_semi_in",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+ORDER BY c_custkey
+""",
+)
+def j_semi_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: semi-join via IN (SELECT ...) (reference
+    06_page_views.sql:65-69) -> left_semi."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@q(
+    "j_anti_not_in",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+""",
+)
+def j_anti_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: anti-join via NOT IN (reference 00_allocation.sql:101).
+    ⚠ NOT IN is null-sensitive; o_custkey is non-null here, which is
+    exactly the condition under which left_anti matches it
+    (SURVEY §2.4 J7)."""
+    c = load(spark, sf_dir, "customer")
+    urgent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@q(
+    "j_exists_corr",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM events e WHERE e.user_id = c.c_custkey AND e.event_type = 'purchase'
+) AND NOT EXISTS (
+  SELECT 1 FROM events e2 WHERE e2.user_id = c.c_custkey AND e2.event_type = 'error'
+)
+ORDER BY c_custkey
+""",
+)
+def j_exists_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: correlated [NOT] EXISTS (reference
+    2_ods_risk/00_order_decline_reason.sql:43) -> semi + anti join."""
+    c = load(spark, sf_dir, "customer")
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    errors = e.filter(F.col("event_type") == "error")
+    return (
+        c.join(purchases, c.c_custkey == purchases.user_id, "left_semi")
+        .join(errors, F.col("c_custkey") == errors.user_id, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@q(
+    "j_range_bands",
+    oracle="""
+WITH bands(band, lo, hi) AS (VALUES ('low', 1, 17), ('mid', 18, 34), ('high', 35, 50))
+SELECT band,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity <= hi
+GROUP BY band
+ORDER BY band
+""",
+)
+def j_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: range/interval join against a small band dimension
+    (reference v_seasonality.sql:28) — broadcast BNLJ is the right
+    physical plan for a 3-row interval side at any fact scale."""
+    li = load(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [("low", 1, 17), ("mid", 18, 34), ("high", 35, 50)], ["band", "lo", "hi"]
+    )
+    return (
+        range_join(li, bands, "l_quantity", "lo", "hi")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("l_extendedprice"), "total_price"),
+        )
+        .orderBy("band")
+    )
+
+
+@q(
+    "j_asof_attribution",
+    oracle="""
+SELECT p.event_id, p.user_id, p.ts,
+       c.click_ts, c.click_event_id
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (
+  SELECT user_id, ts, ts AS click_ts, event_id AS click_event_id
+  FROM events WHERE event_type = 'click'
+) c ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+""",
+)
+def j_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10: as-of join — for each purchase, the same user's latest
+    click at or before it (the reference's exchange-rate cutoff
+    idiom, subscription.sql:27-36, generalized). Implemented as
+    union + one window pass (operators/asof.py), which shuffles each
+    side once on user_id — no range-join explosion at scale."""
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_event_id"),
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["click_ts", "click_event_id"],
+    ).orderBy("event_id")
+
+
+@q(
+    "j_dod_delta",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+  FROM events GROUP BY 1
+)
+SELECT d AS date, revenue,
+  lag(revenue) OVER (ORDER BY d) AS prev_revenue,
+  revenue - lag(revenue) OVER (ORDER BY d) AS delta
+FROM daily
+ORDER BY date
+""",
+)
+def j_dod_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11: the reference's ±1-day self-join change detection
+    (Wallet_expansion.sql:89-91), expressed as LAG — one window
+    instead of a self-join, per SURVEY §2.4."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("date")).agg(
+        dsum(F.col("value"), "revenue")
+    )
+    w = Window.orderBy("date")
+    return daily.select(
+        "date",
+        "revenue",
+        F.lag("revenue").over(w).alias("prev_revenue"),
+        (F.col("revenue") - F.lag("revenue").over(w)).alias("delta"),
+    ).orderBy("date")
+
+
+@q(
+    "j_dedup_right",
+    oracle="""
+WITH latest AS (
+  SELECT user_id, ts, event_type FROM (
+    SELECT user_id, ts, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+)
+SELECT c_custkey, c_name, l.ts AS last_event_ts, l.event_type AS last_event_type
+FROM customer c LEFT JOIN latest l ON l.user_id = c.c_custkey
+WHERE c_custkey < 300
+ORDER BY c_custkey
+""",
+)
+def j_dedup_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12: join against a window-deduped right side (reference
+    customer.sql:315-317) — dedupe FIRST, then join, to avoid join
+    fanout (the reference's implicit anti-fanout rule)."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    e = load(spark, sf_dir, "events")
+    latest = dedupe_latest(
+        e.select("user_id", "ts", "event_type", "event_id"),
+        keys=["user_id"],
+        order_by=[F.col("ts").desc(), F.col("event_id").desc()],
+    )
+    return (
+        c.join(latest, latest.user_id == c.c_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("ts").alias("last_event_ts"),
+            F.col("event_type").alias("last_event_type"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ===========================================================================
+# Set operations (SURVEY §2.8 U1-U4)
+# ===========================================================================
+
+@q(
+    "u_union_all_pad",
+    oracle="""
+SELECT 'order' AS src, o_orderkey AS id, o_totalprice AS amount, NULL AS event_type
+FROM orders WHERE o_totalprice > 400000
+UNION ALL
+SELECT 'event' AS src, event_id AS id, value AS amount, event_type
+FROM events WHERE event_type = 'purchase'
+ORDER BY src, id
+""",
+)
+def u_union_all_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: UNION ALL with NULL-padded schema alignment (reference
+    05_all_events_incremental.sql:54,107) -> unionByName with
+    allowMissingColumns."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    a = o.select(
+        F.lit("order").alias("src"),
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    b = e.select(
+        F.lit("event").alias("src"),
+        F.col("event_id").alias("id"),
+        F.col("value").alias("amount"),
+        "event_type",
+    )
+    return a.unionByName(b, allowMissingColumns=True).orderBy("src", "id")
+
+
+@q(
+    "u_union_distinct",
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'click'
+UNION
+SELECT user_id FROM events WHERE event_type = 'signup'
+ORDER BY user_id
+""",
+)
+def u_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: UNION (dedup) (reference customer.sql:70-95)."""
+    e = load(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click").select("user_id")
+    b = e.filter(F.col("event_type") == "signup").select("user_id")
+    return a.union(b).distinct().orderBy("user_id")
+
+
+@q(
+    "u_except",
+    oracle="""
+SELECT o_custkey FROM orders
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+ORDER BY o_custkey
+""",
+)
+def u_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: EXCEPT with set (distinct) semantics (reference
+    dm_recommerce.recommerce_stages.sql:160) -> subtract()."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_custkey")
+        .subtract(
+            o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@q(
+    "u_intersect",
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'error'
+ORDER BY user_id
+""",
+)
+def u_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4: INTERSECT (unused in the reference but part of the
+    engine's set-op surface)."""
+    e = load(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "purchase").select("user_id")
+    b = e.filter(F.col("event_type") == "error").select("user_id")
+    return a.intersect(b).orderBy("user_id")

@@ -46,6 +46,10 @@ _DEFAULT_CONF: dict[str, str] = {
     # Files-per-partition sizing: 128 MiB keeps a 100 TB scan at
     # ~800k tasks, which is the right granularity for AQE coalescing.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # The driver's events table stores TIMESTAMP(NANOS), which the
+    # vectorized parquet reader rejects; read as long + convert
+    # (queries.load does the exact micros conversion).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
 }

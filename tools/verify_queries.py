@@ -28,50 +28,48 @@ TABLES = [
 ]
 
 
-def norm_cell(v):
-    if isinstance(v, float):
-        return v
-    return v
+def _sortkey(row):
+    return tuple(
+        (v is None, str(type(v)), repr(v)) for v in row
+    )
 
 
 def compare(name, spark_df, con, oracle):
-    sdf = spark_df.toPandas()
-    odf = con.execute(oracle).fetchdf()
+    """Python-native comparison: Spark collect() vs DuckDB fetchall(),
+    columns sorted by name, rows sorted by repr — mirrors a
+    representation-agnostic hash the way the driver compares."""
     problems = []
-    if len(sdf) != len(odf):
-        problems.append(f"rowcount spark={len(sdf)} oracle={len(odf)}")
-    scols, ocols = sorted(sdf.columns), sorted(odf.columns)
-    if [c.lower() for c in scols] != [c.lower() for c in ocols]:
-        problems.append(f"schema spark={scols} oracle={ocols}")
+    scols = sorted(spark_df.columns)
+    srows = [tuple(r[c] for c in scols) for r in spark_df.collect()]
+    ores = con.execute(oracle)
+    ocols_desc = [d[0] for d in ores.description]
+    if sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols_desc):
+        problems.append(f"schema spark={scols} oracle={sorted(ocols_desc)}")
         return problems
-    sdf = sdf[scols].sort_values(scols, kind="mergesort").reset_index(drop=True)
-    odf = odf[ocols].sort_values(ocols, kind="mergesort").reset_index(drop=True)
-    if len(sdf) != len(odf):
+    idx = {c.lower(): i for i, c in enumerate(ocols_desc)}
+    orows = [tuple(r[idx[c.lower()]] for c in scols) for r in ores.fetchall()]
+    if len(srows) != len(orows):
+        problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         return problems
+    srows.sort(key=_sortkey)
+    orows.sort(key=_sortkey)
     max_float_diff = 0.0
     n_mismatch = 0
     example = None
-    for col in scols:
-        sv, ov = sdf[col].tolist(), odf[col].tolist()
-        for i, (a, b) in enumerate(zip(sv, ov)):
+    for i, (sr, orow) in enumerate(zip(srows, orows)):
+        for j, (a, b) in enumerate(zip(sr, orow)):
             if a is None and b is None:
                 continue
-            try:
-                if a != b and not (isinstance(a, float) and isinstance(b, float) and math.isnan(a) and math.isnan(b)):
-                    if isinstance(a, float) and isinstance(b, float):
-                        d = abs(a - b)
-                        max_float_diff = max(max_float_diff, d)
-                    n_mismatch += 1
-                    if example is None:
-                        example = (col, i, a, b)
-            except (TypeError, ValueError):
-                # pandas NaN vs None etc.
-                a_nan = a is None or (isinstance(a, float) and math.isnan(a))
-                b_nan = b is None or (isinstance(b, float) and math.isnan(b))
-                if not (a_nan and b_nan):
-                    n_mismatch += 1
-                    if example is None:
-                        example = (col, i, a, b)
+            bad = a != b
+            if bad and isinstance(a, float) and isinstance(b, float):
+                if math.isnan(a) and math.isnan(b):
+                    bad = False
+                else:
+                    max_float_diff = max(max_float_diff, abs(a - b))
+            if bad:
+                n_mismatch += 1
+                if example is None:
+                    example = (scols[j], i, a, b)
     if n_mismatch:
         problems.append(
             f"{n_mismatch} cell mismatches, max_float_diff={max_float_diff:.3e}, first={example}"
