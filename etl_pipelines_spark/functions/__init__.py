@@ -351,15 +351,15 @@ def decode(expr: ColumnOrName, *args) -> Column:
 def listagg(
     value: ColumnOrName,
     sep: str = ",",
-    order_by: ColumnOrName | None = None,
+    order_by: ColumnOrName | list[ColumnOrName] | None = None,
     distinct: bool = False,
 ) -> Column:
-    """LISTAGG([DISTINCT] value, sep) WITHIN GROUP (ORDER BY key).
+    """LISTAGG([DISTINCT] value, sep) WITHIN GROUP (ORDER BY keys).
 
     Deterministic ordering is mandatory (SURVEY.md §7 risk 3):
-    collect (value) or (key,value) structs, array_sort, then join —
-    never bare collect_list. NULL values are dropped (Redshift drops
-    them). Use inside .agg(...).
+    collect (value) or (keys..., value) structs, array_sort, then
+    join — never bare collect_list. NULL values are dropped (Redshift
+    drops them). Use inside .agg(...).
     """
     v = _col(value).cast("string")
     if distinct:
@@ -368,8 +368,11 @@ def listagg(
     if order_by is None:
         arr = F.array_sort(F.collect_list(v))
         return F.array_join(arr, sep)
-    k = _col(order_by)
-    pairs = F.array_sort(F.collect_list(F.struct(k.alias("k"), v.alias("v"))))
+    keys = order_by if isinstance(order_by, (list, tuple)) else [order_by]
+    fields = [
+        _col(k).alias(f"k{i}") for i, k in enumerate(keys)
+    ] + [v.alias("v")]
+    pairs = F.array_sort(F.collect_list(F.struct(*fields)))
     return F.array_join(F.transform(pairs, lambda p: p["v"]), sep)
 
 

@@ -877,3 +877,1416 @@ def u_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = e.filter(F.col("event_type") == "purchase").select("user_id")
     b = e.filter(F.col("event_type") == "error").select("user_id")
     return a.intersect(b).orderBy("user_id")
+
+
+# ===========================================================================
+# Window functions (SURVEY §2.6 Wn1-Wn11)
+# ===========================================================================
+
+@q(
+    "w_rownum_latest_event",
+    oracle="""
+SELECT user_id, event_id, ts, event_type, value FROM (
+  SELECT user_id, event_id, ts, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+ORDER BY user_id
+""",
+)
+def w_rownum_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wn1: THE reference idiom — ROW_NUMBER()=1 top-1-per-key dedup
+    (customer.sql:57, 397 files). Also the QUALIFY rewrite shape."""
+    e = load(spark, sf_dir, "events")
+    return dedupe_latest(
+        e.select("user_id", "event_id", "ts", "event_type", "value"),
+        keys=["user_id"],
+        order_by=[F.col("ts").desc(), F.col("event_id").desc()],
+    ).orderBy("user_id")
+
+
+@q(
+    "w_rank_top_orders",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk
+  FROM orders
+) WHERE rnk <= 3 AND o_custkey < 200
+ORDER BY o_custkey, rnk, o_orderkey
+""",
+)
+def w_rank_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wn2 + O2: RANK top-k-per-group with ties kept
+    (asset_collection_curves.sql:54, toptenproducts_v2.sql:54-61)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice", F.rank().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("o_custkey", "rnk", "o_orderkey")
+    )
+
+
+@q(
+    "w_dense_rank_days",
+    oracle="""
+SELECT DISTINCT user_id, CAST(ts AS DATE) AS d,
+       DENSE_RANK() OVER (PARTITION BY user_id ORDER BY CAST(ts AS DATE)) AS day_idx
+FROM events
+ORDER BY user_id, d
+""",
+)
+def w_dense_rank_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wn3: DENSE_RANK session/day index per user
+    (06_page_views.sql:14)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.to_date("ts"))
+    return (
+        e.select(
+            "user_id",
+            F.to_date("ts").alias("d"),
+            F.dense_rank().over(w).alias("day_idx"),
+        )
+        .distinct()
+        .orderBy("user_id", "d")
+    )
+
+
+@q(
+    "w_lag_lead_gap",
+    oracle="""
+SELECT event_id, user_id, ts,
+  lag(ts) OVER w AS prev_ts,
+  lead(ts) OVER w AS next_ts,
+  date_diff('second', lag(ts) OVER w, ts) AS gap_seconds
+FROM events
+WHERE user_id < 30
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, ts, event_id
+""",
+)
+def w_lag_lead_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wn4: LAG/LEAD prev/next event + boundary-semantics DATEDIFF
+    in seconds (06_page_views.sql:20,32-33; compat layer RF.datediff
+    reproduces Redshift's boundary counting)."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        prev_ts.alias("prev_ts"),
+        F.lead("ts").over(w).alias("next_ts"),
+        RF.datediff("second", prev_ts, F.col("ts")).alias("gap_seconds"),
+    ).orderBy("user_id", "ts", "event_id")
+
+
+@q(
+    "w_first_last_ignorenulls",
+    oracle="""
+SELECT DISTINCT user_id,
+  first_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS) OVER w AS first_purchase_value,
+  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS) OVER w AS last_purchase_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY user_id
+""",
+)
+def w_first_last_ignorenulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wn5: FIRST/LAST_VALUE IGNORE NULLS over an unbounded frame
+    (08_sessions.sql:22-25, 67 reference files use IGNORE NULLS)."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return (
+        e.select(
+            "user_id",
+            F.first(pv, ignorenulls=True).over(w).alias("first_purchase_value"),
+            F.last(pv, ignorenulls=True).over(w).alias("last_purchase_value"),
+        )
+        .distinct()
+        .orderBy("user_id")
+    )
+
+
+@q(
+    "w_nth_value",
+    oracle="""
+SELECT DISTINCT user_id,
+  nth_value(event_id, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_event_id
+FROM events
+ORDER BY user_id
+""",
+)
+def w_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wn6: NTH_VALUE(col, 2)
+    (Card_acquistion_reactivation.sql:33)."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        e.select(
+            "user_id", F.nth_value("event_id", 2).over(w).alias("second_event_id")
+        )
+        .distinct()
+        .orderBy("user_id")
+    )
+
+
+@q(
+    "w_percent_rank_spend",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
+  FROM orders GROUP BY 1
+)
+SELECT o_custkey, total_spend,
+  PERCENT_RANK() OVER (ORDER BY total_spend) AS spend_pct_rank,
+  5 - CAST(FLOOR(PERCENT_RANK() OVER (ORDER BY total_spend) * 4.999) AS INT) AS monetary_score
+FROM spend
+ORDER BY o_custkey
+""",
+)
+def w_percent_rank_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wn7: PERCENT_RANK RFM monetary scoring (reference
+    2_ods_marketing/00_customer_rfm_segmentation.sql:13-15)."""
+    o = load(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(dsum(F.col("o_totalprice"), "total_spend"))
+    w = Window.orderBy("total_spend")
+    pr = F.percent_rank().over(w)
+    return spend.select(
+        "o_custkey",
+        "total_spend",
+        pr.alias("spend_pct_rank"),
+        (F.lit(5) - F.floor(pr * 4.999).cast("int")).alias("monetary_score"),
+    ).orderBy("o_custkey")
+
+
+@q(
+    "w_agg_over_partition",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey) AS DOUBLE) AS cust_total,
+  COUNT(*) OVER (PARTITION BY o_custkey) AS cust_orders,
+  MIN(o_orderdate) OVER (PARTITION BY o_custkey) AS cust_first_order,
+  o_totalprice / CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey) AS DOUBLE) AS spend_share
+FROM orders
+WHERE o_custkey < 100
+ORDER BY o_orderkey
+""",
+)
+def w_agg_over_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wn8: plain aggregates over unordered partition windows
+    (subscription.sql:114, 06_page_views.sql:48)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey")
+    cust_total = F.sum(_d(F.col("o_totalprice"))).over(w).cast("double")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        cust_total.alias("cust_total"),
+        F.count(F.lit(1)).over(w).alias("cust_orders"),
+        F.min("o_orderdate").over(w).alias("cust_first_order"),
+        (F.col("o_totalprice") / cust_total).alias("spend_share"),
+    ).orderBy("o_orderkey")
+
+
+@q(
+    "w_rolling_7d",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+  FROM events GROUP BY 1
+)
+SELECT d AS date, revenue,
+  CAST(SUM(CAST(revenue AS DECIMAL(14,2))) OVER w AS DOUBLE) AS revenue_7d_sum,
+  CAST(SUM(CAST(revenue AS DECIMAL(14,2))) OVER w AS DOUBLE) / COUNT(*) OVER w AS revenue_7d_avg
+FROM daily
+WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY date
+""",
+)
+def w_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wn9: ROWS BETWEEN n PRECEDING rolling frames — the reference's
+    7/30-day rolling averages (Account_balance.sql:54-55)."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("date")).agg(
+        dsum(F.col("value"), "revenue")
+    )
+    w = Window.orderBy("date").rowsBetween(-6, 0)
+    s = F.sum(F.col("revenue").cast("decimal(14,2)")).over(w).cast("double")
+    return daily.select(
+        "date",
+        "revenue",
+        s.alias("revenue_7d_sum"),
+        (s / F.count(F.lit(1)).over(w)).alias("revenue_7d_avg"),
+    ).orderBy("date")
+
+
+@q(
+    "w_running_balance",
+    oracle="""
+SELECT user_id, ts, event_id, value,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+  ) AS DOUBLE) AS balance
+FROM events
+WHERE user_id < 20
+ORDER BY user_id, ts, event_id
+""",
+)
+def w_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wn10 + §2.12(b): the reference's recursive-CTE running balance
+    (Account_balance.sql:17-48) replaced by a cumulative window — a
+    pure prefix sum, exactly equivalent (SURVEY §7 risk 5)."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    out = running_total(
+        e.select("user_id", "ts", "event_id", F.col("value")),
+        value=_d(F.col("value")),
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        col_name="balance",
+    )
+    return out.withColumn("balance", F.col("balance").cast("double")).orderBy(
+        "user_id", "ts", "event_id"
+    )
+
+
+@q(
+    "w_median_window",
+    oracle="""
+SELECT DISTINCT user_id,
+  ROUND(median(value) OVER (PARTITION BY user_id), 6) AS median_value
+FROM events
+ORDER BY user_id
+""",
+)
+def w_median_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 window form: MEDIAN() OVER (PARTITION BY ...) — the
+    reference's pricing outlier-removal coefficient windows
+    (1_pricing_outlier_removal.sql:101-104)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    return (
+        e.select(
+            "user_id", F.round(F.median("value").over(w), 6).alias("median_value")
+        )
+        .distinct()
+        .orderBy("user_id")
+    )
+
+
+# ===========================================================================
+# Aggregates (SURVEY §2.5 A4-A13)
+# ===========================================================================
+
+@q(
+    "a_having_segments",
+    oracle="""
+SELECT c_mktsegment,
+  COUNT(*) AS n_customers,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_balance
+FROM customer
+GROUP BY c_mktsegment
+HAVING COUNT(*) > 250
+ORDER BY c_mktsegment
+""",
+)
+def a_having_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: HAVING -> post-agg filter (customer.sql:68)."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum(_d(F.col("c_acctbal"))).cast("double") / F.count(F.lit(1))).alias(
+                "avg_balance"
+            ),
+        )
+        .filter(F.col("n_customers") > 250)
+        .orderBy("c_mktsegment")
+    )
+
+
+@q(
+    "a_count_distinct",
+    oracle="""
+SELECT o_orderpriority,
+  COUNT(DISTINCT o_custkey) AS n_customers,
+  COUNT(DISTINCT o_orderstatus) AS n_statuses,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def a_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: COUNT(DISTINCT ...) (customer.sql:126). At 100 TB scale
+    prefer approx_count_distinct unless exactness is contractual —
+    exact distinct is a full shuffle per distinct column."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderstatus").alias("n_statuses"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "a_listagg",
+    oracle="""
+SELECT o_orderpriority,
+  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def a_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: LISTAGG(DISTINCT x, sep) WITHIN GROUP (ORDER BY x)
+    (v_multi_items_orders.sql:21, 01_order.sql:122). Sorted-array
+    implementation — deterministic, never bare collect_list."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(RF.listagg("o_orderstatus", ",", distinct=True).alias("statuses"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "a_listagg_ordered",
+    oracle="""
+SELECT user_id,
+  string_agg(event_type, '>' ORDER BY ts, event_id) AS journey
+FROM events
+WHERE user_id < 50 AND event_type IN ('signup', 'purchase', 'error')
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def a_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 (ordered-by-other-key form): LISTAGG ... WITHIN GROUP
+    (ORDER BY ts) — the user-journey concatenation idiom."""
+    e = load(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 50)
+        & F.col("event_type").isin("signup", "purchase", "error")
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(
+            RF.listagg("event_type", ">", order_by=["ts", "event_id"]).alias("journey")
+        )
+        .orderBy("user_id")
+    )
+
+
+@q(
+    "a_median_percentiles",
+    oracle="""
+SELECT l_returnflag,
+  ROUND(median(CAST(l_quantity AS DOUBLE)), 6) AS median_qty,
+  ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.75), 6) AS p75_qty,
+  ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.95), 6) AS p95_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def a_median_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/A8: exact MEDIAN + PERCENTILE_CONT aggregates
+    (00_step_outlier_removal_1.sql:185, v_weekly_cs_reporting.sql:86-87)."""
+    li = load(spark, sf_dir, "lineitem")
+    qd = F.col("l_quantity").cast("double")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.median(qd), 6).alias("median_qty"),
+            F.round(F.percentile(qd, F.lit(0.75)), 6).alias("p75_qty"),
+            F.round(F.percentile(qd, F.lit(0.95)), 6).alias("p95_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@q(
+    "a_bool_or",
+    oracle="""
+SELECT user_id,
+  bool_or(event_type = 'error') AS had_error,
+  bool_and(value >= 0) AS all_values_nonneg
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def a_bool_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: BOOL_OR/BOOL_AND (00_pricing_live_feed.sql:35-37)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            RF.bool_or(F.col("event_type") == "error").alias("had_error"),
+            RF.bool_and(F.col("value") >= 0).alias("all_values_nonneg"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@q(
+    "a_greatest_least",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+  GREATEST(l_quantity, l_extendedprice / 1000, 25.0) AS g,
+  LEAST(l_quantity, l_extendedprice / 1000, 25.0) AS l
+FROM lineitem
+WHERE l_orderkey < 300
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+def a_greatest_least(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: row-wise GREATEST/LEAST (customer.sql:141-147)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        RF.greatest(
+            F.col("l_quantity"), F.col("l_extendedprice") / 1000, F.lit(25.0)
+        ).alias("g"),
+        RF.least(
+            F.col("l_quantity"), F.col("l_extendedprice") / 1000, F.lit(25.0)
+        ).alias("l"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@q(
+    "a_pivot_status",
+    oracle="""
+SELECT o_orderpriority,
+  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def a_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: PIVOT (Wallet_expansion.sql:96) — explicit value list so
+    the plan is a single pass (no values-discovery job), zero-filled
+    to match SQL conditional-count semantics."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("F"),
+            F.coalesce("O", F.lit(0)).alias("O"),
+            F.coalesce("P", F.lit(0)).alias("P"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "a_unpivot_measures",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS val FROM m
+UNION ALL
+SELECT l_returnflag, 'sum_price' AS measure, sum_price AS val FROM m
+ORDER BY l_returnflag, measure
+""",
+)
+def a_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: UNPIVOT (P&L 08_unpivot_final.sql:7) -> df.unpivot."""
+    li = load(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_returnflag").agg(
+        dsum(F.col("l_quantity"), "sum_qty"),
+        dsum(F.col("l_extendedprice"), "sum_price"),
+    )
+    return m.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    ).orderBy("l_returnflag", "measure")
+
+
+@q(
+    "a_dedup_then_agg",
+    oracle="""
+WITH d AS (SELECT DISTINCT o_custkey, o_orderpriority FROM orders)
+SELECT o_orderpriority, COUNT(*) AS n_customers
+FROM d GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def a_dedup_then_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: SELECT DISTINCT feeding GROUP BY
+    (asset_collection_curves.sql:8-19). Catalyst collapses the two
+    shuffles onto the same key."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_custkey", "o_orderpriority")
+        .distinct()
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ===========================================================================
+# Scalar dialect layer (SURVEY §2.9) — kitchen-sink queries that pin
+# the compat functions' semantics against the oracle
+# ===========================================================================
+
+@q(
+    "f_datetime_kitchen_sink",
+    oracle="""
+SELECT o_orderkey,
+  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+  CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week_start,
+  CAST(o_orderdate + INTERVAL 7 DAY AS TIMESTAMP) AS plus_7d,
+  CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_3mo,
+  date_diff('day', o_orderdate, TIMESTAMP '2001-12-31') AS days_to_eoy,
+  date_diff('month', o_orderdate, TIMESTAMP '2001-12-31') AS months_to_eoy,
+  date_diff('year', o_orderdate, TIMESTAMP '2001-12-31') AS years_to_eoy,
+  date_diff('week', o_orderdate, TIMESTAMP '2001-12-31') AS weeks_to_eoy,
+  year(o_orderdate) AS yr,
+  month(o_orderdate) AS mo,
+  dayofmonth(o_orderdate) AS dom,
+  quarter(o_orderdate) AS qtr,
+  week(o_orderdate) AS wk,
+  dayofweek(o_orderdate) AS dow,
+  CAST(last_day(o_orderdate) AS DATE) AS month_end,
+  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS ts_char,
+  strftime(o_orderdate, '%B') AS month_name,
+  strftime(o_orderdate, '%A') AS day_name,
+  CAST(o_orderdate AS DATE) AS just_date
+FROM orders
+WHERE o_orderkey < 300
+ORDER BY o_orderkey
+""",
+)
+def f_datetime_kitchen_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 date/time layer: DATE_TRUNC, DATEADD, boundary-semantics
+    DATEDIFF (day/month/year/week), EXTRACT parts, Redshift DOW
+    numbering (0=Sunday), LAST_DAY, TO_CHAR format translation
+    (08_sessions.sql:41-55, dim_dates.sql:17-44, subscription.sql:75-94)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    d = F.col("o_orderdate")
+    eoy = F.lit("2001-12-31").cast("timestamp")
+    return o.select(
+        "o_orderkey",
+        RF.date_trunc("month", d).alias("month_start"),
+        RF.date_trunc("week", d).alias("week_start"),
+        RF.dateadd("day", 7, d).alias("plus_7d"),
+        RF.dateadd("month", 3, d).alias("plus_3mo"),
+        RF.datediff("day", d, eoy).alias("days_to_eoy"),
+        RF.datediff("month", d, eoy).alias("months_to_eoy"),
+        RF.datediff("year", d, eoy).alias("years_to_eoy"),
+        RF.datediff("week", d, eoy).alias("weeks_to_eoy"),
+        RF.date_part("year", d).alias("yr"),
+        RF.date_part("month", d).alias("mo"),
+        RF.date_part("day", d).alias("dom"),
+        RF.date_part("quarter", d).alias("qtr"),
+        RF.date_part("week", d).alias("wk"),
+        RF.date_part("dow", d).alias("dow"),
+        RF.last_day(d).alias("month_end"),
+        RF.to_char(d, "YYYY-MM-DD HH24:MI:SS").alias("ts_char"),
+        RF.to_char(d, "MONTH").alias("month_name"),
+        RF.to_char(d, "DAY").alias("day_name"),
+        RF.trunc_date(d).alias("just_date"),
+    ).orderBy("o_orderkey")
+
+
+@q(
+    "f_string_kitchen_sink",
+    oracle="""
+SELECT p_partkey,
+  split_part(p_name, ' ', 1) AS first_word,
+  split_part(p_name, ' ', 2) AS second_word,
+  split_part(p_name, ' ', 5) AS oob_word,
+  regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled,
+  regexp_extract(p_name, '([a-z]+)$', 1) AS last_token,
+  len(regexp_extract_all(p_name, '[aeiou]')) AS n_vowels,
+  upper(p_name) AS up,
+  lower(p_brand) AS lo,
+  replace(p_name, ' ', '_') AS snake,
+  translate(p_type, 'AEIOU', 'aeiou') AS lower_vowel_type,
+  trim('  ' || p_name || '  ') AS trimmed,
+  length(p_name) AS name_len,
+  left(p_name, 4) AS left4,
+  right(p_name, 3) AS right3,
+  substring(p_name, 2, 5) AS mid5,
+  strpos(p_name, 'e') AS first_e,
+  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key,
+  reverse(p_brand) AS rev_brand,
+  p_name || '/' || p_type AS concatenated,
+  md5(p_name) AS name_md5
+FROM part
+WHERE p_partkey < 300
+ORDER BY p_partkey
+""",
+)
+def f_string_kitchen_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 string layer: SPLIT_PART (incl. out-of-bounds -> ''),
+    REGEXP_REPLACE/SUBSTR/COUNT, TRANSLATE, LPAD, LEFT/RIGHT,
+    POSITION, ||-concat, MD5 (01_track_events.sql:88,
+    addon_35up_tracking.sql:13-43, 03_braze_order_attribution.sql:37-41)."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    name = F.col("p_name")
+    return p.select(
+        "p_partkey",
+        RF.split_part(name, " ", 1).alias("first_word"),
+        RF.split_part(name, " ", 2).alias("second_word"),
+        RF.split_part(name, " ", 5).alias("oob_word"),
+        F.regexp_replace(name, "[aeiou]", "*").alias("devoweled"),
+        F.regexp_extract(name, "([a-z]+)$", 1).alias("last_token"),
+        RF.regexp_count(name, "[aeiou]").cast("long").alias("n_vowels"),
+        F.upper(name).alias("up"),
+        F.lower("p_brand").alias("lo"),
+        F.replace(name, F.lit(" "), F.lit("_")).alias("snake"),
+        F.translate("p_type", "AEIOU", "aeiou").alias("lower_vowel_type"),
+        F.trim(F.concat(F.lit("  "), name, F.lit("  "))).alias("trimmed"),
+        F.length(name).alias("name_len"),
+        RF.left(name, 4).alias("left4"),
+        RF.right(name, 3).alias("right3"),
+        F.substring(name, 2, 5).alias("mid5"),
+        RF.charindex("e", name).cast("long").alias("first_e"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded_key"),
+        F.reverse("p_brand").alias("rev_brand"),
+        F.concat(name, F.lit("/"), F.col("p_type")).alias("concatenated"),
+        F.md5(name).alias("name_md5"),
+    ).orderBy("p_partkey")
+
+
+@q(
+    "f_json_extract",
+    oracle="""
+SELECT event_id,
+  json_extract_string(props, '$.k') AS k_text,
+  CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+  json_extract_string(props, '$.missing') AS missing_key,
+  props IS NOT NULL AND json_valid(props) AS is_valid,
+  length(props) AS raw_len
+FROM events
+WHERE event_id < 500
+ORDER BY event_id
+""",
+)
+def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 JSON layer: JSON_EXTRACT_PATH_TEXT -> get_json_object,
+    IS_VALID_JSON, :: typing of extracted text
+    (01_track_events.sql:21-38, 147 reference files)."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    return e.select(
+        "event_id",
+        RF.json_extract_path_text("props", "k").alias("k_text"),
+        RF.json_extract_path_text("props", "k").cast("int").alias("k_int"),
+        RF.json_extract_path_text("props", "missing").alias("missing_key"),
+        RF.is_valid_json("props").alias("is_valid"),
+        F.length("props").alias("raw_len"),
+    ).orderBy("event_id")
+
+
+@q(
+    "f_null_conditional",
+    oracle="""
+SELECT c_custkey,
+  COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_masked,
+  COALESCE(NULLIF(CAST(c_acctbal AS VARCHAR), 'nan'), '0') AS bal_text,
+  CASE WHEN c_acctbal IS NOT NULL THEN 'has_bal' ELSE 'no_bal' END AS nvl2_demo,
+  CASE
+    WHEN c_mktsegment = 'BUILDING' THEN 'B'
+    WHEN c_mktsegment = 'AUTOMOBILE' THEN 'A'
+    WHEN c_mktsegment = 'MACHINERY' THEN 'M'
+    ELSE 'X'
+  END AS decoded
+FROM customer
+WHERE c_custkey < 300
+ORDER BY c_custkey
+""",
+)
+def f_null_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 conditional/null layer: COALESCE/NULLIF/NVL2/DECODE —
+    DECODE is the Oracle-style CASE form, not Spark's charset decode
+    (00_subscription_discount_new_infra.sql:75, NULLIF(x,'nan')
+    01_track_events.sql:21)."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    return c.select(
+        "c_custkey",
+        F.coalesce(RF.nvl(F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER")), F.lit("OTHER")).alias("segment_masked"),
+        F.coalesce(
+            F.nullif(F.col("c_acctbal").cast("string"), F.lit("nan")), F.lit("0")
+        ).alias("bal_text"),
+        RF.nvl2(F.col("c_acctbal"), F.lit("has_bal"), F.lit("no_bal")).alias("nvl2_demo"),
+        RF.decode(
+            F.col("c_mktsegment"),
+            "BUILDING", "B",
+            "AUTOMOBILE", "A",
+            "MACHINERY", "M",
+            "X",
+        ).alias("decoded"),
+    ).orderBy("c_custkey")
+
+
+@q(
+    "f_math",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+  round(l_extendedprice / 7, 2) AS r2,
+  ceil(l_quantity / 7) AS c7,
+  floor(l_quantity / 7) AS f7,
+  abs(l_discount - 0.05) AS ad,
+  CAST(l_quantity AS BIGINT) % 7 AS m7,
+  power(l_quantity, 2) AS q2,
+  sign(l_discount - 0.05) AS sg,
+  CAST(l_quantity AS INT) // 7 AS intdiv
+FROM lineitem
+WHERE l_orderkey < 200
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+def f_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 math layer: ROUND/CEIL/FLOOR/ABS/MOD/POWER/SIGN and
+    Redshift integer division (subscription.sql:75-76,
+    08_sessions.sql:55)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    qty = F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") / 7, 2).alias("r2"),
+        F.ceil(qty / 7).alias("c7"),
+        F.floor(qty / 7).alias("f7"),
+        F.abs(F.col("l_discount") - 0.05).alias("ad"),
+        RF.mod(qty.cast("bigint"), 7).alias("m7"),
+        F.pow(qty, 2).alias("q2"),
+        F.signum(F.col("l_discount") - 0.05).alias("sg"),
+        F.expr("CAST(l_quantity AS INT) DIV 7").alias("intdiv"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+# ===========================================================================
+# Sessionization + streaming-shaped batch ops (SURVEY §2.10)
+# ===========================================================================
+
+@q(
+    "s_sessionize_gap",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value, event_type,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+  MIN(ts) AS session_start,
+  MAX(ts) AS session_end,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value,
+  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases
+FROM sessions
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+""",
+)
+def s_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """St4: gap-based sessionization (30-min) + the reference's
+    session rollup shape (08_sessions.sql:5-30). lag-flag + running
+    sum + rollup — all three window/agg passes share one shuffle on
+    user_id.
+
+    ⚠ gap uses boundary-semantics date_diff('second') to match the
+    dialect; sessionize() uses exact epoch diff, so the oracle uses
+    the same boundary form via RF.datediff below."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull() | (RF.datediff("second", prev_ts, F.col("ts")) > 1800), 1
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    sessions = e.withColumn("session_seq", F.sum(is_new).over(wsum))
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "session_value"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+@q(
+    "s_page_view_end",
+    oracle="""
+SELECT event_id, user_id, ts,
+  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS view_end,
+  date_diff('second', ts, lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS seconds_engaged
+FROM events
+WHERE event_type = 'view'
+ORDER BY event_id
+""",
+)
+def s_page_view_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """St6: ordered event pairing — LEAD gives each page view its end
+    time / engagement seconds (06_page_views.sql:20,32-33)."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        nxt.alias("view_end"),
+        RF.datediff("second", F.col("ts"), nxt).alias("seconds_engaged"),
+    ).orderBy("event_id")
+
+
+@q(
+    "s_event_dedup_incremental",
+    oracle="""
+SELECT user_id, event_type, CAST(ts AS DATE) AS d, ts, event_id, value
+FROM (
+  SELECT user_id, event_type, ts, event_id, value,
+    ROW_NUMBER() OVER (PARTITION BY user_id, event_type, CAST(ts AS DATE)
+                       ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-25'
+) WHERE rn = 1
+ORDER BY user_id, event_type, d
+""",
+)
+def s_event_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """St2/St3: the incremental-load idiom — trailing-window scan +
+    message dedup by business key keeping latest arrival
+    (05_all_events_incremental.sql:52,160-170; 01_track_events.sql:28)."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts") >= F.lit("2024-01-25").cast("timestamp")
+    )
+    return (
+        dedupe_latest(
+            e.select("user_id", "event_type", F.to_date("ts").alias("d"), "ts", "event_id", "value"),
+            keys=["user_id", "event_type", "d"],
+            order_by=[F.col("ts").desc(), F.col("event_id").desc()],
+        )
+        .select("user_id", "event_type", "d", "ts", "event_id", "value")
+        .orderBy("user_id", "event_type", "d")
+    )
+
+
+# ===========================================================================
+# Misc engine features (SURVEY §2.12): recursive-CTE replacements,
+# scalar subqueries, date spine
+# ===========================================================================
+
+@q(
+    "m_explode_split",
+    oracle="""
+SELECT word, COUNT(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word
+ORDER BY n DESC, word
+""",
+)
+def m_explode_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12(a): the reference's recursive-CTE string-array explode
+    (addon_35up_tracking.sql:3-52) is explode(split(...)) in Spark."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+    )
+
+
+@q(
+    "m_posexplode",
+    oracle="""
+SELECT doc_id, pos, word
+FROM (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+  WHERE doc_id < 20
+)
+ORDER BY doc_id, pos
+""",
+)
+def m_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11: posexplode with position column — the reference's
+    line_item_position idiom (curated/kafka/README.md:1-10,
+    df_flatten_exploding). 1-based to match SQL subscripts."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return (
+        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "word"))
+        .select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "word")
+        .orderBy("doc_id", "pos")
+    )
+
+
+@q(
+    "m_date_spine",
+    oracle="""
+SELECT CAST(d AS DATE) AS date,
+  year(d) AS year, month(d) AS month, dayofmonth(d) AS day,
+  quarter(d) AS quarter, week(d) AS week_of_year,
+  dayofweek(d) AS day_of_week,
+  strftime(d, '%A') AS day_name,
+  strftime(d, '%B') AS month_name,
+  CAST(date_trunc('month', d) AS DATE) AS first_of_month,
+  CAST(last_day(d) AS DATE) AS last_of_month,
+  dayofweek(d) IN (0, 6) AS is_weekend
+FROM (SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-03-31', INTERVAL 1 DAY)) AS DATE) AS d)
+ORDER BY date
+""",
+)
+def m_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12(c): dim_dates calendar build — sequence+explode replaces
+    the reference's recursive date spine (dim_dates.sql:3-44)."""
+    return dim_dates(spark, "2024-01-01", "2024-03-31").orderBy("date")
+
+
+@q(
+    "m_scalar_subquery",
+    oracle="""
+SELECT o_orderkey, o_totalprice,
+  o_totalprice / (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) FROM orders) AS vs_avg
+FROM orders
+WHERE o_totalprice > 2 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) FROM orders)
+ORDER BY o_orderkey
+""",
+)
+def m_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12: scalar subquery (dim_dates.sql:39, missing_dates.sql:8)
+    -> 1-row aggregate cross-joined (broadcast) against the fact."""
+    o = load(spark, sf_dir, "orders")
+    avg_df = o.agg(
+        (F.sum(_d(F.col("o_totalprice"))).cast("double") / F.count(F.lit(1))).alias(
+            "avg_price"
+        )
+    )
+    return (
+        o.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > 2 * F.col("avg_price"))
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            (F.col("o_totalprice") / F.col("avg_price")).alias("vs_avg"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# ===========================================================================
+# LLM-training-data operators: dedup / similarity / text analysis /
+# multimodal (BASELINE.json north star; SURVEY §5 harness model)
+# ===========================================================================
+
+from .textops import (  # noqa: E402
+    brute_force_topk,
+    exact_dedup,
+    exact_duplicate_groups,
+    lsh_topk,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+    with_fingerprint,
+    with_language_id,
+    with_quality_score,
+)
+from .multimodal import attach_fake_payload, extract_binary_meta  # noqa: E402
+
+
+@q(
+    "dd_exact_dup_groups",
+    oracle="""
+SELECT md5(text) AS fingerprint, COUNT(*) AS n_docs,
+       list_sort(list(doc_id)) AS doc_ids
+FROM documents
+GROUP BY md5(text)
+HAVING COUNT(*) > 1
+ORDER BY fingerprint
+""",
+)
+def dd_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup, group view: hash-groupBy on md5(text). (The
+    testdata has no byte-identical dups — both sides return the
+    planted state; near-dup coverage is dd_ngram_jaccard/minhash.)"""
+    d = load(spark, sf_dir, "documents")
+    return exact_duplicate_groups(d).orderBy("fingerprint")
+
+
+@q(
+    "dd_exact_dedup_survivors",
+    oracle="""
+SELECT doc_id, n_chars FROM documents
+WHERE doc_id IN (
+  SELECT min(doc_id) FROM documents GROUP BY md5(text)
+)
+ORDER BY doc_id
+""",
+)
+def dd_exact_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup, survivor view: keep min doc_id per identical
+    text. One shuffle on the fingerprint."""
+    d = load(spark, sf_dir, "documents")
+    return exact_dedup(d).select("doc_id", "n_chars").orderBy("doc_id")
+
+
+@q(
+    "dd_ngram_jaccard",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS shingles
+  FROM documents
+),
+w AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+cnt AS (SELECT doc_id, count(*) AS c FROM w GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM w a JOIN w b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, i * 1.0 / (ca.c + cb.c - i) AS jaccard
+FROM inter
+JOIN cnt ca ON ca.doc_id = id_a
+JOIN cnt cb ON cb.doc_id = id_b
+WHERE i * 1.0 / (ca.c + cb.c - i) >= 0.8
+ORDER BY id_a, id_b
+""",
+)
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard near-dup pairs (threshold 0.8).
+    The quadratic exact baseline that verifies the MinHash path;
+    testdata has 25 planted near-dup pairs >= 0.85 with a clean gap
+    below, so 0.8 is decision-stable."""
+    d = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, n=3, threshold=0.8).orderBy("id_a", "id_b")
+
+
+@q(
+    "dd_minhash_lsh",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS shingles
+  FROM documents
+),
+w AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+cnt AS (SELECT doc_id, count(*) AS c FROM w GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM w a JOIN w b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, i * 1.0 / (ca.c + cb.c - i) AS jaccard
+FROM inter
+JOIN cnt ca ON ca.doc_id = id_a
+JOIN cnt cb ON cb.doc_id = id_b
+WHERE i * 1.0 / (ca.c + cb.c - i) >= 0.8
+ORDER BY id_a, id_b
+""",
+)
+def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(128) + LSH banding (32 bands x 4 rows) with exact
+    in-bucket Jaccard verification. Oracle = the exact-Jaccard pair
+    set: banding at r=4,b=32 has miss probability ~5e-8 at j>=0.8,
+    and verification removes all false positives, so sketch output
+    == exact output on this corpus. Per-doc signatures are pure
+    array math (no shuffle); the only shuffle is the bucket join."""
+    d = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, n=3, num_hashes=128, bands=32, threshold=0.8, verify=True
+    ).orderBy("id_a", "id_b")
+
+
+@q("dd_simhash")
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit, 2-gram shingles) near-dup pairs at Hamming<=3
+    via pigeonhole chunk bucketing. Rows-only check (bit-level hash
+    arithmetic is not reasonably SQL-expressible in the oracle);
+    tests/test_textops.py asserts consistency against exact Jaccard
+    pairs."""
+    d = load(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(d, max_hamming=3, n=2).orderBy("id_a", "id_b")
+
+
+@q(
+    "dd_embedding_neardup",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, embedding,
+    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(list_sum(list_transform(range(1, 65),
+        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm), 6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(range(1, 65),
+        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm) >= 0.4
+ORDER BY id_a, id_b
+""",
+)
+def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (>= 0.4; the corpus's cosine
+    distribution tops out at ~0.55, so 0.4 exercises a non-trivial
+    pair set). Self-join + JVM-side double cosine; at 100 TB this
+    becomes LSH-bucketed first (lsh_topk machinery) — the exact
+    all-pairs form is the verifier."""
+    from .textops.similarity import cosine_expr
+
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    cos = cosine_expr(F.col("emb_a"), F.col("emb_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.4)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@q(
+    "ann_brute_topk",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, embedding,
+    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id,
+    list_sum(list_transform(range(1, 65),
+      i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (q.nrm * c.nrm) AS cos_raw
+  FROM v q JOIN v c ON q.vec_id < 5
+),
+ranked AS (
+  SELECT query_id, vec_id, cos_raw,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(cos_raw, 6) AS cosine, rank
+FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+""",
+)
+def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors — the exact ANN
+    baseline. Queries broadcast; corpus never shuffles; ranking is a
+    per-query window (textops/similarity.py)."""
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(e, queries, k=10)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+@q("ann_lsh_topk")
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane LSH (8 tables x 6
+    bits — near-uniform corpora need short signatures for usable
+    bucket sizes): candidates from signature-bucket matches only,
+    then exact scoring. Rows-only check (approximate by design);
+    recall vs the brute-force baseline is asserted in
+    tests/test_textops.py."""
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_topk(e, queries, k=10, dim=64, n_planes=6, n_tables=8)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+@q(
+    "txt_quality",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+    length(text) AS n_chars_actual
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_chars_actual,
+    len(toks) AS n_tokens,
+    len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_tokens_bpeish,
+    CASE WHEN len(toks) > 0
+      THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) END AS avg_token_len,
+    CASE WHEN length(text) > 0
+      THEN len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE / length(text) ELSE 0.0 END AS punct_ratio,
+    CASE WHEN length(text) > 0
+      THEN len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text) ELSE 0.0 END AS digit_ratio,
+    CASE WHEN len(toks) > 0
+      THEN len(list_filter(toks, x -> x IN ('the','a','of','and','to','is')))::DOUBLE / len(toks) ELSE 0.0 END AS stopword_ratio
+  FROM t JOIN documents USING (doc_id)
+)
+SELECT doc_id, n_tokens, n_tokens_bpeish, avg_token_len, punct_ratio,
+  digit_ratio, stopword_ratio,
+  CAST((n_tokens >= 5 AND n_tokens <= 100000)::INT * 40
+   + (avg_token_len >= 2.0 AND avg_token_len <= 12.0)::INT * 20
+   + (punct_ratio <= 0.2)::INT * 15
+   + (digit_ratio <= 0.3)::INT * 15
+   + (stopword_ratio >= 0.01)::INT * 10 AS DOUBLE) / 100 AS quality_score
+FROM s
+ORDER BY doc_id
+""",
+)
+def txt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality scoring (Gopher-rules-flavored): token counts
+    (whitespace + BPE-ish regex), avg token length, punct/digit/
+    stopword ratios -> weighted score. Pure per-row expressions."""
+    d = load(spark, sf_dir, "documents")
+    return with_quality_score(d).select(
+        "doc_id",
+        "n_tokens",
+        "n_tokens_bpeish",
+        "avg_token_len",
+        "punct_ratio",
+        "digit_ratio",
+        "stopword_ratio",
+        "quality_score",
+    ).orderBy("doc_id")
+
+
+@q(
+    "txt_langid",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents
+),
+h AS (
+  SELECT doc_id, lang, len(toks) AS n_tok,
+    len(list_filter(toks, x -> x IN ('the','a','of','and','to','is'))) AS h_en,
+    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht'))) AS h_de,
+    len(list_filter(toks, x -> x IN ('el','la','de','que','y','es'))) AS h_es,
+    len(list_filter(toks, x -> x IN ('le','la','les','et','est','que'))) AS h_fr,
+    0 AS h_zh
+  FROM t
+)
+SELECT doc_id, lang,
+  CASE
+    WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+    WHEN h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
+    WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+    WHEN h_fr >= h_zh THEN 'fr'
+    ELSE 'zh'
+  END AS detected_lang,
+  CASE WHEN n_tok > 0
+    THEN GREATEST(h_en, h_de, h_es, h_fr, h_zh)::DOUBLE / n_tok ELSE 0.0 END AS lang_confidence
+FROM h
+ORDER BY doc_id
+""",
+)
+def txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (first-max argmax, deterministic
+    tie-break en>de>es>fr>zh, CJK-ratio override for no-space
+    scripts). The synthetic corpus is English-vocabulary for every
+    lang label, so detected_lang exercises the tie/argmax logic."""
+    d = load(spark, sf_dir, "documents")
+    return with_language_id(d).select(
+        "doc_id", "lang", "detected_lang", "lang_confidence"
+    ).orderBy("doc_id")
+
+
+@q(
+    "txt_fingerprint",
+    oracle="""
+SELECT doc_id,
+  md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+ORDER BY doc_id
+""",
+)
+def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over casefolded, punct-stripped,
+    whitespace-collapsed text — the cosmetic-edit-proof exact-dedup
+    key."""
+    d = load(spark, sf_dir, "documents")
+    return with_fingerprint(d).select("doc_id", "fingerprint").orderBy("doc_id")
+
+
+@q(
+    "mm_binary_meta",
+    oracle="""
+SELECT doc_id AS media_id,
+  octet_length(encode(text)) AS n_bytes,
+  sha256(text) AS payload_sha256,
+  'unknown' AS sniffed_format,
+  CAST(doc_id % 640 + 64 AS INT) AS width,
+  CAST(doc_id % 480 + 48 AS INT) AS height
+FROM documents
+ORDER BY media_id
+""",
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary payload + typed metadata —
+    byte length, sha256, magic-byte sniff, meta fields — all JVM
+    expressions over a binary column (decode itself is stubbed;
+    multimodal/binary.py)."""
+    d = load(spark, sf_dir, "documents")
+    media = attach_fake_payload(d, "doc_id", "text")
+    return (
+        extract_binary_meta(media)
+        .select(
+            "media_id",
+            F.col("n_bytes").cast("long").alias("n_bytes"),
+            "payload_sha256",
+            "sniffed_format",
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+        )
+        .orderBy("media_id")
+    )

@@ -1,0 +1,49 @@
+"""Text / training-data operators: the LLM-pipeline surface the
+engine adds beyond the reference (BASELINE.json north star).
+
+Design rule: per-document computations (tokenizing, shingling,
+MinHash, SimHash, quality metrics, fingerprints) are pure array
+expressions — zero shuffle, embarrassingly parallel, safe at 100 TB.
+Shuffles appear only where semantics demand them: candidate-pair
+generation (band-bucket join) and exact-duplicate grouping.
+"""
+
+from .analysis import (
+    tokenize,
+    with_text_stats,
+    with_quality_score,
+    with_language_id,
+    with_fingerprint,
+)
+from .dedup import (
+    shingles,
+    exact_duplicate_groups,
+    exact_dedup,
+    ngram_jaccard_pairs,
+    minhash_signature,
+    minhash_lsh_pairs,
+    simhash_votes,
+    with_simhash,
+    simhash_neardup_pairs,
+)
+from .similarity import cosine_expr, brute_force_topk, lsh_topk
+
+__all__ = [
+    "tokenize",
+    "with_text_stats",
+    "with_quality_score",
+    "with_language_id",
+    "with_fingerprint",
+    "shingles",
+    "exact_duplicate_groups",
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_signature",
+    "minhash_lsh_pairs",
+    "simhash_votes",
+    "with_simhash",
+    "simhash_neardup_pairs",
+    "cosine_expr",
+    "brute_force_topk",
+    "lsh_topk",
+]

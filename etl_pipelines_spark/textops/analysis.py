@@ -1,0 +1,151 @@
+"""Text analysis: language-ID, quality scoring, token counting,
+document fingerprinting. All Catalyst array/string expressions — no
+UDFs, no shuffles; every function is a per-row map over the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Whitespace tokenizer + a BPE-ish fallback that also splits
+# punctuation off words (the testdata corpus is already clean
+# lowercase; real corpora aren't).
+_TOKEN_SPLIT_RE = r"\s+"
+_BPE_ISH_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+# Tiny per-language marker-word lists (function words). Real systems
+# use character n-gram profiles; marker-word voting is the
+# deterministic, SQL-expressible heuristic variant.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "is"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "es": ["el", "la", "de", "que", "y", "es"],
+    "fr": ["le", "la", "les", "et", "est", "que"],
+    "zh": [],  # no-space script: handled by the cjk-ratio signal
+}
+_LANG_ORDER = ["en", "de", "es", "fr", "zh"]  # deterministic tie-break
+
+
+def tokenize(text: Column, mode: str = "whitespace") -> Column:
+    """Array of tokens. mode='whitespace' | 'bpe-ish' (regexp that
+    separates alpha / digit / punctuation runs)."""
+    if mode == "whitespace":
+        return F.filter(F.split(text, _TOKEN_SPLIT_RE), lambda t: t != "")
+    if mode == "bpe-ish":
+        return F.regexp_extract_all(text, F.lit(_BPE_ISH_RE), 0)
+    raise ValueError(f"unknown tokenize mode: {mode!r}")
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counts (whitespace + BPE-ish), char length, avg token
+    length, punctuation/digit/whitespace ratios, stopword ratio."""
+    t = F.col(text_col)
+    toks = tokenize(t)
+    n_tok = F.size(toks)
+    stop = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
+    return (
+        df.withColumn("n_chars_actual", F.length(t).cast("long"))
+        .withColumn("n_tokens", n_tok.cast("long"))
+        .withColumn("n_tokens_bpeish", F.size(tokenize(t, "bpe-ish")).cast("long"))
+        .withColumn(
+            "avg_token_len",
+            F.when(
+                n_tok > 0,
+                F.aggregate(
+                    toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+                ).cast("double")
+                / n_tok,
+            ),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.when(
+                F.length(t) > 0,
+                F.regexp_count(t, F.lit(r"[^\w\s]")).cast("double") / F.length(t),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "digit_ratio",
+            F.when(
+                F.length(t) > 0,
+                F.regexp_count(t, F.lit(r"[0-9]")).cast("double") / F.length(t),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.when(
+                n_tok > 0,
+                F.size(F.filter(toks, lambda x: F.array_contains(stop, x))).cast(
+                    "double"
+                )
+                / n_tok,
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """A Gopher-rules-flavored quality score in [0,1]: length in
+    range, mean word length in range, low punctuation/digit noise,
+    some stopword mass. Deterministic arithmetic only."""
+    d = with_text_stats(df, text_col)
+    length_ok = (F.col("n_tokens") >= 5) & (F.col("n_tokens") <= 100000)
+    wordlen_ok = (F.col("avg_token_len") >= 2.0) & (F.col("avg_token_len") <= 12.0)
+    # Integer weights summed before a single division keep the score
+    # bit-identical across engines (no float accumulation).
+    score = (
+        length_ok.cast("int") * 40
+        + wordlen_ok.cast("int") * 20
+        + (F.col("punct_ratio") <= 0.2).cast("int") * 15
+        + (F.col("digit_ratio") <= 0.3).cast("int") * 15
+        + (F.col("stopword_ratio") >= 0.01).cast("int") * 10
+    )
+    return d.withColumn("quality_score", (score / F.lit(100)).cast("double"))
+
+
+def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word-vote language ID + a CJK-character-ratio override.
+    Ties resolve in _LANG_ORDER (en first) — deterministic."""
+    t = F.col(text_col)
+    toks = tokenize(t)
+    n_tok = F.size(toks)
+    out = df
+    for lang in _LANG_ORDER:
+        markers = LANG_MARKERS[lang]
+        if markers:
+            arr = F.array([F.lit(w) for w in markers])
+            hits = F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+        else:
+            hits = F.lit(0)
+        out = out.withColumn(f"__hits_{lang}", hits)
+    cjk_ratio = F.when(
+        F.length(t) > 0,
+        F.regexp_count(t, F.lit(r"[一-鿿]")).cast("double") / F.length(t),
+    ).otherwise(F.lit(0.0))
+    best = F.lit("en")
+    best_hits = F.col("__hits_en")
+    for lang in _LANG_ORDER[1:]:
+        cond = F.col(f"__hits_{lang}") > best_hits
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_hits = F.when(cond, F.col(f"__hits_{lang}")).otherwise(best_hits)
+    detected = F.when(cjk_ratio > 0.2, F.lit("zh")).otherwise(best)
+    out = out.withColumn("detected_lang", detected).withColumn(
+        "lang_confidence",
+        F.when(n_tok > 0, best_hits.cast("double") / n_tok).otherwise(F.lit(0.0)),
+    )
+    return out.drop(*[f"__hits_{lang}" for lang in _LANG_ORDER])
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprint: md5 of casefolded, punctuation-stripped,
+    whitespace-collapsed text — the exact-dedup key that survives
+    cosmetic edits. (A Rabin-Karp winnowing variant lives in
+    dedup.simhash for the fuzzy path.)"""
+    t = F.col(text_col)
+    normalized = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(t), r"[^\w\s]", ""), r"\s+", " "
+        )
+    )
+    return df.withColumn("fingerprint", F.md5(normalized))

@@ -1,0 +1,341 @@
+"""Deduplication: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale architecture (the part that matters at 100 TB):
+- Sketches (MinHash signatures, SimHash bits) are computed per
+  document with array expressions — NO shuffle, NO UDF. A 1000-
+  executor cluster sketches 100 TB as a pure map.
+- Candidate generation shuffles once on (band_idx, band_key) — the
+  standard LSH banding trade-off. Bucket sizes are bounded by data
+  similarity structure, and AQE skew-join handles hot buckets.
+- Exact verification (Jaccard on shingle sets / Hamming on bits) is
+  a per-pair array op after the bucket join, so the expensive O(n^2)
+  comparison never materializes — only within-bucket pairs do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .analysis import tokenize
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the text as an array.
+    1-based slice() keeps parity with SQL list subscripts."""
+    toks = tokenize(text)
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks))),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicate_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of byte-identical documents (hash-groupBy on md5).
+    Returns (fingerprint, n_docs, doc_ids sorted) for groups >1."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_sort(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the lowest-id document per identical text. One shuffle on
+    the fingerprint; survivor choice is deterministic (min id)."""
+    fp = df.withColumn("__fp", F.md5(F.col(text_col)))
+    w_min = (
+        fp.groupBy("__fp").agg(F.min(id_col).alias("__keep"))
+    )
+    return (
+        fp.join(w_min, "__fp")
+        .filter(F.col(id_col) == F.col("__keep"))
+        .drop("__fp", "__keep")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact near-dup — the oracle-checkable baseline)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All pairs (a < b) with shingle-set Jaccard >= threshold,
+    computed exactly: explode shingles -> self-join on shingle ->
+    per-pair intersection counts -> filter.
+
+    O(sum of posting-list^2) — correct but quadratic in collisions;
+    it is the *verifier* / small-corpus path. The scale path is
+    minhash_lsh_pairs below, which verifies candidates with this
+    same Jaccard formula but only inside LSH buckets.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
+    )
+    cnt = sh.select("id", F.size("sh").alias("n_sh"))
+    words = sh.select("id", F.explode("sh").alias("s"))
+    a, b = words.alias("a"), words.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ca, cb = cnt.alias("ca"), cnt.alias("cb")
+    out = (
+        inter.join(ca, F.col("id_a") == F.col("ca.id"))
+        .join(cb, F.col("id_b") == F.col("cb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding (the 100 TB near-dup path)
+# ---------------------------------------------------------------------------
+
+def minhash_signature(
+    text: Column, n: int = 3, num_hashes: int = 64
+) -> Column:
+    """num_hashes-wide MinHash signature of the shingle set as an
+    array<bigint>. Each hash function is xxhash64(shingle, salt=i);
+    the signature entry is the min over shingles.
+
+    Built from *shingles* via minhash_signature_from_shingles; prefer
+    that form when the shingle array is already a column — passing
+    ``text`` here re-derives the shingle expression once (cheap),
+    but never per-hash-function."""
+    return minhash_signature_from_shingles(shingles(text, n), num_hashes)
+
+
+def minhash_signature_from_shingles(sh: Column, num_hashes: int = 64) -> Column:
+    """Signature as a nested higher-order fn: transform over the salt
+    sequence, array_min(transform(sh, xxhash64(s, salt))) inside.
+
+    The expression tree stays O(1) in num_hashes — the naive
+    ``F.array(*[array_min(...) for i in range(k)])`` spelling clones
+    the entire shingle subtree k times, which at k=128 produced
+    multi-MB plans, 1.5 MB task binaries and codegen fallback (500+ s
+    for 5k docs; this form sketches the same corpus in ~2 s).
+    NOTE: inner lambda takes exactly ONE parameter — F.transform
+    passes the element index as a second arg if the lambda accepts
+    two, which would silently turn the salt into the position."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    verify: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding.
+
+    bands=16 over 64 hashes -> rows-per-band r=4; collision prob at
+    jaccard j is 1-(1-j^4)^16 (≈0.99 at j=0.8, ≈0.07 at j=0.3) —
+    the classic S-curve. Candidates from any band bucket are then
+    (by default) verified with exact shingle Jaccard so the output
+    has no LSH false positives; recall misses are the documented
+    trade-off of the sketch.
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("id"),
+        shingles(F.col(text_col), n).alias("sh"),
+    ).withColumn(
+        "mh", minhash_signature_from_shingles(F.col("sh"), num_hashes)
+    )
+    # Band key = xxhash64 of the r-wide signature slice; built with a
+    # transform over the band index so the plan is O(1) in `bands`.
+    banded = base.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.xxhash64(
+                    F.slice(F.col("mh"), i * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    if not verify:
+        return cand.select("id_a", "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (Hamming-space near-dup)
+# ---------------------------------------------------------------------------
+
+def simhash_votes(text: Column, n: int = 2, bits: int = 64) -> Column:
+    """Per-bit +1/-1 vote totals over the shingle set as an
+    array<long> of length ``bits``. Pure fold over the shingle
+    array — per-row, no shuffle. (shiftright takes a Python int, so
+    the per-bit expressions are built in Python, not via a
+    sequence() lambda — a lambda Column is not a valid shift amount.)
+    """
+    # Hash each shingle ONCE into a long, then fold bit-votes over
+    # the hash array — the per-bit expressions only shift/mask that
+    # long. (Folding over shingles directly re-hashed the string 64
+    # times per shingle: 64x the work, since lambda bodies are
+    # interpreted with no common-subexpression elimination.)
+    hashes = F.transform(shingles(text, n), lambda s: F.xxhash64(s))
+
+    def bit_votes(h: Column) -> Column:
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                )
+                .otherwise(F.lit(-1))
+                .cast("long")
+                for i in range(bits)
+            ]
+        )
+
+    return F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(acc, bit_votes(h), lambda x, y: x + y),
+    )
+
+
+def with_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "simhash",
+    n: int = 2,
+    bits: int = 64,
+) -> DataFrame:
+    """Attach a 64-bit SimHash column. Two projections: votes first
+    (one big fold), then sign-pack — packing via element_at on the
+    materialized votes column so the fold expression isn't duplicated
+    64x in the plan."""
+    tmp = "__sh_votes"
+    out = df.withColumn(tmp, simhash_votes(F.col(text_col), n, bits))
+    packed = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_val = (1 << i) if i < 63 else -(1 << 63)
+        packed = packed.bitwiseOR(
+            F.when(F.element_at(tmp, i + 1) >= 0, F.lit(bit_val).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return out.withColumn(out_col, packed).drop(tmp)
+
+
+def _popcount64(c: Column) -> Column:
+    return F.bit_count(c)
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n: int = 2,
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance <= max_hamming. Candidate
+    generation: split the 64-bit hash into (max_hamming+1) chunks —
+    by pigeonhole, any pair within distance max_hamming agrees on at
+    least one chunk — bucket-join per chunk, then verify exact
+    Hamming. One shuffle on (chunk_idx, chunk_value)."""
+    chunks = max_hamming + 1
+    chunk_bits = 64 // chunks
+    base = with_simhash(
+        df.select(F.col(id_col).alias("id"), text_col), text_col, "sh", n
+    ).select("id", "sh")
+    def chunk_val(i: int) -> Column:
+        shifted = F.shiftrightunsigned("sh", i * chunk_bits)
+        if chunk_bits >= 64:  # mask literal would overflow a signed long
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << chunk_bits) - 1))
+
+    banded = base.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.array(*[chunk_val(i) for i in range(chunks)])
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            _popcount64(
+                F.col("a.sh").bitwiseXOR(F.col("b.sh"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

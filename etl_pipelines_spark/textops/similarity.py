@@ -1,0 +1,157 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+- brute_force_topk: exact cosine top-k. The query set broadcasts;
+  the corpus never shuffles — a broadcast nested loop + per-group
+  top-k window. Exact, and at 100 TB it is compute-bound but
+  embarrassingly parallel (each partition scores independently).
+- lsh_topk: random-hyperplane LSH. Signatures are per-row map
+  expressions; candidate retrieval buckets on the signature chunk
+  (IVF-flavored), then exact-scores only within buckets. Trades
+  recall for a >10x candidate reduction at scale.
+
+Cosine is computed JVM-side with zip_with + aggregate in double
+precision — no Python, deterministic left-to-right fold.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<numeric> columns, double math."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    queries is expected to be small (it broadcasts); ties broken by
+    corpus id for determinism. Returns (query_id, vec_id, cosine, rank).
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        cosine_expr(F.col("__qvec"), F.col(vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (Gaussian, fixed seed)."""
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def lsh_signature(
+    vec: Column, planes: list[list[float]]
+) -> Column:
+    """Sign-bit signature of the vector against each hyperplane,
+    packed into a bigint (n_planes <= 63)."""
+    bits = []
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(v) for v in plane])
+        bit = F.when(_dot(vec, p) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        bits.append(bit)
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: n_tables independent sign-LSH tables of
+    n_planes bits; a corpus vector is a candidate if it matches the
+    query's signature in ANY table; candidates are exact-scored and
+    ranked. Recall rises with n_tables, candidate count falls with
+    n_planes.
+
+    At scale the bucket join replaces the full cross product —
+    shuffle on (table_idx, signature) instead of scoring everything.
+    """
+    tables = [
+        _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+    ]
+
+    def signatures(df: DataFrame, vec: str) -> DataFrame:
+        return df.select(
+            "*",
+            F.posexplode(
+                F.array(*[lsh_signature(F.col(vec), planes) for planes in tables])
+            ).alias("__table", "__sig"),
+        )
+
+    c_sig = signatures(corpus, vec_col)
+    q_sig = signatures(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")), "__qvec"
+    )
+    cand = (
+        c_sig.join(F.broadcast(q_sig), ["__table", "__sig"])
+        .select(query_id_col, id_col, "__qvec", vec_col)
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = cand.select(
+        query_id_col,
+        id_col,
+        cosine_expr(F.col("__qvec"), F.col(vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

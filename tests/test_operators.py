@@ -1,0 +1,149 @@
+"""Operator-library semantics tests (SURVEY.md §2.4-2.8 idioms)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from etl_pipelines_spark.operators import (
+    asof_join,
+    date_spine,
+    dedupe_latest,
+    dim_dates,
+    qualify,
+    range_join,
+    running_total,
+    sessionize,
+    top_k_per_group,
+)
+from etl_pipelines_spark.operators.rangejoin import bucketed_range_join
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+class TestDedupe:
+    def test_keeps_one_per_key(self, spark):
+        df = spark.createDataFrame(
+            [(1, 10, "old"), (1, 20, "new"), (2, 5, "only")], ["k", "v", "tag"]
+        )
+        out = dedupe_latest(df, ["k"], [F.col("v").desc()]).collect()
+        got = {r.k: r.tag for r in out}
+        assert got == {1: "new", 2: "only"}
+
+    def test_qualify(self, spark):
+        from pyspark.sql import Window
+
+        df = spark.createDataFrame([(1, 10), (1, 20), (2, 5)], ["k", "v"])
+        w = Window.partitionBy("k").orderBy(F.col("v").desc())
+        out = qualify(df, F.row_number().over(w), lambda c: c == 1).collect()
+        assert sorted((r.k, r.v) for r in out) == [(1, 20), (2, 5)]
+
+
+class TestTopK:
+    def test_row_number_exact_k(self, spark):
+        df = spark.createDataFrame([(1, i) for i in range(10)], ["k", "v"])
+        out = top_k_per_group(df, ["k"], [F.col("v").desc()], 3)
+        assert sorted(r.v for r in out.collect()) == [7, 8, 9]
+
+    def test_rank_keeps_ties(self, spark):
+        df = spark.createDataFrame([(1, 5), (1, 5), (1, 3)], ["k", "v"])
+        out = top_k_per_group(df, ["k"], [F.col("v").desc()], 1, method="rank")
+        assert [r.v for r in out.collect()] == [5, 5]
+
+
+class TestDateSpine:
+    def test_inclusive_bounds(self, spark):
+        out = date_spine(spark, "2024-01-01", "2024-01-03").collect()
+        assert [str(r.date) for r in out] == ["2024-01-01", "2024-01-02", "2024-01-03"]
+
+    def test_dim_dates_flags(self, spark):
+        row = dim_dates(spark, "2024-01-07", "2024-01-07").collect()[0]
+        assert row.day_of_week == 0  # Redshift DOW: Sunday=0
+        assert row.is_weekend is True
+        assert row.day_name == "Sunday"
+        assert str(row.last_of_month) == "2024-01-31"
+
+
+class TestSessionize:
+    def test_gap_splits_sessions(self, spark):
+        rows = [
+            (1, ts("2024-01-01 00:00:00")),
+            (1, ts("2024-01-01 00:10:00")),  # same session (10 min)
+            (1, ts("2024-01-01 01:00:00")),  # new session (50 min gap)
+            (2, ts("2024-01-01 00:00:00")),
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "ts"])
+        out = sessionize(df, gap_minutes=30).collect()
+        seqs = {(r.user_id, str(r.ts)): r.session_seq for r in out}
+        assert seqs[(1, "2024-01-01 00:00:00")] == 1
+        assert seqs[(1, "2024-01-01 00:10:00")] == 1
+        assert seqs[(1, "2024-01-01 01:00:00")] == 2
+        assert seqs[(2, "2024-01-01 00:00:00")] == 1
+
+
+class TestAsofJoin:
+    def _sides(self, spark):
+        left = spark.createDataFrame(
+            [(1, ts("2024-01-10"), "L1"), (1, ts("2024-01-20"), "L2"), (2, ts("2024-01-10"), "L3")],
+            ["k", "lts", "lbl"],
+        )
+        right = spark.createDataFrame(
+            [(1, ts("2024-01-05"), 100.0), (1, ts("2024-01-15"), 200.0)],
+            ["k", "rts", "rate"],
+        )
+        return left, right
+
+    def test_backward(self, spark):
+        left, right = self._sides(spark)
+        out = asof_join(left, right, ["k"], "lts", "rts", ["rate"])
+        got = {r.lbl: r.rate for r in out.collect()}
+        assert got == {"L1": 100.0, "L2": 200.0, "L3": None}
+
+    def test_backward_match_at_equal_ts(self, spark):
+        left = spark.createDataFrame([(1, ts("2024-01-05"), "L")], ["k", "lts", "lbl"])
+        right = spark.createDataFrame([(1, ts("2024-01-05"), 7.0)], ["k", "rts", "rate"])
+        out = asof_join(left, right, ["k"], "lts", "rts", ["rate"]).collect()
+        assert out[0].rate == 7.0
+
+    def test_forward(self, spark):
+        left, right = self._sides(spark)
+        out = asof_join(left, right, ["k"], "lts", "rts", ["rate"], direction="forward")
+        got = {r.lbl: r.rate for r in out.collect()}
+        assert got == {"L1": 200.0, "L2": None, "L3": None}
+
+
+class TestRangeJoin:
+    def test_broadcast_range(self, spark):
+        facts = spark.createDataFrame([(1, 5.0), (2, 15.0), (3, 25.0)], ["id", "v"])
+        bands = spark.createDataFrame([("lo", 0.0, 10.0), ("hi", 10.5, 20.0)], ["band", "lo", "hi"])
+        out = range_join(facts, bands, "v", "lo", "hi")
+        got = {r.id: r.band for r in out.collect()}
+        assert got == {1: "lo", 2: "hi"}
+
+    def test_bucketed_equals_naive(self, spark):
+        facts = spark.createDataFrame([(i, float(i)) for i in range(50)], ["id", "v"])
+        bands = spark.createDataFrame(
+            [(j, j * 7.0, j * 7.0 + 10.0) for j in range(6)], ["bid", "lo", "hi"]
+        )
+        naive = {
+            (r.id, r.bid)
+            for r in range_join(facts, bands, "v", "lo", "hi").collect()
+        }
+        bucketed = {
+            (r.id, r.bid)
+            for r in bucketed_range_join(facts, bands, "v", "lo", "hi", 8.0).collect()
+        }
+        assert naive == bucketed and len(naive) > 0
+
+
+class TestRunning:
+    def test_prefix_sum_equals_recursive_semantics(self, spark):
+        # the reference's recursive running balance == prefix sum
+        df = spark.createDataFrame(
+            [(1, 1, 10.0), (1, 2, -3.0), (1, 3, 5.0)], ["k", "i", "amt"]
+        )
+        out = running_total(df, "amt", ["k"], ["i"], "bal").orderBy("i").collect()
+        assert [r.bal for r in out] == [10.0, 7.0, 12.0]

@@ -1,0 +1,162 @@
+"""Text/dedup/similarity operator tests, including the sketch-vs-
+exact consistency checks that the rows-only queries rely on."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_pipelines_spark.queries import load
+from etl_pipelines_spark.textops import (
+    brute_force_topk,
+    exact_dedup,
+    lsh_topk,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+    with_fingerprint,
+    with_language_id,
+    with_quality_score,
+    with_simhash,
+)
+
+
+class TestExactDedup:
+    def test_identical_texts_collapse(self, spark):
+        df = spark.createDataFrame(
+            [(1, "same text"), (2, "same text"), (3, "different")], ["doc_id", "text"]
+        )
+        out = exact_dedup(df).collect()
+        assert sorted(r.doc_id for r in out) == [1, 3]
+
+
+class TestMinhashVsExact:
+    def test_lsh_recall_is_total_on_corpus(self, spark, sf_dir):
+        """128 hashes / 32 bands at j>=0.8 -> miss prob ~5e-8; with
+        exact verification the sketch output must equal the exact
+        quadratic baseline on the test corpus."""
+        d = load(spark, sf_dir, "documents")
+        exact = {
+            (r.id_a, r.id_b)
+            for r in ngram_jaccard_pairs(d, n=3, threshold=0.8).collect()
+        }
+        sketched = {
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_pairs(
+                d, n=3, num_hashes=128, bands=32, threshold=0.8, verify=True
+            ).collect()
+        }
+        assert sketched == exact
+        assert len(exact) > 0  # the corpus has planted near-dups
+
+    def test_signature_similarity_tracks_jaccard(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d e f g h i j"),
+                (2, "a b c d e f g h i k"),  # near-dup of 1
+                (3, "z y x w v u t s r q"),  # unrelated
+            ],
+            ["doc_id", "text"],
+        )
+        from etl_pipelines_spark.textops import minhash_signature
+
+        rows = df.select(
+            "doc_id", minhash_signature(F.col("text"), n=3, num_hashes=64).alias("mh")
+        ).collect()
+        sig = {r.doc_id: r.mh for r in rows}
+        agree_12 = sum(a == b for a, b in zip(sig[1], sig[2]))
+        agree_13 = sum(a == b for a, b in zip(sig[1], sig[3]))
+        assert agree_12 > 30  # j = 6/10 -> expect ~38/64 agreement
+        assert agree_13 == 0
+
+
+class TestSimhash:
+    def test_identical_docs_distance_zero(self, spark):
+        df = spark.createDataFrame(
+            [(1, "one two three four five"), (2, "one two three four five")],
+            ["doc_id", "text"],
+        )
+        out = simhash_neardup_pairs(df, max_hamming=0).collect()
+        assert [(r.id_a, r.id_b, r.hamming) for r in out] == [(1, 2, 0)]
+
+    def test_pairs_are_high_jaccard(self, spark, sf_dir):
+        """Every simhash pair at hamming<=3 should be a genuine 2-gram
+        near-dup (precision check against the exact metric)."""
+        d = load(spark, sf_dir, "documents")
+        sh_pairs = {
+            (r.id_a, r.id_b) for r in simhash_neardup_pairs(d, max_hamming=3, n=2).collect()
+        }
+        exact_pairs = {
+            (r.id_a, r.id_b)
+            for r in ngram_jaccard_pairs(d, n=2, threshold=0.7).collect()
+        }
+        assert sh_pairs <= exact_pairs
+
+    def test_simhash_is_deterministic(self, spark):
+        df = spark.createDataFrame([(1, "alpha beta gamma delta")], ["doc_id", "text"])
+        a = with_simhash(df).collect()[0].simhash
+        b = with_simhash(df).collect()[0].simhash
+        assert a == b
+
+
+class TestSimilarity:
+    def test_rank1_is_self(self, spark, sf_dir):
+        e = load(spark, sf_dir, "embeddings")
+        queries = e.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = brute_force_topk(e, queries, k=1).collect()
+        assert all(r.vec_id == r.query_id and abs(r.cosine - 1.0) < 1e-9 for r in out)
+
+    def test_lsh_candidates_subset_scored_exactly(self, spark, sf_dir):
+        """LSH top-k cosines must agree with brute-force cosines for
+        the same (query, vec) pairs — only the candidate SET is
+        approximate, never the scores."""
+        e = load(spark, sf_dir, "embeddings")
+        queries = e.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        brute = {
+            (r.query_id, r.vec_id): r.cosine
+            for r in brute_force_topk(e, queries, k=1000000).collect()
+        }
+        lsh = lsh_topk(e, queries, k=5, dim=64, n_planes=6, n_tables=8).collect()
+        assert len(lsh) > 0
+        for r in lsh:
+            assert abs(brute[(r.query_id, r.vec_id)] - r.cosine) < 1e-12
+        # self-match always shares every signature -> rank 1 survives
+        self_hits = {r.query_id for r in lsh if r.vec_id == r.query_id and r.rank == 1}
+        assert self_hits == {0, 1, 2}
+
+
+class TestAnalysis:
+    def test_quality_score_components(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over a lazy dog today")], ["doc_id", "text"]
+        )
+        r = with_quality_score(df).collect()[0]
+        assert r.n_tokens == 10
+        assert r.quality_score == 1.0
+
+    def test_short_doc_penalized(self, spark):
+        df = spark.createDataFrame([(1, "hi")], ["doc_id", "text"])
+        r = with_quality_score(df).collect()[0]
+        assert r.quality_score < 1.0
+
+    def test_langid_markers(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "the cat is on the mat and the dog"),
+                (2, "der hund ist nicht die katze und das"),
+                (3, "el perro es que la casa y es"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r.doc_id: r.detected_lang for r in with_language_id(df).collect()}
+        assert out == {1: "en", 2: "de", 3: "es"}
+
+    def test_fingerprint_survives_cosmetic_edits(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello,  World!"), (2, "hello world")], ["doc_id", "text"]
+        )
+        fps = [r.fingerprint for r in with_fingerprint(df).collect()]
+        assert fps[0] == fps[1]

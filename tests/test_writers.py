@@ -1,0 +1,92 @@
+"""Write/refresh mode tests (SURVEY.md §2.2 W1-W5) — the reference's
+DELETE+INSERT transaction patterns as atomic parquet operations."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipelines_spark.sources.writers import (
+    append,
+    compact,
+    full_refresh,
+    schema_evolving_append,
+    snapshot,
+    upsert,
+)
+
+
+@pytest.fixture
+def tmp_table(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def test_full_refresh_replaces(spark, tmp_table):
+    full_refresh(spark.createDataFrame([(1, "a")], ["id", "v"]), tmp_table)
+    full_refresh(spark.createDataFrame([(2, "b"), (3, "c")], ["id", "v"]), tmp_table)
+    out = spark.read.parquet(tmp_table).collect()
+    assert sorted(r.id for r in out) == [2, 3]
+
+
+def test_append(spark, tmp_table):
+    full_refresh(spark.createDataFrame([(1,)], ["id"]), tmp_table)
+    append(spark.createDataFrame([(2,)], ["id"]), tmp_table)
+    assert spark.read.parquet(tmp_table).count() == 2
+
+
+def test_upsert_unpartitioned(spark, tmp_table):
+    full_refresh(spark.createDataFrame([(1, "old"), (2, "keep")], ["id", "v"]), tmp_table)
+    upsert(spark, spark.createDataFrame([(1, "new"), (3, "ins")], ["id", "v"]), tmp_table, keys=["id"])
+    got = {r.id: r.v for r in spark.read.parquet(tmp_table).collect()}
+    assert got == {1: "new", 2: "keep", 3: "ins"}
+
+
+def test_upsert_creates_if_missing(spark, tmp_table):
+    upsert(spark, spark.createDataFrame([(1, "a")], ["id", "v"]), tmp_table, keys=["id"])
+    assert spark.read.parquet(tmp_table).count() == 1
+
+
+def test_upsert_partitioned_touches_only_hit_partitions(spark, tmp_table):
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", "old"), (2, "2024-01-02", "keep")], ["id", "d", "v"]
+    )
+    full_refresh(base, tmp_table, partition_by=["d"])
+    upsert(
+        spark,
+        spark.createDataFrame([(1, "2024-01-01", "new")], ["id", "d", "v"]),
+        tmp_table,
+        keys=["id"],
+        partition_by=["d"],
+    )
+    got = {r.id: r.v for r in spark.read.parquet(tmp_table).collect()}
+    assert got == {1: "new", 2: "keep"}
+
+
+def test_snapshot_idempotent(spark, tmp_table):
+    df = spark.createDataFrame([(1, "a")], ["id", "v"])
+    snapshot(df, tmp_table, "2024-01-01")
+    snapshot(df, tmp_table, "2024-01-02")
+    snapshot(df, tmp_table, "2024-01-02")  # rerun same day: no dup
+    out = spark.read.parquet(tmp_table)
+    assert out.count() == 2
+    days = sorted(str(r.date) for r in out.select("date").distinct().collect())
+    assert days == ["2024-01-01", "2024-01-02"]
+
+
+def test_schema_evolving_append(spark):
+    old = spark.createDataFrame([(1, "a")], ["id", "v"])
+    new = spark.createDataFrame([(2, "b", 9.0)], ["id", "v", "extra"])
+    out = schema_evolving_append(old, new)
+    rows = {r.id: r.extra for r in out.collect()}
+    assert rows == {1: None, 2: 9.0}
+
+
+def test_compact_reduces_files(spark, tmp_table):
+    spark.createDataFrame([(i,) for i in range(100)], ["id"]).repartition(8).write.parquet(tmp_table)
+    n_before = len([f for f in os.listdir(tmp_table) if f.endswith(".parquet")])
+    compact(spark, tmp_table, target_files=1)
+    n_after = len([f for f in os.listdir(tmp_table) if f.endswith(".parquet")])
+    assert n_before == 8 and n_after == 1
+    assert spark.read.parquet(tmp_table).count() == 100
