@@ -1,0 +1,206 @@
+"""Mini-warehouse: the reference's layer topology rebuilt over the
+driver's star schema (SURVEY.md §0 topology diagram, §7 P3).
+
+Layers (≅ reference directories):
+  ods      — conformed staging w/ dedup (0_/1_/2_ods_*)
+  master   — wide core entities (3_master)
+  master_historical — daily snapshots keyed by `date` (5_master_historical)
+  dwh      — domain marts (4_dwh_*)
+  mon      — monitoring tables (8_monitoring)
+
+Write modes per layer match the reference: ods/master/dwh are full
+refreshes (W1), events are incremental upserts (W2), historical is
+a daily snapshot partition overwrite (W4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..operators import dedupe_latest, sessionize
+from ..quality.checks import duplicate_keys, missing_dates
+from .model import Model, RunContext, TaskGroup
+from .pipeline import Pipeline
+
+
+def _dec(c, p: int = 12):
+    return F.col(c).cast(f"decimal({p},2)")
+
+
+# --- ods ------------------------------------------------------------------
+
+def ods_events(ctx: RunContext) -> DataFrame:
+    """Raw events, deduped by event_id keeping latest ts (the
+    reference's ROW_NUMBER()=1 message_id idiom, 01_track_events.sql:
+    28,144), typed props via get_json_object."""
+    ev = ctx.source("events")
+    return dedupe_latest(
+        ev, keys=["event_id"], order_by=[F.col("ts").desc()]
+    ).select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        F.to_date("ts").alias("event_date"),
+    )
+
+
+def ods_orders(ctx: RunContext) -> DataFrame:
+    """Conformed orders: status decode + priority rank (the ods
+    conformance shape, 1_ods_core/01_order.sql)."""
+    o = ctx.source("orders")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "o_orderstatus",
+        F.when(F.col("o_orderstatus") == "F", "finished")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("pending")
+        .alias("order_status"),
+        F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(1))
+        .cast("int")
+        .alias("priority_rank"),
+        "o_totalprice",
+    )
+
+
+# --- master ---------------------------------------------------------------
+
+def master_customer(ctx: RunContext) -> DataFrame:
+    """Wide customer entity (reference 3_master/customer.sql shape):
+    fact rollups pre-aggregated to customer grain, then a broadcast
+    dimension join."""
+    c = ctx.source("customer")
+    n = ctx.source("nation")
+    r = ctx.source("region")
+    o = ctx.read("ods.orders")
+
+    order_stats = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_spend"),
+        F.min("o_orderdate").alias("first_order_at"),
+        F.max("o_orderdate").alias("last_order_at"),
+    )
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
+        .join(order_stats, order_stats.o_custkey == c.c_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            "c_mktsegment",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("total_spend", F.lit(0.0)).alias("total_spend"),
+            "first_order_at",
+            "last_order_at",
+            F.when(F.col("n_orders").isNull(), "prospect")
+            .when(F.col("n_orders") >= 20, "vip")
+            .when(F.col("n_orders") >= 5, "active")
+            .otherwise("occasional")
+            .alias("customer_tier"),
+        )
+    )
+
+
+# --- dwh ------------------------------------------------------------------
+
+def dwh_daily_kpi(ctx: RunContext) -> DataFrame:
+    """Daily KPI mart (reference 4_dwh_core/daily_kpi_report shape):
+    per-day order & event counts full-outer-joined on the date."""
+    o = ctx.read("ods.orders")
+    ev = ctx.read("ods.events")
+    daily_orders = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("order_value"),
+    )
+    daily_events = ev.groupBy(F.col("event_date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_active_users"),
+    )
+    return (
+        daily_orders.join(daily_events, "d", "full")
+        .select(
+            F.col("d").alias("date"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("order_value", F.lit(0.0)).alias("order_value"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("n_active_users", F.lit(0)).alias("n_active_users"),
+        )
+    )
+
+
+def dwh_sessions(ctx: RunContext) -> DataFrame:
+    """Gap-based sessions over deduped events (31_segment_… shape)."""
+    ev = ctx.read("ods.events")
+    s = sessionize(ev, user_col="user_id", ts_col="ts", gap_minutes=30)
+    return s.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_dec("value")).cast("double").alias("session_value"),
+    )
+
+
+# --- monitoring -----------------------------------------------------------
+
+def mon_duplicates(ctx: RunContext) -> DataFrame:
+    """master_duplicates.sql:4-18 shape: business keys appearing >1×."""
+    return duplicate_keys(ctx.read("master.customer"), ["c_custkey"])
+
+
+def mon_missing_dates(ctx: RunContext) -> DataFrame:
+    """missing_dates.sql:3-8 shape: calendar days with no orders."""
+    o = ctx.read("ods.orders")
+    return missing_dates(o, F.to_date("o_orderdate"))
+
+
+# --- assembly -------------------------------------------------------------
+
+def build_warehouse_pipeline(**kwargs) -> Pipeline:
+    """The config-ordered group list (≅ pipeline_config.json)."""
+    return Pipeline(
+        name="fullload",
+        groups=[
+            TaskGroup(
+                "ods",
+                [
+                    Model("ods.events", ods_events, write="upsert",
+                          keys=["event_id"], partition_by=["event_date"]),
+                    Model("ods.orders", ods_orders),
+                ],
+            ),
+            TaskGroup("master", [Model("master.customer", master_customer)]),
+            TaskGroup(
+                "master_historical",
+                [
+                    Model(
+                        "master_historical.customer_historical",
+                        master_customer,
+                        write="snapshot",
+                        date_col="date",
+                    )
+                ],
+            ),
+            TaskGroup(
+                "dwh",
+                [
+                    Model("dwh.daily_kpi", dwh_daily_kpi),
+                    Model("dwh.sessions", dwh_sessions),
+                ],
+            ),
+            TaskGroup(
+                "mon",
+                [
+                    Model("mon.customer_duplicates", mon_duplicates),
+                    Model("mon.order_missing_dates", mon_missing_dates),
+                ],
+            ),
+        ],
+        **kwargs,
+    )

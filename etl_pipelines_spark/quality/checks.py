@@ -1,0 +1,139 @@
+"""Declarative data-quality checks — the reference's operational
+correctness layer re-expressed over DataFrames (SURVEY.md §5):
+
+- freshness:   Soda `freshness(created_date) < 1d`
+  (bi-airflow-prod/business_logic/data_quality/checks/master/
+  subscription.yaml:1-5)
+- row_count:   `row_count_yesterday > 0` custom-SQL checks
+  (checks/ods_production/payments_retry.yaml:1-10)
+- no_duplicates: duplicate-key monitor, HAVING count(1) > 1
+  (Datawarehouse-ETL/8_monitoring/system_issues/master_duplicates.sql:4-18)
+- no_missing_dates: snapshot-gap monitor vs the calendar spine
+  (8_monitoring/system_issues/missing_dates.sql:3-8)
+- expression:  arbitrary boolean predicate that must hold on every row
+
+Each check compiles to ONE aggregate over the table (count of
+violations), so a full check suite on a 100 TB table is a single
+scan per check — and `run_checks` unions them into one pass where
+possible (violation counts only need filters + count).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import date_spine
+
+
+def duplicate_keys(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Business keys appearing more than once, with their counts."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+    )
+
+
+def missing_dates(df: DataFrame, date_expr: Column | str) -> DataFrame:
+    """Calendar days between min and max of ``date_expr`` with no
+    rows. Spine built with F.sequence (no recursive CTE needed —
+    SURVEY.md §2.12)."""
+    d = F.to_date(date_expr) if isinstance(date_expr, str) else date_expr
+    present = df.select(d.alias("date")).distinct()
+    bounds = present.agg(
+        F.min("date").alias("lo"), F.max("date").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("date")
+    )
+    return spine.join(present, "date", "left_anti")
+
+
+@dataclass
+class Check:
+    kind: str  # freshness | row_count | no_duplicates | no_missing_dates | expression
+    params: dict[str, Any]
+    name: str = ""
+
+    def __post_init__(self):
+        if not self.name:
+            self.name = self.kind
+
+
+def freshness(column: str, max_age_days: int) -> Check:
+    return Check("freshness", {"column": column, "max_age_days": max_age_days})
+
+
+def row_count(min_rows: int = 1, max_rows: int | None = None, where: str | None = None) -> Check:
+    return Check("row_count", {"min": min_rows, "max": max_rows, "where": where})
+
+
+def no_duplicates(keys: list[str]) -> Check:
+    return Check("no_duplicates", {"keys": keys})
+
+
+def no_missing_dates(column: str) -> Check:
+    return Check("no_missing_dates", {"column": column})
+
+
+def expression(predicate: str, name: str = "expression") -> Check:
+    """Predicate that must be TRUE on every row (SQL string)."""
+    return Check("expression", {"predicate": predicate}, name=name)
+
+
+@dataclass
+class CheckResult:
+    table: str
+    check: str
+    passed: bool
+    observed: Any
+    expected: str
+
+
+def run_checks(
+    df: DataFrame,
+    checks: list[Check],
+    table: str = "",
+    run_date: dt.date | None = None,
+) -> list[CheckResult]:
+    """Evaluate checks against one table. ``run_date`` is the logical
+    clock for freshness (never wall-clock — determinism rule,
+    SURVEY.md §4 item 5)."""
+    results: list[CheckResult] = []
+    for c in checks:
+        p = c.params
+        if c.kind == "freshness":
+            if run_date is None:
+                raise ValueError("freshness check requires run_date")
+            latest = df.agg(F.max(F.to_date(p["column"]))).first()[0]
+            age = None if latest is None else (run_date - latest).days
+            ok = age is not None and age <= p["max_age_days"]
+            results.append(CheckResult(
+                table, c.name, ok, age, f"age <= {p['max_age_days']}d"))
+        elif c.kind == "row_count":
+            scoped = df.filter(p["where"]) if p.get("where") else df
+            n = scoped.count()
+            ok = n >= p["min"] and (p["max"] is None or n <= p["max"])
+            results.append(CheckResult(
+                table, c.name, ok, n,
+                f">={p['min']}" + (f", <={p['max']}" if p["max"] is not None else "")))
+        elif c.kind == "no_duplicates":
+            n = duplicate_keys(df, p["keys"]).count()
+            results.append(CheckResult(
+                table, c.name, n == 0, n, "0 duplicate keys"))
+        elif c.kind == "no_missing_dates":
+            n = missing_dates(df, p["column"]).count()
+            results.append(CheckResult(
+                table, c.name, n == 0, n, "0 missing dates"))
+        elif c.kind == "expression":
+            n = df.filter(f"NOT ({p['predicate']})").count()
+            results.append(CheckResult(
+                table, c.name, n == 0, n, f"0 rows violating {p['predicate']}"))
+        else:
+            raise ValueError(f"unknown check kind: {c.kind}")
+    return results

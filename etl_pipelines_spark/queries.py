@@ -2290,3 +2290,51 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+# ===========================================================================
+# Data-quality monitors (SURVEY §5; reference 8_monitoring/system_issues)
+# ===========================================================================
+
+@q(
+    "mon_duplicate_keys",
+    oracle="""
+SELECT l_orderkey, COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_orderkey
+HAVING COUNT(*) > 1
+ORDER BY l_orderkey
+""",
+)
+def mon_duplicate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-key monitor (master_duplicates.sql:4-18 shape):
+    business keys with more than one row. One hash agg + HAVING."""
+    from .quality.checks import duplicate_keys
+
+    li = load(spark, sf_dir, "lineitem")
+    return duplicate_keys(li, ["l_orderkey"]).orderBy("l_orderkey")
+
+
+@q(
+    "mon_missing_dates",
+    oracle="""
+WITH present AS (
+  SELECT DISTINCT CAST(o_orderdate AS DATE) AS date FROM orders
+),
+b AS (SELECT min(date) AS lo, max(date) AS hi FROM present),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS date FROM b
+)
+SELECT date FROM spine
+WHERE date NOT IN (SELECT date FROM present)
+ORDER BY date
+""",
+)
+def mon_missing_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-gap monitor (missing_dates.sql:3-8 shape): calendar
+    days inside the observed range with no orders. Spine via
+    F.sequence — no recursive CTE (SURVEY §2.12)."""
+    from .quality.checks import missing_dates
+
+    o = load(spark, sf_dir, "orders")
+    return missing_dates(o, F.to_date("o_orderdate")).orderBy("date")

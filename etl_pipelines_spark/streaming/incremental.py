@@ -1,0 +1,150 @@
+"""Structured Streaming slice — the reference's micro-batch event
+flow (SURVEY.md §2.10, §3.2) as a real stream.
+
+Reference shape: Kafka→Firehose lands JSON on S3 every ~15 min
+(data-airflow-prod/dags/kinesis_events/partitions_handler.py:51);
+daily SQL reprocesses the trailing window, dedups by message_id
+with ROW_NUMBER()=1 (30_segment_events/01_track_events.sql:28,144)
+and DELETE+INSERT upserts (05_all_events_incremental.sql:160-170).
+
+Spark-first replacement:
+- file-source ``readStream`` over the landing directory with
+  ``Trigger.AvailableNow`` — drains everything new since the last
+  checkpoint, then stops: exactly the reference's "incremental run"
+  but with exactly-once file tracking instead of loaded_at
+  predicates.
+- watermark + dropDuplicates for in-flight dedup (St2),
+- ``foreachBatch`` → key-wise upsert into the target table (St3) —
+  idempotent replay, like the reference's DELETE USING + INSERT.
+- ``F.session_window`` gap sessionization (St4) — the idiomatic
+  streaming bonus the reference approximates with client-side ids.
+
+At scale: the file source lists incrementally (maxFilesPerTrigger
+bounds batch size), state for dedup/session windows is bounded by
+the watermark, and the upsert only rewrites touched partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..sources import writers
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over the landing directory. Schema must be
+    declared (streaming reads don't infer)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.format(fmt).load(landing_dir)
+
+
+def deduped(stream: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """St2: at-least-once landing -> exactly-once-ish output. The
+    watermark bounds the dedup state store; events later than the
+    watermark are dropped (the reference instead recomputes a
+    trailing window daily)."""
+    return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def run_incremental_upsert(
+    spark: SparkSession,
+    landing_dir: str,
+    target_path: str,
+    checkpoint_dir: str,
+    keys: list[str] | None = None,
+    timeout_sec: int = 300,
+) -> None:
+    """Drain all new files, upserting each micro-batch into the
+    target (St3). Replays are idempotent: batch-level dedup + keyed
+    upsert, and the checkpoint guarantees each file is processed
+    once even across job restarts."""
+    keys = keys or ["event_id"]
+    stream = read_events_stream(spark, landing_dir)
+
+    def merge(batch: DataFrame, _batch_id: int) -> None:
+        clean = batch.dropDuplicates(keys)
+        writers.upsert(spark, clean, target_path, keys)
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+
+
+def streaming_session_rollup(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """St4 via F.session_window: per-user sessions close after `gap`
+    of inactivity; append-mode emission once the watermark passes the
+    session end. State is bounded by watermark + gap."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+            .alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_streaming_sessions(
+    spark: SparkSession,
+    landing_dir: str,
+    target_path: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    timeout_sec: int = 300,
+) -> None:
+    """End-to-end streaming sessionization into a parquet sink
+    (append mode: each closed session is written exactly once)."""
+    stream = read_events_stream(spark, landing_dir)
+    rollup = streaming_session_rollup(stream, gap)
+    q = (
+        rollup.writeStream.format("parquet")
+        .option("path", target_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)

@@ -1,0 +1,153 @@
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipelines_spark.plans import (
+    Model,
+    Pipeline,
+    RunContext,
+    TaskGroup,
+    build_warehouse_pipeline,
+)
+from etl_pipelines_spark.quality import (
+    expression,
+    freshness,
+    no_duplicates,
+    no_missing_dates,
+    row_count,
+    run_checks,
+)
+from etl_pipelines_spark.sources.catalog import Catalog
+
+RUN_DATE = dt.date(1998, 8, 2)
+
+
+@pytest.fixture()
+def ctx(spark, sf_dir, tmp_path):
+    return RunContext(
+        spark=spark,
+        catalog=Catalog(spark, str(tmp_path / "wh")),
+        source_dir=sf_dir,
+        run_date=RUN_DATE,
+    )
+
+
+class TestWarehousePipeline:
+    def test_full_run_builds_all_layers(self, ctx):
+        pipe = build_warehouse_pipeline()
+        results = pipe.run(ctx)
+        status = {r.name: r.status for r in results}
+        assert all(s == "success" for s in status.values()), status
+        # every table readable, master matches source customer count
+        n_cust = ctx.source("customer").count()
+        assert ctx.read("master.customer").count() == n_cust
+        hist = ctx.read("master_historical.customer_historical")
+        assert hist.filter(F.col("date") == F.lit(RUN_DATE.isoformat())).count() == n_cust
+        # no duplicate monitors fired
+        assert ctx.read("mon.customer_duplicates").count() == 0
+
+    def test_snapshot_is_idempotent_and_accumulates(self, ctx):
+        pipe = build_warehouse_pipeline()
+        pipe.run(ctx)
+        hist_model = pipe.groups[2].models[0]
+        # re-run same day: no double rows
+        n1 = ctx.read("master_historical.customer_historical").count()
+        hist_model.materialize(ctx)
+        assert ctx.read("master_historical.customer_historical").count() == n1
+        # next day: one more snapshot partition
+        ctx2 = RunContext(ctx.spark, ctx.catalog, ctx.source_dir,
+                          RUN_DATE + dt.timedelta(days=1))
+        hist_model.materialize(ctx2)
+        hist = ctx.read("master_historical.customer_historical")
+        assert hist.count() == 2 * n1
+        assert hist.select("date").distinct().count() == 2
+
+    def test_events_upsert_is_idempotent(self, ctx):
+        pipe = build_warehouse_pipeline()
+        pipe.run(ctx)
+        n1 = ctx.read("ods.events").count()
+        pipe.groups[0].models[0].materialize(ctx)  # replay W2 upsert
+        assert ctx.read("ods.events").count() == n1
+
+    def test_failure_continues_with_all_done(self, ctx):
+        def boom(_ctx):
+            raise RuntimeError("synthetic failure")
+
+        pipe = Pipeline(
+            name="p",
+            groups=[
+                TaskGroup("g1", [Model("t.bad", boom)]),
+                TaskGroup("g2", [Model(
+                    "t.good", lambda c: c.source("region"))]),
+            ],
+            retries=0,
+        )
+        results = pipe.run(ctx)
+        assert [r.status for r in results] == ["failed", "success"]
+        assert ctx.read("t.good").count() == 5
+
+    def test_failure_skips_when_not_continuing(self, ctx):
+        def boom(_ctx):
+            raise RuntimeError("synthetic failure")
+
+        pipe = Pipeline(
+            name="p",
+            groups=[
+                TaskGroup("g1", [Model("t.bad", boom)]),
+                TaskGroup("g2", [Model("t.never", lambda c: c.source("region"))]),
+            ],
+            retries=0,
+            continue_on_failure=False,
+        )
+        results = pipe.run(ctx)
+        assert [r.status for r in results] == ["failed", "skipped"]
+
+    def test_parallel_group_matches_sequential(self, ctx):
+        pipe = build_warehouse_pipeline(parallel_within_group=True)
+        results = pipe.run(ctx)
+        assert all(r.status == "success" for r in results)
+        kpi = ctx.read("dwh.daily_kpi")
+        assert kpi.filter(F.col("n_orders") < 0).count() == 0
+        assert kpi.count() == kpi.select("date").distinct().count()
+
+
+class TestQualityChecks:
+    def test_checks_pass_on_clean_table(self, ctx):
+        build_warehouse_pipeline().run(ctx)
+        df = ctx.read("master.customer")
+        results = run_checks(
+            df,
+            [
+                no_duplicates(["c_custkey"]),
+                row_count(min_rows=1),
+                expression("n_orders >= 0", name="non_negative_orders"),
+                freshness("last_order_at", max_age_days=36500),
+            ],
+            table="master.customer",
+            run_date=RUN_DATE,
+        )
+        assert all(r.passed for r in results), [
+            (r.check, r.observed) for r in results
+        ]
+
+    def test_checks_fail_on_violations(self, spark, ctx):
+        df = spark.createDataFrame(
+            [(1, "2020-01-01"), (1, "2020-01-03")], ["id", "d"]
+        ).withColumn("d", F.to_date("d"))
+        results = run_checks(
+            df,
+            [
+                no_duplicates(["id"]),
+                no_missing_dates("d"),
+                freshness("d", max_age_days=1),
+                row_count(min_rows=3),
+            ],
+            table="t",
+            run_date=dt.date(2020, 1, 10),
+        )
+        assert [r.passed for r in results] == [False, False, False, False]
+        by_name = {r.check: r for r in results}
+        assert by_name["no_missing_dates"].observed == 1  # 2020-01-02
