@@ -2338,3 +2338,69 @@ def mon_missing_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load(spark, sf_dir, "orders")
     return missing_dates(o, F.to_date("o_orderdate")).orderBy("date")
+
+
+# ===========================================================================
+# ML batch inference as a dataflow stage (SURVEY §2.11)
+# ===========================================================================
+
+@q(
+    "ml_churn_score",
+    oracle="""
+WITH feat AS (
+  SELECT c.c_custkey,
+    COUNT(o.o_orderkey) AS n_orders,
+    CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE) / 1e5 AS spend_scaled,
+    c.c_mktsegment
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_mktsegment
+)
+SELECT c_custkey,
+  round(1.0 / (1.0 + exp(-(
+    -0.5
+    + 0.03  * n_orders
+    + 0.8   * spend_scaled
+    + CASE WHEN c_mktsegment = 'BUILDING'  THEN  0.2
+           WHEN c_mktsegment = 'MACHINERY' THEN -0.1
+           ELSE 0.0 END
+  ))), 6) AS churn_score
+FROM feat
+ORDER BY c_custkey
+""",
+)
+def ml_churn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-model batch scoring (reference ds-airflow-prod/
+    business_logic/churn_prediction/logic.py:14-63 shape): SQL
+    feature rollup -> one-hot -> logistic score. Here the model is a
+    Catalyst expression (JVM-side, whole-stage codegen); the same
+    artifact scored via Arrow/mapInPandas is tested for agreement in
+    tests/test_ml.py. Rounded to 6dp: libm vs JVM exp ulp."""
+    from .ml import LinearModel, score_expression
+
+    model = LinearModel(
+        intercept=-0.5,
+        weights={"n_orders": 0.03, "spend_scaled": 0.8},
+        categorical={"c_mktsegment": {"BUILDING": 0.2, "MACHINERY": -0.1}},
+    )
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    feat = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            (
+                F.coalesce(
+                    F.sum(_d(F.col("o_totalprice"))), F.lit(0)
+                ).cast("double")
+                / 1e5
+            ).alias("spend_scaled"),
+        )
+    )
+    return (
+        feat.select(
+            "c_custkey",
+            F.round(score_expression(model), 6).alias("churn_score"),
+        )
+        .orderBy("c_custkey")
+    )

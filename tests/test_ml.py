@@ -1,0 +1,78 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_pipelines_spark.ml import (
+    LinearModel,
+    load_model,
+    one_hot,
+    score_expression,
+    score_with_pandas,
+)
+
+MODEL = LinearModel(
+    intercept=-0.5,
+    weights={"n_orders": 0.03, "spend_scaled": 0.8},
+    categorical={"c_mktsegment": {"BUILDING": 0.2, "MACHINERY": -0.1}},
+)
+
+
+def _features(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            (F.coalesce(F.sum("o_totalprice"), F.lit(0.0)) / 1e5)
+            .alias("spend_scaled"),
+        )
+    )
+
+
+class TestArtifact:
+    def test_json_roundtrip(self, tmp_path):
+        p = tmp_path / "model.json"
+        p.write_text(MODEL.to_json())
+        m = load_model(str(p))
+        assert m == MODEL
+
+    def test_one_hot(self, spark):
+        df = spark.createDataFrame(
+            [("BUILDING",), ("AUTOMOBILE",), (None,)], ["c_mktsegment"]
+        )
+        out = df.select(*one_hot("c_mktsegment", ["BUILDING", "MACHINERY"]))
+        vals = [tuple(r) for r in out.collect()]
+        assert vals == [(1.0, 0.0), (0.0, 0.0), (0.0, 0.0)]
+
+
+class TestScoring:
+    def test_expression_vs_pandas_agree(self, spark, sf_dir):
+        feat = _features(spark, sf_dir)
+        via_expr = feat.select(
+            "c_custkey", score_expression(MODEL).alias("score")
+        )
+        via_pandas = score_with_pandas(feat, MODEL, id_cols=["c_custkey"])
+        joined = via_expr.alias("a").join(
+            via_pandas.alias("b"), "c_custkey"
+        ).select(
+            (F.abs(F.col("a.score") - F.col("b.score")) < 1e-12).alias("ok")
+        )
+        assert joined.filter(~F.col("ok")).count() == 0
+        assert via_pandas.count() == feat.count()
+
+    def test_scores_are_probabilities(self, spark, sf_dir):
+        feat = _features(spark, sf_dir)
+        s = feat.select(score_expression(MODEL).alias("p"))
+        assert s.filter((F.col("p") < 0) | (F.col("p") > 1)).count() == 0
+
+    def test_null_features_score_as_zero_contribution(self, spark):
+        df = spark.createDataFrame(
+            [(1, None, None, None)],
+            "c_custkey int, n_orders int, spend_scaled double, c_mktsegment string",
+        )
+        got = df.select(score_expression(MODEL).alias("p")).first().p
+        import math
+
+        assert abs(got - 1 / (1 + math.exp(0.5))) < 1e-12
