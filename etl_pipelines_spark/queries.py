@@ -2060,31 +2060,32 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dd_embedding_neardup",
     oracle="""
 WITH v AS (
-  SELECT vec_id, embedding,
-    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+  SELECT vec_id,
+    list_transform(embedding, x -> x::DOUBLE /
+      sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)))) AS vn
   FROM embeddings
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-  round(list_sum(list_transform(range(1, 65),
-        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm), 6) AS cosine
+  round(list_sum(list_transform(range(1, 65), i -> a.vn[i] * b.vn[i])), 6) AS cosine
 FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE list_sum(list_transform(range(1, 65),
-        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm) >= 0.4
+WHERE list_sum(list_transform(range(1, 65), i -> a.vn[i] * b.vn[i])) >= 0.4
 ORDER BY id_a, id_b
 """,
 )
 def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (>= 0.4; the corpus's cosine
     distribution tops out at ~0.55, so 0.4 exercises a non-trivial
-    pair set). Self-join + JVM-side double cosine; at 100 TB this
-    becomes LSH-bucketed first (lsh_topk machinery) — the exact
-    all-pairs form is the verifier."""
-    from .textops.similarity import cosine_expr
+    pair set). Each side unit-normalizes ONCE pre-join so the n²/2
+    pair loop is a bare dot product; at 100 TB this becomes
+    LSH-bucketed first (lsh_topk machinery) — the exact all-pairs
+    form is the verifier."""
+    from .textops.similarity import dot_expr, normalize_expr
 
     e = load(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
-    cos = cosine_expr(F.col("emb_a"), F.col("emb_b"))
+    vn = normalize_expr(F.col("embedding"))
+    a = e.select(F.col("vec_id").alias("id_a"), vn.alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("id_b"), vn.alias("emb_b"))
+    cos = dot_expr(F.col("emb_a"), F.col("emb_b"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cos.alias("cosine"))

@@ -46,6 +46,21 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def normalize_expr(a: Column) -> Column:
+    """Unit-normalize an array<numeric> into array<double>.
+
+    For all-pairs / top-k scoring, normalize each side ONCE per row
+    before the join so the per-pair work is a bare dot product —
+    at n² pairs the norm recomputation is the difference between
+    O(n²·d) and O(3n²·d) interpreted ops."""
+    return F.transform(a, lambda x: x.cast("double") / _norm(a))
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Plain dot product (use with pre-normalized vectors)."""
+    return _dot(a, b)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

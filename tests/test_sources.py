@@ -98,3 +98,28 @@ class TestReverseEtl:
         assert res.n_rows == 100
         assert res.n_failed_chunks == 0
         assert res.n_chunks >= 10  # partition boundaries may add chunks
+
+
+class TestPartitionedScan:
+    """S2/S3: partitioned external tables + partition registration.
+    In Spark, registration is partition discovery; the y/m/d predicate
+    pushdown the reference hand-builds becomes PartitionFilters."""
+
+    def test_partition_pruning(self, spark, sf_dir, tmp_path):
+        from etl_pipelines_spark.queries import load
+        from etl_pipelines_spark.sources.writers import full_refresh
+
+        ev = load(spark, sf_dir, "events").withColumn(
+            "event_date", F.to_date("ts")
+        )
+        path = str(tmp_path / "events_part")
+        full_refresh(ev, path, partition_by=["event_date"])
+
+        back = spark.read.parquet(path)
+        one_day = back.filter(F.col("event_date") == "2024-01-03")
+        plan = one_day._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan
+        # pruned scan reads only the matching partition
+        expected = ev.filter(F.col("event_date") == "2024-01-03").count()
+        assert one_day.count() == expected
+        assert expected > 0
