@@ -2405,3 +2405,70 @@ def ml_churn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# ===========================================================================
+# Warehouse-pipeline shape (SURVEY §3.1/§7 P3; plans/warehouse.py)
+# ===========================================================================
+
+@q(
+    "wh_daily_kpi",
+    oracle="""
+WITH ev AS (
+  SELECT * FROM (
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+           ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+),
+de AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_events,
+         COUNT(DISTINCT user_id) AS n_active_users
+  FROM ev GROUP BY 1
+),
+do_ AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS order_value
+  FROM orders GROUP BY 1
+)
+SELECT COALESCE(do_.d, de.d) AS date,
+  COALESCE(n_orders, 0) AS n_orders,
+  CAST(COALESCE(order_value, 0) AS DOUBLE) AS order_value,
+  COALESCE(n_events, 0) AS n_events,
+  COALESCE(n_active_users, 0) AS n_active_users
+FROM do_ FULL OUTER JOIN de ON do_.d = de.d
+ORDER BY date
+""",
+)
+def wh_daily_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mini-warehouse's dwh.daily_kpi mart computed end-to-end as
+    one dataflow (same logic as plans/warehouse.py: event dedup ->
+    per-day rollups -> full-outer calendar merge; reference
+    4_dwh_core/daily_kpi_report_main_tables.sql:209 shape). The
+    materialized pipeline writes each layer; this registry entry
+    proves the dataflow itself against the oracle."""
+    ev = dedupe_latest(
+        load(spark, sf_dir, "events"),
+        keys=["event_id"],
+        order_by=[F.col("ts").desc()],
+    )
+    o = load(spark, sf_dir, "orders")
+    daily_orders = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), "order_value"),
+    )
+    daily_events = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_active_users"),
+    )
+    return (
+        daily_orders.join(daily_events, "d", "full")
+        .select(
+            F.col("d").alias("date"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("order_value", F.lit(0.0)).alias("order_value"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("n_active_users", F.lit(0)).alias("n_active_users"),
+        )
+        .orderBy("date")
+    )

@@ -1,0 +1,105 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipelines_spark.operators.skew import salted_agg, salted_join
+from etl_pipelines_spark.sources.bucketing import co_located_join, write_bucketed
+
+
+@pytest.fixture()
+def skewed(spark):
+    # 90% of rows share key 0 — the classic hot key
+    return spark.range(10_000).select(
+        F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id")).alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+
+
+class TestSaltedAgg:
+    def test_matches_plain_groupby(self, spark, skewed):
+        plain = {
+            (r.k): (r.s, r.n, r.mn, r.mx)
+            for r in skewed.groupBy("k")
+            .agg(
+                F.sum("v").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+                F.min("v").alias("mn"),
+                F.max("v").alias("mx"),
+            )
+            .collect()
+        }
+        salted = {
+            (r.k): (r.s, r.n, r.mn, r.mx)
+            for r in salted_agg(
+                skewed,
+                ["k"],
+                {"s": "sum(v)", "n": "count(*)", "mn": "min(v)", "mx": "max(v)"},
+                salt=16,
+            ).collect()
+        }
+        assert salted == plain
+
+    def test_rejects_non_algebraic(self, skewed):
+        with pytest.raises(ValueError, match="non-algebraic"):
+            salted_agg(skewed, ["k"], {"a": "avg(v)"}).collect()
+
+
+class TestSaltedJoin:
+    def test_matches_plain_join(self, spark, skewed):
+        dim = spark.createDataFrame(
+            [(0, "hot"), (10, "cold"), (20, "cold")], ["k", "label"]
+        )
+        plain = (
+            skewed.join(dim, ["k"]).groupBy("label").count().collect()
+        )
+        salted = (
+            salted_join(skewed, dim, ["k"], salt=8)
+            .groupBy("label")
+            .count()
+            .collect()
+        )
+        assert sorted(map(tuple, salted)) == sorted(map(tuple, plain))
+
+    def test_left_join_keeps_unmatched(self, spark, skewed):
+        dim = spark.createDataFrame([(0, "hot")], ["k", "label"])
+        out = salted_join(skewed, dim, ["k"], how="left", salt=4)
+        assert out.count() == skewed.count()
+        assert out.filter(F.col("label").isNull()).count() == skewed.filter(
+            F.col("k") != 0
+        ).count()
+
+
+class TestBucketing:
+    def test_co_located_join_has_no_shuffle(self, spark, sf_dir):
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        # at test scale the planner would broadcast instead (and skip
+        # bucketing); force the SMJ path the bucket layout exists for
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            write_bucketed(
+                o, "b_orders", ["o_orderkey"], 8, sort_by=["o_orderkey"]
+            )
+            write_bucketed(
+                li.withColumnRenamed("l_orderkey", "o_orderkey"),
+                "b_lineitem",
+                ["o_orderkey"],
+                8,
+                sort_by=["o_orderkey"],
+            )
+            joined = co_located_join(
+                spark, "b_orders", "b_lineitem", ["o_orderkey"]
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            # and it is still correct
+            expected = li.join(
+                o, li.l_orderkey == o.o_orderkey
+            ).count()
+            assert joined.count() == expected
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS b_orders")
+            spark.sql("DROP TABLE IF EXISTS b_lineitem")
