@@ -30,6 +30,8 @@ HEADLINE = [
     "w_rownum_latest_event",
     "dd_minhash_lsh",
     "ann_brute_topk",
+    "wh_daily_kpi",
+    "ml_churn_score",
 ]
 
 

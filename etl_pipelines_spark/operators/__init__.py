@@ -14,8 +14,11 @@ from .sessionize import sessionize
 from .asof import asof_join
 from .rangejoin import range_join
 from .running import running_total, rolling_agg
+from .skew import salted_agg, salted_join
 
 __all__ = [
+    "salted_agg",
+    "salted_join",
     "dedupe_latest",
     "with_row_number",
     "qualify",

@@ -123,3 +123,31 @@ class TestPartitionedScan:
         expected = ev.filter(F.col("event_date") == "2024-01-03").count()
         assert one_day.count() == expected
         assert expected > 0
+
+
+class TestJsonlCompaction:
+    """S6: Firehose JSON hour-partition -> parquet rewrite."""
+
+    def test_compact_and_stringify(self, spark, tmp_path):
+        import json
+
+        from etl_pipelines_spark.sources.jsonl import (
+            compact_json_hour_partition,
+        )
+
+        src = tmp_path / "y=2024" / "m=01" / "d=01" / "h=00"
+        src.mkdir(parents=True)
+        rows = [
+            {"messageId": "m1", "userId": 7, "value": 1.5},
+            {"messageId": "m2", "userId": 8, "value": None},
+        ]
+        (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows))
+        out = str(tmp_path / "parquet" / "h=00")
+        n = compact_json_hour_partition(
+            spark, str(src), out, rename={"messageId": "message_id"}
+        )
+        assert n == 2
+        back = spark.read.parquet(out)
+        assert set(back.columns) == {"message_id", "userId", "value"}
+        # all-string landing (typing happens downstream, like the reference)
+        assert all(t == "string" for _, t in back.dtypes)
