@@ -2472,3 +2472,119 @@ def wh_daily_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("date")
     )
+
+
+@q(
+    "dm_rfm_segmentation",
+    oracle="""
+WITH a AS (
+  SELECT o_custkey,
+    MAX(CAST(o_orderdate AS DATE)) AS last_order_date,
+    LEAST(COUNT(*), 10) AS frequency,
+    GREATEST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 0) AS monetary
+  FROM orders GROUP BY 1
+),
+prep AS (
+  SELECT c.c_custkey, a.frequency, a.monetary,
+    GREATEST(COALESCE(DATE '1998-08-02' - a.last_order_date, 99999), 0) AS recency_days,
+    PERCENT_RANK() OVER (ORDER BY a.frequency ASC) AS frequency_rank,
+    PERCENT_RANK() OVER (ORDER BY GREATEST(COALESCE(DATE '1998-08-02' - a.last_order_date, 99999), 0) DESC) AS recency_rank,
+    PERCENT_RANK() OVER (ORDER BY a.monetary ASC) AS monetary_rank
+  FROM customer c JOIN a ON a.o_custkey = c.c_custkey
+),
+scored AS (
+  SELECT c_custkey, frequency, monetary, recency_days,
+    CASE WHEN frequency_rank <= 0.25 THEN 1 WHEN frequency_rank <= 0.5 THEN 2
+         WHEN frequency_rank <= 0.75 THEN 3 ELSE 4 END AS f_score,
+    CASE WHEN recency_rank <= 0.25 THEN 1 WHEN recency_rank <= 0.5 THEN 2
+         WHEN recency_rank <= 0.75 THEN 3 ELSE 4 END AS r_score,
+    CASE WHEN monetary_rank <= 0.25 THEN 1 WHEN monetary_rank <= 0.5 THEN 2
+         WHEN monetary_rank <= 0.75 THEN 3 ELSE 4 END AS m_score
+  FROM prep
+)
+SELECT c_custkey, frequency, monetary, recency_days,
+  r_score, f_score, m_score,
+  r_score * 100 + f_score * 10 + m_score AS rfm,
+  CASE WHEN r_score >= 3 AND f_score >= 3 THEN 'champion'
+       WHEN r_score >= 3 THEN 'recent'
+       WHEN f_score >= 3 THEN 'at_risk_loyal'
+       ELSE 'hibernating' END AS segment
+FROM scored
+ORDER BY c_custkey
+""",
+)
+def dm_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (reference 2_ods_marketing/
+    00_customer_rfm_segmentation.sql:13-44 shape): LEAST-capped
+    frequency, GREATEST/COALESCE-guarded recency vs the pinned
+    logical run date, exact-decimal monetary; three global
+    PERCENT_RANKs -> quartile CASE scores -> segment label.
+
+    Scale note: a global PERCENT_RANK is a total order (single
+    reducer). The reference accepts that for this dim-sized mart; at
+    100 TB replace with approx quantile bins (percentile_approx
+    thresholds broadcast back) — same quartile semantics."""
+    run_date = F.lit("1998-08-02").cast("date")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    a = o.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order_date"),
+        F.least(F.count(F.lit(1)), F.lit(10)).alias("frequency"),
+        RF.greatest(
+            F.sum(_d(F.col("o_totalprice"))).cast("double"), F.lit(0)
+        ).alias("monetary"),
+    )
+    recency = RF.greatest(
+        F.coalesce(
+            F.datediff(run_date, F.col("last_order_date")), F.lit(99999)
+        ),
+        F.lit(0),
+    )
+    w = lambda col, asc: Window.orderBy(col.asc() if asc else col.desc())  # noqa: E731
+    prep = c.join(a, a.o_custkey == c.c_custkey).select(
+        "c_custkey",
+        "frequency",
+        "monetary",
+        recency.alias("recency_days"),
+        F.percent_rank().over(w(F.col("frequency"), True)).alias("frequency_rank"),
+        F.percent_rank().over(w(recency, False)).alias("recency_rank"),
+        F.percent_rank().over(w(F.col("monetary"), True)).alias("monetary_rank"),
+    )
+
+    def quartile(rank_col: str) -> F.Column:
+        r = F.col(rank_col)
+        return (
+            F.when(r <= 0.25, 1)
+            .when(r <= 0.5, 2)
+            .when(r <= 0.75, 3)
+            .otherwise(4)
+        )
+
+    scored = prep.select(
+        "c_custkey",
+        "frequency",
+        "monetary",
+        "recency_days",
+        quartile("frequency_rank").alias("f_score"),
+        quartile("recency_rank").alias("r_score"),
+        quartile("monetary_rank").alias("m_score"),
+    )
+    return (
+        scored.select(
+            "c_custkey",
+            "frequency",
+            "monetary",
+            "recency_days",
+            "r_score",
+            "f_score",
+            "m_score",
+            (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+            .alias("rfm"),
+            F.when((F.col("r_score") >= 3) & (F.col("f_score") >= 3), "champion")
+            .when(F.col("r_score") >= 3, "recent")
+            .when(F.col("f_score") >= 3, "at_risk_loyal")
+            .otherwise("hibernating")
+            .alias("segment"),
+        )
+        .orderBy("c_custkey")
+    )

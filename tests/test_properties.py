@@ -1,0 +1,150 @@
+"""Property-based checks (hypothesis) for the riskiest compat-layer
+semantics (SURVEY.md §7 hard parts 1-3) and writer idempotence.
+
+Examples are batched: each property materializes ONE DataFrame per
+example set, so Spark round-trips stay bounded.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_pipelines_spark import functions as RF
+
+FAST = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+dates = st.dates(dt.date(1990, 1, 1), dt.date(2030, 12, 28))
+
+
+class TestDatediffBoundarySemantics:
+    """Redshift DATEDIFF counts unit *boundaries crossed* — the
+    reference's trickiest divergence (SURVEY §2.9)."""
+
+    @FAST
+    @given(st.lists(st.tuples(dates, dates), min_size=1, max_size=25))
+    def test_month_boundaries(self, spark, pairs):
+        df = spark.createDataFrame(
+            [(a.isoformat(), b.isoformat()) for a, b in pairs], ["a", "b"]
+        ).select(F.to_date("a").alias("a"), F.to_date("b").alias("b"))
+        got = [
+            r.d for r in df.select(
+                RF.datediff("month", "a", "b").alias("d")
+            ).collect()
+        ]
+        expected = [
+            (b.year - a.year) * 12 + (b.month - a.month) for a, b in pairs
+        ]
+        assert got == expected
+
+    @FAST
+    @given(st.lists(st.tuples(dates, dates), min_size=1, max_size=25))
+    def test_week_boundaries_monday(self, spark, pairs):
+        # weeks crossed = difference of ISO-Monday week indices
+        df = spark.createDataFrame(
+            [(a.isoformat(), b.isoformat()) for a, b in pairs], ["a", "b"]
+        ).select(F.to_date("a").alias("a"), F.to_date("b").alias("b"))
+        got = [
+            r.d for r in df.select(
+                RF.datediff("week", "a", "b").alias("d")
+            ).collect()
+        ]
+        expected = [
+            (b - dt.timedelta(days=b.weekday())).toordinal() // 7
+            - (a - dt.timedelta(days=a.weekday())).toordinal() // 7
+            for a, b in pairs
+        ]
+        assert got == expected
+
+    @FAST
+    @given(st.lists(st.tuples(dates, dates), min_size=1, max_size=25))
+    def test_day_is_plain_difference(self, spark, pairs):
+        df = spark.createDataFrame(
+            [(a.isoformat(), b.isoformat()) for a, b in pairs], ["a", "b"]
+        ).select(F.to_date("a").alias("a"), F.to_date("b").alias("b"))
+        got = [
+            r.d for r in df.select(
+                RF.datediff("day", "a", "b").alias("d")
+            ).collect()
+        ]
+        assert got == [(b - a).days for a, b in pairs]
+
+
+class TestListaggDeterminism:
+    @FAST
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 3),
+                st.integers(-1000, 1000),
+                st.text(
+                    alphabet=st.characters(whitelist_categories=("Ll", "Nd")),
+                    min_size=0,
+                    max_size=6,
+                ),
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def test_matches_python_sort(self, spark, rows):
+        """LISTAGG WITHIN GROUP (ORDER BY k, v): equals a python
+        groupby + lexicographic (k, v) sort, NULL-free join."""
+        df = spark.createDataFrame(rows, ["g", "k", "v"])
+        got = {
+            r.g: r.s
+            for r in df.groupBy("g")
+            .agg(RF.listagg("v", ",", order_by=["k", "v"]).alias("s"))
+            .collect()
+        }
+        expected: dict[int, list[tuple[int, str]]] = {}
+        for g, k, v in rows:
+            expected.setdefault(g, []).append((k, v))
+        for g, pairs in expected.items():
+            assert got[g] == ",".join(v for _, v in sorted(pairs))
+
+    @FAST
+    @given(st.lists(st.integers(-50, 50), min_size=1, max_size=30))
+    def test_unordered_form_sorts_by_value(self, spark, vals):
+        df = spark.createDataFrame([(v,) for v in vals], ["v"])
+        got = df.agg(RF.listagg("v", "|").alias("s")).first().s
+        assert got == "|".join(sorted(str(v) for v in vals))
+
+
+class TestUpsertProperties:
+    @FAST
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 20), st.integers(0, 100)),
+            min_size=1,
+            max_size=30,
+        ),
+        st.lists(
+            st.tuples(st.integers(0, 20), st.integers(0, 100)),
+            min_size=1,
+            max_size=30,
+        ),
+    )
+    def test_upsert_last_write_wins_and_idempotent(
+        self, spark, tmp_path_factory, base, incoming
+    ):
+        from etl_pipelines_spark.sources.writers import full_refresh, upsert
+
+        path = str(tmp_path_factory.mktemp("upsert") / "t")
+        base_dedup = {k: v for k, v in base}
+        inc_dedup = {k: v for k, v in incoming}
+        full_refresh(
+            spark.createDataFrame(list(base_dedup.items()), ["k", "v"]), path
+        )
+        inc_df = spark.createDataFrame(list(inc_dedup.items()), ["k", "v"])
+        upsert(spark, inc_df, path, keys=["k"])
+        upsert(spark, inc_df, path, keys=["k"])  # replay
+        got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+        assert got == {**base_dedup, **inc_dedup}
