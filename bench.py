@@ -48,6 +48,11 @@ def main() -> None:
     )
     _session.configure(spark)
     spark.sparkContext.setLogLevel("ERROR")
+    # The engine default (128 MiB splits) is sized for 100 TB scans;
+    # sf0.1 files are single-digit MiB, which would hand each fact
+    # scan to one core. Split small so local[N] actually fans out.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(2 * 1024 * 1024))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(256 * 1024))
 
     # Warm-up: trivial scan to absorb JVM/codegen/first-stage cost.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()

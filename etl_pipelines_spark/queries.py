@@ -70,6 +70,21 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+def load_spread(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """load() + rebalance for compute-bound per-row ops (sketching,
+    similarity): a small single-row-group parquet yields ONE input
+    split, which would serialize a CPU-heavy map on one core. If the
+    scan has fewer partitions than the cluster's parallelism, round-
+    robin repartition (deterministic content; these queries sort
+    their output). At real scale the input already has >= parallelism
+    splits and this is a no-op."""
+    df = load(spark, sf_dir, table)
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        df = df.repartition(p)
+    return df
+
+
 # Exact-decimal casts for money-ish doubles (values are 2-decimal).
 def _d(c, p: int = 12) -> F.Column:
     return c.cast(f"decimal({p},2)")
@@ -2004,7 +2019,7 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     The quadratic exact baseline that verifies the MinHash path;
     testdata has 25 planted near-dup pairs >= 0.85 with a clean gap
     below, so 0.8 is decision-stable."""
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(d, n=3, threshold=0.8).orderBy("id_a", "id_b")
 
 
@@ -2039,7 +2054,7 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     and verification removes all false positives, so sketch output
     == exact output on this corpus. Per-doc signatures are pure
     array math (no shuffle); the only shuffle is the bucket join."""
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
         d, n=3, num_hashes=64, bands=16, threshold=0.8, verify=True
     ).orderBy("id_a", "id_b")
@@ -2052,7 +2067,7 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic is not reasonably SQL-expressible in the oracle);
     tests/test_textops.py asserts consistency against exact Jaccard
     pairs."""
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     return simhash_neardup_pairs(d, max_hamming=3, n=2).orderBy("id_a", "id_b")
 
 
@@ -2079,18 +2094,12 @@ def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair loop is a bare dot product; at 100 TB this becomes
     LSH-bucketed first (lsh_topk machinery) — the exact all-pairs
     form is the verifier."""
-    from .textops.similarity import dot_expr, normalize_expr
+    from .textops.similarity import all_pairs_cosine
 
-    e = load(spark, sf_dir, "embeddings")
-    vn = normalize_expr(F.col("embedding"))
-    a = e.select(F.col("vec_id").alias("id_a"), vn.alias("emb_a"))
-    b = e.select(F.col("vec_id").alias("id_b"), vn.alias("emb_b"))
-    cos = dot_expr(F.col("emb_a"), F.col("emb_b"))
+    e = load_spread(spark, sf_dir, "embeddings")
+    pairs = all_pairs_cosine(e, threshold=0.4, dim=64)
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= 0.4)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
         .orderBy("id_a", "id_b")
     )
 
