@@ -2597,3 +2597,85 @@ def dm_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@q(
+    "wh_sessions_mart",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value, event_type,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+),
+enriched AS (
+  SELECT *,
+    first_value(event_type) OVER w2 AS first_event_type,
+    last_value(event_type) OVER w2 AS last_event_type
+  FROM sessions
+  WINDOW w2 AS (PARTITION BY user_id, session_seq ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, session_seq,
+  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start_char,
+  strftime(MIN(ts), '%A') AS start_day_name,
+  date_diff('second', MIN(ts), MAX(ts)) AS duration_sec,
+  COUNT(*) AS n_events,
+  CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        THEN CAST(value AS DECIMAL(12,2)) END), 0) AS DOUBLE) AS purchase_value,
+  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
+  MIN(first_event_type) AS first_event_type,
+  MIN(last_event_type) AS last_event_type
+FROM enriched
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+""",
+)
+def wh_sessions_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full sessions-mart shape (08_sessions.sql:5-54 +
+    31_segment ... first/last attribute pattern): gap sessionization,
+    conditional aggregates, FIRST/LAST attributes over the session
+    window, duration via boundary DATEDIFF, TO_CHAR session labels —
+    every §2.9/§2.6 idiom a real reporting session table uses, in one
+    oracle-checked dataflow. One shuffle on user_id serves the lag
+    window, the running sum, the attribute window and the rollup."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull() | (RF.datediff("second", prev_ts, F.col("ts")) > 1800), 1
+    ).otherwise(0)
+    sessions = e.withColumn(
+        "session_seq",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    w2 = Window.partitionBy("user_id", "session_seq").orderBy(
+        "ts", "event_id"
+    ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    enriched = sessions.withColumn(
+        "first_event_type", F.first("event_type").over(w2)
+    ).withColumn("last_event_type", F.last("event_type").over(w2))
+    start, end = F.min("ts"), F.max("ts")
+    return (
+        enriched.groupBy("user_id", "session_seq")
+        .agg(
+            RF.to_char(start, "YYYY-MM-DD HH24:MI:SS").alias("session_start_char"),
+            RF.to_char(start, "DAY").alias("start_day_name"),
+            RF.datediff("second", start, end).alias("duration_sec"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "purchase", _d(F.col("value")))),
+                F.lit(0),
+            ).cast("double").alias("purchase_value"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+            F.min("first_event_type").alias("first_event_type"),
+            F.min("last_event_type").alias("last_event_type"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
