@@ -1943,6 +1943,7 @@ from .textops import (  # noqa: E402
     brute_force_topk,
     exact_dedup,
     exact_duplicate_groups,
+    ivf_topk,
     lsh_topk,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -2155,6 +2156,25 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     out = lsh_topk(e, queries, k=10, dim=64, n_planes=6, n_tables=8)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+@q("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via IVF coarse quantization: spherical
+    k-means partitions the corpus into 16 inverted lists (trained on
+    a deterministic sample, driver-side numpy — the standard IVF
+    recipe at any scale); each query exact-scores only its 6 nearest
+    lists (~6/16 of brute-force work). Rows-only check (approximate
+    by design); recall and score-exactness vs brute force are
+    asserted in tests/test_textops.py::TestIvf."""
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(e, queries, k=10, nlist=16, nprobe=6)
     return out.select(
         "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
     ).orderBy("query_id", "rank")

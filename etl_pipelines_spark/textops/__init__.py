@@ -26,7 +26,7 @@ from .dedup import (
     with_simhash,
     simhash_neardup_pairs,
 )
-from .similarity import cosine_expr, brute_force_topk, lsh_topk
+from .similarity import cosine_expr, brute_force_topk, lsh_topk, ivf_topk
 
 __all__ = [
     "tokenize",
@@ -46,4 +46,5 @@ __all__ = [
     "cosine_expr",
     "brute_force_topk",
     "lsh_topk",
+    "ivf_topk",
 ]

@@ -246,3 +246,134 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_limit: int = 10_000,
+    iters: int = 5,
+) -> "list[list[float]]":
+    """Train IVF coarse centroids with spherical k-means on a
+    deterministic sample (lowest ids, capped at train_limit).
+
+    Training is driver-side numpy — standard for IVF: at 100 TB you
+    train the quantizer on a bounded sample (10k-1M rows), never the
+    full corpus. Init is the first nlist sample vectors (no RNG), so
+    the index is reproducible run-to-run.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(train_limit).collect()
+    )
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = X[:nlist].copy()
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for j in range(nlist):
+            members = X[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    C[j] = c / n
+    return C.tolist()
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: "list[list[float]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Tag each vector with its nprobe nearest centroid list ids
+    (one output row per probed list).
+
+    Arrow-batched numpy argpartition over the broadcast centroid
+    matrix — a narrow map, no shuffle: at 100 TB each partition
+    assigns independently. Corpus side uses nprobe=1 (each vector
+    lives in exactly one list); query side probes several.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(np.array(centroids, dtype=np.float64))
+    n_out = nprobe
+
+    def assign(batches):
+        C = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.array(list(pdf[vec_col]), dtype=np.float64)
+            M = M / np.linalg.norm(M, axis=1, keepdims=True)
+            sims = M @ C.T
+            if n_out == 1:
+                lists = sims.argmax(axis=1)[:, None]
+            else:
+                top = np.argpartition(-sims, n_out - 1, axis=1)[:, :n_out]
+                order = np.argsort(-np.take_along_axis(sims, top, axis=1), axis=1)
+                lists = np.take_along_axis(top, order, axis=1)
+            out = pdf.loc[pdf.index.repeat(n_out)].reset_index(drop=True)
+            out["__list"] = lists.reshape(-1).astype("int32")
+            yield out
+
+    vec_field = df.schema[vec_col].dataType.simpleString()
+    id_field = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_field}, {vec_col} {vec_field}, __list int"
+    return df.select(id_col, vec_col).mapInPandas(assign, schema=schema)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    nlist: int = 16,
+    nprobe: int = 4,
+    train_limit: int = 10_000,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) coarse quantization:
+    spherical-k-means centroids partition the corpus into nlist
+    inverted lists; each query exact-scores only its nprobe nearest
+    lists. Expected work per query is ~nprobe/nlist of brute force.
+
+    Scale path: the corpus is assigned once (narrow map) and can be
+    repartitioned/persisted BY __list so probes touch only matching
+    partitions; the query->list fan-out broadcasts (queries x nprobe
+    rows). Final scoring reuses the exact JVM-side cosine, so scores
+    are identical to brute force wherever the candidate overlaps.
+    """
+    centroids = train_ivf_centroids(
+        corpus, nlist=nlist, id_col=id_col, vec_col=vec_col, train_limit=train_limit
+    )
+    c_assigned = ivf_assign(corpus, centroids, id_col, vec_col, nprobe=1)
+    q_assigned = ivf_assign(
+        queries.select(F.col(query_id_col).alias("__qid"), F.col(vec_col)),
+        centroids,
+        id_col="__qid",
+        vec_col=vec_col,
+        nprobe=nprobe,
+    ).select("__qid", F.col(vec_col).alias("__qvec"), "__list")
+    scored = (
+        c_assigned.join(F.broadcast(q_assigned), "__list")
+        .select(
+            F.col("__qid").alias(query_id_col),
+            id_col,
+            cosine_expr(F.col("__qvec"), F.col(vec_col)).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

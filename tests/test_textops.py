@@ -9,6 +9,7 @@ from etl_pipelines_spark.queries import load
 from etl_pipelines_spark.textops import (
     brute_force_topk,
     exact_dedup,
+    ivf_topk,
     lsh_topk,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -160,3 +161,39 @@ class TestAnalysis:
         )
         fps = [r.fingerprint for r in with_fingerprint(df).collect()]
         assert fps[0] == fps[1]
+
+
+class TestIvf:
+    def test_ivf_recall_and_exact_scores(self, spark, sf_dir):
+        """Probing 6/16 lists must recover most of the true top-10,
+        and — like LSH — only the candidate SET is approximate: any
+        returned cosine must equal the brute-force cosine."""
+        e = load(spark, sf_dir, "embeddings")
+        queries = e.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        brute = {
+            (r.query_id, r.vec_id): r.cosine
+            for r in brute_force_topk(e, queries, k=10).collect()
+        }
+        ivf = ivf_topk(e, queries, k=10, nlist=16, nprobe=6).collect()
+        hits = sum((r.query_id, r.vec_id) in brute for r in ivf)
+        assert hits / len(brute) >= 0.6
+        full = {
+            (r.query_id, r.vec_id): r.cosine
+            for r in brute_force_topk(e, queries, k=10**6).collect()
+        }
+        for r in ivf:
+            assert abs(full[(r.query_id, r.vec_id)] - r.cosine) < 1e-12
+        # a query's own vector shares its centroid list -> rank 1 is self
+        self_hits = {r.query_id for r in ivf if r.vec_id == r.query_id and r.rank == 1}
+        assert self_hits == {0, 1, 2}
+
+    def test_ivf_is_deterministic(self, spark, sf_dir):
+        e = load(spark, sf_dir, "embeddings")
+        queries = e.filter(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        a = [tuple(r) for r in ivf_topk(e, queries, k=5).orderBy("query_id", "rank").collect()]
+        b = [tuple(r) for r in ivf_topk(e, queries, k=5).orderBy("query_id", "rank").collect()]
+        assert a == b
