@@ -2699,3 +2699,75 @@ def wh_sessions_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_seq")
     )
+
+
+@q(
+    "spv_price_outliers",
+    oracle="""
+WITH s AS (
+  SELECT l.l_orderkey, l.l_linenumber, p.p_brand, p.p_type,
+    p.p_retailprice AS ref_price,
+    ROUND((l.l_extendedprice / l.l_quantity)
+          / NULLIF(p.p_retailprice, 0) * 100, 6) AS coeff
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1998-07-20'
+),
+m AS (
+  SELECT *,
+    MEDIAN(coeff) OVER (PARTITION BY p_brand, p_type) AS med
+  FROM s
+)
+SELECT p_brand, p_type, l_orderkey, l_linenumber, coeff,
+  ROUND(med, 6) AS median_coeff,
+  RANK() OVER (PARTITION BY p_brand, p_type
+               ORDER BY coeff, l_orderkey, l_linenumber) AS price_rank
+FROM m
+WHERE ref_price IS NULL OR (coeff - med) BETWEEN -10.0 AND 10.0
+ORDER BY p_brand, p_type, price_rank
+""",
+)
+def spv_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical price-outlier removal, the 9_SPV/Pricing shape
+    (1_pricing_outlier_removal.sql:95-134): price/ref-price coefficient,
+    windowed MEDIAN per (group, condition), keep rows within +-10 of the
+    group median, rank survivors. Trailing window pinned to the logical
+    run date (1998-08-02 - 14d). part broadcasts; the only shuffle is
+    the (brand, container) window grain, shared by median and rank."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1998-07-20").cast("timestamp_ntz")
+    )
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type", "p_retailprice"
+    )
+    s = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        "p_brand",
+        "p_type",
+        F.col("p_retailprice").alias("ref_price"),
+        F.round(
+            (F.col("l_extendedprice") / F.col("l_quantity"))
+            / F.nullif(F.col("p_retailprice"), F.lit(0)) * 100,
+            6,
+        ).alias("coeff"),
+    )
+    grp = Window.partitionBy("p_brand", "p_type")
+    m = s.withColumn("med", F.median("coeff").over(grp))
+    inliers = m.filter(
+        F.col("ref_price").isNull()
+        | ((F.col("coeff") - F.col("med")).between(-10.0, 10.0))
+    )
+    return (
+        inliers.select(
+            "p_brand",
+            "p_type",
+            "l_orderkey",
+            "l_linenumber",
+            "coeff",
+            F.round("med", 6).alias("median_coeff"),
+            F.rank()
+            .over(grp.orderBy("coeff", "l_orderkey", "l_linenumber"))
+            .alias("price_rank"),
+        )
+        .orderBy("p_brand", "p_type", "price_rank")
+    )
