@@ -1677,12 +1677,12 @@ def f_null_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_orderkey, l_linenumber,
   round(l_extendedprice / 7, 2) AS r2,
-  ceil(l_quantity / 7) AS c7,
-  floor(l_quantity / 7) AS f7,
+  CAST(ceil(l_quantity / 7) AS BIGINT) AS c7,
+  CAST(floor(l_quantity / 7) AS BIGINT) AS f7,
   abs(l_discount - 0.05) AS ad,
   CAST(l_quantity AS BIGINT) % 7 AS m7,
   power(l_quantity, 2) AS q2,
-  sign(l_discount - 0.05) AS sg,
+  CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg,
   CAST(l_quantity AS INT) // 7 AS intdiv
 FROM lineitem
 WHERE l_orderkey < 200
@@ -2770,4 +2770,468 @@ def spv_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("price_rank"),
         )
         .orderBy("p_brand", "p_type", "price_rank")
+    )
+
+
+@q(
+    "master_subscription",
+    oracle="""
+WITH li AS (
+  SELECT l_orderkey, COUNT(*) AS n_items,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS committed_value,
+    MAX(CAST(l_shipdate AS DATE)) AS last_ship_date
+  FROM lineitem GROUP BY 1
+),
+s AS (
+  SELECT o.o_orderkey AS subscription_id,
+    c.c_custkey AS customer_id,
+    n.n_name AS country,
+    r.r_name AS region,
+    CAST(o.o_orderdate AS DATE) AS start_date,
+    COALESCE(li.last_ship_date, CAST(o.o_orderdate AS DATE)) AS last_event_date,
+    COALESCE(li.n_items, 0) AS n_items,
+    CAST(COALESCE(li.committed_value, 0) AS DOUBLE) AS committed_sub_value,
+    ROW_NUMBER() OVER (PARTITION BY c.c_custkey
+                       ORDER BY o.o_orderdate, o.o_orderkey) AS subscription_idx,
+    MIN(CAST(o.o_orderdate AS DATE)) OVER (PARTITION BY c.c_custkey) AS first_subscription_date,
+    CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'premium'
+         WHEN o.o_orderpriority = '3-MEDIUM' THEN 'standard'
+         ELSE 'basic' END AS tier
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+)
+SELECT *,
+  GREATEST(CAST(CEIL(date_diff('day', start_date, last_event_date) / 30.0) AS INT), 1)
+    AS duration_months,
+  committed_sub_value
+    / GREATEST(CAST(CEIL(date_diff('day', start_date, last_event_date) / 30.0) AS INT), 1)
+    AS monthly_value
+FROM s
+ORDER BY subscription_id
+""",
+)
+def master_subscription(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """master.subscription-shaped wide entity (reference 3_master/
+    subscription.sql:24-163): per-order lineitem rollup, 4-way dim
+    star LEFT join, CEILING month duration (subscription.sql:75-94
+    /30.0 idiom), per-customer subscription index (ROW_NUMBER,
+    :64) and first-subscription date (MIN OVER PARTITION, :114),
+    CASE tier mapping (:151-163). Dims broadcast; the lineitem
+    rollup and the orders side shuffle once on orderkey; both
+    customer-grain windows share one shuffle on customer_id."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                _d(F.col("l_extendedprice"))
+                * (1 - F.col("l_discount").cast("decimal(4,2)"))
+            ).cast("double").alias("committed_value"),
+            F.max(F.to_date("l_shipdate")).alias("last_ship_date"),
+        )
+    )
+    wcust = Window.partitionBy("customer_id")
+    s = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(li, o.o_orderkey == li.l_orderkey, "left")
+        .select(
+            F.col("o_orderkey").alias("subscription_id"),
+            F.col("c_custkey").alias("customer_id"),
+            F.col("n_name").alias("country"),
+            F.col("r_name").alias("region"),
+            F.to_date("o_orderdate").alias("start_date"),
+            F.coalesce("last_ship_date", F.to_date("o_orderdate")).alias(
+                "last_event_date"
+            ),
+            F.coalesce("n_items", F.lit(0)).alias("n_items"),
+            F.coalesce("committed_value", F.lit(0.0)).alias("committed_sub_value"),
+            F.col("o_orderdate").alias("_start_ts"),
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "premium"
+            )
+            .when(F.col("o_orderpriority") == "3-MEDIUM", "standard")
+            .otherwise("basic")
+            .alias("tier"),
+        )
+        .withColumn(
+            "subscription_idx",
+            F.row_number().over(wcust.orderBy("_start_ts", "subscription_id")),
+        )
+        .withColumn("first_subscription_date", F.min("start_date").over(wcust))
+        .drop("_start_ts")
+    )
+    duration = RF.greatest(
+        F.ceil(
+            RF.datediff("day", F.col("start_date"), F.col("last_event_date")) / 30.0
+        ).cast("int"),
+        F.lit(1),
+    )
+    return (
+        s.withColumn("duration_months", duration)
+        .withColumn(
+            # Raw IEEE double quotient — bit-identical across engines
+            # (ROUND at a fixed decimal place is not, on tie digits).
+            "monthly_value",
+            F.col("committed_sub_value") / duration,
+        )
+        .orderBy("subscription_id")
+    )
+
+
+@q(
+    "wh_page_views",
+    oracle="""
+WITH ev AS (
+  SELECT * FROM (
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+),
+pv AS (
+  SELECT user_id, event_id, ts,
+    LEAD(ts) OVER w AS next_ts,
+    DENSE_RANK() OVER (PARTITION BY user_id ORDER BY CAST(ts AS DATE)) AS day_index,
+    COUNT(*) OVER (PARTITION BY user_id) AS views_per_user
+  FROM ev WHERE event_type IN ('view', 'click')
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id, ts AS view_start,
+  LEAST(COALESCE(next_ts, ts + INTERVAL 30 MINUTE), ts + INTERVAL 30 MINUTE) AS view_end,
+  date_diff('second', ts,
+    LEAST(COALESCE(next_ts, ts + INTERVAL 30 MINUTE), ts + INTERVAL 30 MINUTE)) AS time_engaged_sec,
+  day_index, views_per_user
+FROM pv
+ORDER BY user_id, view_start, event_id
+""",
+)
+def wh_page_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """page_views mart (reference 31_segment_page_view_and_sessions/
+    06_page_views.sql:14,20,32-33,48): dedup by event id, LEAD to the
+    next view capped at +30 min -> page_view_end + time_engaged,
+    DENSE_RANK day index per user, COUNT(*) OVER user partition.
+    Every window shares the single user_id shuffle; dedup shuffles
+    event_id first (same two-exchange plan Redshift would pick)."""
+    ev = dedupe_latest(
+        load(spark, sf_dir, "events"),
+        keys=["event_id"],
+        order_by=[F.col("ts").desc()],
+    ).filter(F.col("event_type").isin("view", "click"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cap = F.col("ts") + F.expr("INTERVAL 30 MINUTES")
+    view_end = F.least(F.coalesce(F.lead("ts").over(w), cap), cap)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.col("ts").alias("view_start"),
+            view_end.alias("view_end"),
+            F.dense_rank()
+            .over(Window.partitionBy("user_id").orderBy(F.to_date("ts")))
+            .alias("day_index"),
+            F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("views_per_user"),
+        )
+        .withColumn(
+            "time_engaged_sec",
+            RF.datediff("second", F.col("view_start"), F.col("view_end")),
+        )
+        .orderBy("user_id", "view_start", "event_id")
+    )
+
+
+@q(
+    "top_products",
+    oracle="""
+WITH rev AS (
+  SELECT p.p_partkey, p.p_name, p.p_brand,
+    CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+             * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT *,
+    RANK() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS brand_rank,
+    RANK() OVER (ORDER BY revenue DESC, p_partkey) AS overall_rank
+  FROM rev
+)
+SELECT p_partkey, p_name, p_brand, revenue, brand_rank, overall_rank
+FROM ranked
+WHERE brand_rank <= 2 OR overall_rank <= 10
+ORDER BY p_brand, brand_rank, p_partkey
+""",
+)
+def top_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N-per-group at two grains (reference 5_dwh_widgets/
+    toptenproducts/toptenproducts_v2.sql:54-61 "top 2 per
+    subcategory" + "top 10 store wise"): revenue rollup, RANK within
+    brand and RANK overall, rank-filter instead of LIMIT. Unique
+    p_partkey tiebreaker keeps ties deterministic. The global rank is
+    a single-reducer total order on the small part-grain rollup (the
+    reference accepts the same); the brand rank shares the rollup's
+    shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_partkey", "p_name", "p_brand")
+        .agg(
+            F.sum(
+                _d(F.col("l_extendedprice"))
+                * (1 - F.col("l_discount").cast("decimal(4,2)"))
+            ).cast("double").alias("revenue")
+        )
+    )
+    ranked = rev.select(
+        "*",
+        F.rank()
+        .over(Window.partitionBy("p_brand").orderBy(F.col("revenue").desc(), "p_partkey"))
+        .alias("brand_rank"),
+        F.rank()
+        .over(Window.orderBy(F.col("revenue").desc(), "p_partkey"))
+        .alias("overall_rank"),
+    )
+    return ranked.filter(
+        (F.col("brand_rank") <= 2) | (F.col("overall_rank") <= 10)
+    ).orderBy("p_brand", "brand_rank", "p_partkey")
+
+
+@q(
+    "braze_order_attribution",
+    oracle="""
+WITH touches AS (
+  SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, o.o_totalprice,
+    e.event_type, CAST(e.ts AS TIMESTAMP) AS touch_ts,
+    ROW_NUMBER() OVER (PARTITION BY o.o_orderkey
+                       ORDER BY e.ts DESC, e.event_id DESC) AS rn
+  FROM orders o
+  JOIN events e
+    ON e.user_id = o.o_custkey
+   AND e.ts <= o.o_orderdate
+   AND e.event_type IN ('click', 'view')
+)
+SELECT o_orderkey,
+  MD5('cust-' || CAST(o_custkey AS VARCHAR)) AS customer_hash,
+  sha256(event_type) AS channel_hash,
+  event_type AS last_touch_channel,
+  touch_ts,
+  date_diff('day', CAST(touch_ts AS DATE), CAST(o_orderdate AS DATE)) AS days_to_order,
+  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS order_value
+FROM touches WHERE rn = 1
+ORDER BY o_orderkey
+""",
+)
+def braze_order_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch order attribution with hashed identifiers
+    (reference 11_marketing_reporting/Braze Datamart/
+    03_braze_order_attribution.sql:37-41 MD5/SHA identity hashing +
+    the rn=1 last-touch idiom): join each order to the customer's
+    click/view events at-or-before the order timestamp, keep the
+    latest touch, hash customer + channel. The range condition rides
+    on the user/custkey equi-join (hash join + residual filter — no
+    BNLJ); ROW_NUMBER dedups on the orderkey grain."""
+    o = load(spark, sf_dir, "orders")
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    touches = o.join(
+        e, (e.user_id == o.o_custkey) & (e.ts <= o.o_orderdate)
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        touches.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderkey",
+            F.md5(F.concat(F.lit("cust-"), F.col("o_custkey").cast("string"))).alias(
+                "customer_hash"
+            ),
+            F.sha2(F.col("event_type"), 256).alias("channel_hash"),
+            F.col("event_type").alias("last_touch_channel"),
+            F.col("ts").alias("touch_ts"),
+            RF.datediff("day", F.to_date("ts"), F.to_date("o_orderdate")).alias(
+                "days_to_order"
+            ),
+            _d(F.col("o_totalprice")).cast("double").alias("order_value"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@q(
+    "luxco_multigrain_union",
+    oracle="""
+WITH base AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+    CAST(o.o_totalprice AS DECIMAL(12,2)) AS price
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE o.o_orderdate >= TIMESTAMP '1998-01-01'
+)
+SELECT * FROM (
+  SELECT 'nation' AS grain, region, nation,
+    CAST(SUM(price) AS DOUBLE) AS revenue, COUNT(*) AS n_orders
+  FROM base GROUP BY 2, 3
+  UNION ALL
+  SELECT 'region' AS grain, region, CAST(NULL AS VARCHAR) AS nation,
+    CAST(SUM(price) AS DOUBLE) AS revenue, COUNT(*) AS n_orders
+  FROM base GROUP BY 2
+  UNION ALL
+  SELECT 'total' AS grain, CAST(NULL AS VARCHAR) AS region, CAST(NULL AS VARCHAR) AS nation,
+    CAST(SUM(price) AS DOUBLE) AS revenue, COUNT(*) AS n_orders
+  FROM base
+)
+ORDER BY grain, COALESCE(region, ''), COALESCE(nation, '')
+""",
+)
+def luxco_multigrain_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain reporting via UNION ALL of per-grain aggregates
+    with NULL padding — the reference's substitute for ROLLUP (SURVEY
+    §2.5 note; 4_dwh_core/daily_kpi_report_main_tables.sql +
+    bi-airflow-prod/dags/luxco/spv_monthly_V2/sql/luxco_reporting.sql
+    shape). The joined base is computed once and cached so the three
+    grains re-aggregate the in-memory base instead of re-scanning and
+    re-joining; each grain is a partial-agg + tiny shuffle."""
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    base = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            _d(F.col("o_totalprice")).alias("price"),
+        )
+        .cache()
+    )
+    aggs = [
+        F.sum("price").cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    ]
+    nation_g = (
+        base.groupBy("region", "nation").agg(*aggs).select(
+            F.lit("nation").alias("grain"), "region", "nation", "revenue", "n_orders"
+        )
+    )
+    region_g = (
+        base.groupBy("region").agg(*aggs).select(
+            F.lit("region").alias("grain"),
+            "region",
+            F.lit(None).cast("string").alias("nation"),
+            "revenue",
+            "n_orders",
+        )
+    )
+    total_g = base.agg(*aggs).select(
+        F.lit("total").alias("grain"),
+        F.lit(None).cast("string").alias("region"),
+        F.lit(None).cast("string").alias("nation"),
+        "revenue",
+        "n_orders",
+    )
+    return nation_g.unionByName(region_g).unionByName(total_g).orderBy(
+        "grain", F.coalesce("region", F.lit("")), F.coalesce("nation", F.lit(""))
+    )
+
+
+@q(
+    "fin_collection_curves",
+    oracle="""
+WITH dist AS (
+  SELECT DISTINCT o.o_orderkey, o.o_orderpriority,
+    CAST(o.o_orderdate AS DATE) AS start_d,
+    CAST(l.l_shipdate AS DATE) AS ship_d,
+    l.l_linenumber,
+    CAST(l.l_extendedprice AS DECIMAL(12,2)) AS val
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+curve AS (
+  SELECT o_orderpriority AS priority,
+    date_diff('month', start_d, ship_d) AS months_since,
+    CAST(SUM(val) AS DOUBLE) AS collected,
+    COUNT(*) AS n_ship
+  FROM dist
+  GROUP BY 1, 2
+)
+SELECT priority, months_since, collected, n_ship,
+  CAST(SUM(CAST(collected AS DECIMAL(14,2)))
+       OVER (PARTITION BY priority ORDER BY months_since
+             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_collected,
+  RANK() OVER (PARTITION BY priority
+               ORDER BY collected DESC, months_since) AS month_rank
+FROM curve
+ORDER BY priority, months_since
+""",
+)
+def fin_collection_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection-curve mart (reference 4_dwh_finance/
+    asset_collection_curves.sql:8-80): DISTINCT feed -> GROUP BY on
+    (cohort, month-offset) with boundary month diff, cumulative
+    collected per cohort (running total) and RANK of months by
+    collection volume. The months_since grain is tiny, so the window
+    work rides one small shuffle after map-side partial aggregation."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    dist = (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.to_date("o_orderdate").alias("start_d"),
+            F.to_date("l_shipdate").alias("ship_d"),
+            "l_linenumber",
+            _d(F.col("l_extendedprice")).alias("val"),
+        )
+        .distinct()
+    )
+    curve = (
+        dist.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            RF.datediff("month", F.col("start_d"), F.col("ship_d")).alias(
+                "months_since"
+            ),
+        )
+        .agg(
+            F.sum("val").cast("double").alias("collected"),
+            F.count(F.lit(1)).alias("n_ship"),
+        )
+    )
+    wp = Window.partitionBy("priority")
+    return (
+        curve.select(
+            "priority",
+            "months_since",
+            "collected",
+            "n_ship",
+            F.sum(F.col("collected").cast("decimal(14,2)"))
+            .over(
+                wp.orderBy("months_since").rowsBetween(Window.unboundedPreceding, 0)
+            )
+            .cast("double")
+            .alias("cum_collected"),
+            F.rank()
+            .over(wp.orderBy(F.col("collected").desc(), "months_since"))
+            .alias("month_rank"),
+        )
+        .orderBy("priority", "months_since")
     )

@@ -195,3 +195,23 @@ class TestMisc:
     def test_nvl2(self, spark):
         assert _one(spark, RF.nvl2(F.lit("x"), F.lit(1), F.lit(2))) == 1
         assert _one(spark, RF.nvl2(F.lit(None).cast("string"), F.lit(1), F.lit(2))) == 2
+
+    def test_identity_hashes_match_hashlib(self, spark):
+        """Reference hashes identities with MD5/SHA1 (11_marketing_
+        reporting/Braze Datamart/03_braze_order_attribution.sql:37-41).
+        The braze_order_attribution oracle uses sha256 (DuckDB has no
+        sha1); this pins Spark's sha1/md5/sha2 to the standard."""
+        import hashlib
+
+        row = (
+            spark.range(1)
+            .select(
+                F.md5(F.lit("cust-42")).alias("m"),
+                F.sha1(F.lit("click")).alias("s1"),
+                F.sha2(F.lit("click"), 256).alias("s2"),
+            )
+            .collect()[0]
+        )
+        assert row.m == hashlib.md5(b"cust-42").hexdigest()
+        assert row.s1 == hashlib.sha1(b"click").hexdigest()
+        assert row.s2 == hashlib.sha256(b"click").hexdigest()
