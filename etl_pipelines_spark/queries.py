@@ -1946,6 +1946,7 @@ from .textops import (  # noqa: E402
     ivf_topk,
     lsh_topk,
     minhash_lsh_pairs,
+    neardup_components,
     ngram_jaccard_pairs,
     simhash_neardup_pairs,
     with_fingerprint,
@@ -3235,3 +3236,60 @@ def fin_collection_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "months_since")
     )
+
+
+@q(
+    "dd_neardup_components",
+    oracle="""
+WITH RECURSIVE
+sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS shingles
+  FROM documents
+),
+w AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+cnt AS (SELECT doc_id, count(*) AS c FROM w GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM w a JOIN w b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN cnt ca ON ca.doc_id = id_a
+  JOIN cnt cb ON cb.doc_id = id_b
+  WHERE i * 1.0 / (ca.c + cb.c - i) >= 0.8
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(src, comp) AS (
+  SELECT DISTINCT src, src AS comp FROM edges
+  UNION
+  SELECT e.src, r.comp FROM edges e JOIN reach r ON r.src = e.dst
+),
+lab AS (SELECT src AS doc_id, MIN(comp) AS component_id FROM reach GROUP BY 1)
+SELECT doc_id, component_id,
+  COUNT(*) OVER (PARTITION BY component_id) AS component_size,
+  doc_id = component_id AS is_canonical
+FROM lab
+ORDER BY doc_id
+""",
+)
+def dd_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the verified
+    MinHash/LSH pair graph, min-doc_id canonical per cluster — the
+    transitive-closure step every corpus-dedup pipeline needs after
+    pair generation (pairs A-B and B-C must collapse to ONE kept
+    doc). Iterative min-label propagation over the edge set only
+    (textops/dedup.neardup_components); the oracle computes the same
+    closure with a recursive CTE over the exact-Jaccard pair set."""
+    d = load_spread(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, n=3, num_hashes=64, bands=16, threshold=0.8, verify=True
+    )
+    return neardup_components(pairs).orderBy("doc_id")

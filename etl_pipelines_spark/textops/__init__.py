@@ -25,6 +25,7 @@ from .dedup import (
     simhash_votes,
     with_simhash,
     simhash_neardup_pairs,
+    neardup_components,
 )
 from .similarity import cosine_expr, brute_force_topk, lsh_topk, ivf_topk
 
@@ -43,6 +44,7 @@ __all__ = [
     "simhash_votes",
     "with_simhash",
     "simhash_neardup_pairs",
+    "neardup_components",
     "cosine_expr",
     "brute_force_topk",
     "lsh_topk",

@@ -14,7 +14,7 @@ Scale architecture (the part that matters at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .analysis import tokenize
@@ -381,4 +381,83 @@ def simhash_neardup_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clusters: connected components over the candidate pair graph
+# ---------------------------------------------------------------------------
+
+def neardup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected near-duplicate pair
+    graph (the step after pair generation in every corpus-dedup
+    pipeline: transitively-linked docs form one cluster, keep one
+    canonical doc per cluster).
+
+    Iterative min-label propagation: every node starts labeled with
+    its own id; each round a node takes the min of its label and its
+    neighbors' labels; converges in O(graph diameter) rounds. Each
+    round is one shuffle join + one groupBy on the EDGE set only —
+    document text never enters the loop. Near-dup graphs are
+    overwhelmingly tiny disjoint cliques (diameter 1-2), so 3-4
+    rounds typically reach fixpoint; `max_iter` bounds adversarial
+    chains. At 100 TB scale swap in the large-star/small-star
+    variant (Kiveris et al., "Connected Components in MapReduce")
+    which squares the convergence rate with the same join primitive;
+    the loop below IS its small-star half.
+
+    Returns (doc_id, component_id, component_size, is_canonical)
+    for every doc that appears in at least one pair; component_id =
+    min doc_id in the component.
+    """
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    # localCheckpoint (not just persist) each round: an iterative
+    # dataflow's logical plan otherwise grows with every iteration
+    # and planning/codegen cost explodes long before the data does.
+    # At cluster scale with lineage-based fault tolerance required,
+    # use a reliable checkpoint dir instead — same call shape.
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = sym.select("src").distinct().withColumn("comp", F.col("src")).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor = (
+            sym.alias("e")
+            .join(labels.alias("l"), F.col("e.dst") == F.col("l.src"))
+            .select(F.col("e.src").alias("src"), F.col("l.comp").alias("comp"))
+        )
+        new_labels = (
+            labels.union(neighbor)
+            .groupBy("src")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        n_changed = (
+            new_labels.alias("n")
+            .join(
+                labels.alias("o"),
+                (F.col("n.src") == F.col("o.src"))
+                & (F.col("n.comp") != F.col("o.comp")),
+            )
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            break
+    wsize = F.count(F.lit(1)).over(Window.partitionBy("component_id"))
+    out = labels.select(
+        F.col("src").alias("doc_id"), F.col("comp").alias("component_id")
+    )
+    return out.select(
+        "doc_id",
+        "component_id",
+        wsize.alias("component_size"),
+        (F.col("doc_id") == F.col("component_id")).alias("is_canonical"),
     )

@@ -197,3 +197,31 @@ class TestIvf:
         a = [tuple(r) for r in ivf_topk(e, queries, k=5).orderBy("query_id", "rank").collect()]
         b = [tuple(r) for r in ivf_topk(e, queries, k=5).orderBy("query_id", "rank").collect()]
         assert a == b
+
+
+class TestNeardupComponents:
+    def test_chain_collapses_transitively(self, spark):
+        # A-B, B-C, C-D is one component even though A-D never paired.
+        from etl_pipelines_spark.textops import neardup_components
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+        )
+        out = {r.doc_id: r for r in neardup_components(pairs).collect()}
+        assert {out[i].component_id for i in (1, 2, 3, 4)} == {1}
+        assert {out[i].component_id for i in (10, 11)} == {10}
+        assert out[1].component_size == 4 and out[10].component_size == 2
+        assert [i for i, r in out.items() if r.is_canonical] == [1, 10] or sorted(
+            i for i, r in out.items() if r.is_canonical
+        ) == [1, 10]
+
+    def test_long_path_within_max_iter(self, spark):
+        from etl_pipelines_spark.textops import neardup_components
+
+        n = 12  # diameter 11 chain: worst case for label propagation
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], ["id_a", "id_b"]
+        )
+        out = neardup_components(pairs).collect()
+        assert {r.component_id for r in out} == {0}
+        assert all(r.component_size == n + 1 for r in out)
