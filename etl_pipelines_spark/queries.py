@@ -3293,3 +3293,71 @@ def dd_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, n=3, num_hashes=64, bands=16, threshold=0.8, verify=True
     )
     return neardup_components(pairs).orderBy("doc_id")
+
+
+@q(
+    "gc_wallet_expansion",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS fact_date, o_orderstatus,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS v
+  FROM orders GROUP BY 1, 2
+),
+piv AS (
+  SELECT fact_date,
+    CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(v AS DECIMAL(14,2)) END), 0) AS DOUBLE) AS open_value,
+    CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(v AS DECIMAL(14,2)) END), 0) AS DOUBLE) AS pending_value,
+    CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(v AS DECIMAL(14,2)) END), 0) AS DOUBLE) AS filled_value
+  FROM daily GROUP BY 1
+)
+SELECT fact_date, open_value, pending_value, filled_value,
+  CAST(CAST(open_value AS DECIMAL(14,2))
+       - CAST(COALESCE(LAG(open_value) OVER w, 0) AS DECIMAL(14,2)) AS DOUBLE) AS open_delta_dod,
+  CAST(CAST(filled_value AS DECIMAL(14,2))
+       - CAST(COALESCE(LAG(filled_value) OVER w, 0) AS DECIMAL(14,2)) AS DOUBLE) AS filled_delta_dod
+FROM piv
+WINDOW w AS (ORDER BY fact_date)
+ORDER BY fact_date
+""",
+)
+def gc_wallet_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wallet-expansion mart (reference 4_dwh_grover_card/
+    Wallet_expansion.sql:89-96): PIVOT daily balances by status, then
+    day-over-day deltas. The reference's ±1-day self-join (a1.fact_date
+    = dateadd('day',1,a2.fact_date)) is expressed as LAG over the date
+    order — SURVEY J11's preferred rewrite (one window pass, no second
+    scan/join). Deltas go through decimal so subtraction is exact.
+    Scale: the pivoted frame is day-grain (tiny); the one real shuffle
+    is the daily rollup."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.to_date("o_orderdate").alias("fact_date"), "o_orderstatus"
+    ).agg(F.sum(_d(F.col("o_totalprice"))).cast("double").alias("v"))
+    piv = (
+        daily.groupBy("fact_date")
+        .pivot("o_orderstatus", ["O", "P", "F"])
+        .agg(F.sum(F.col("v").cast("decimal(14,2)")).cast("double"))
+        .select(
+            "fact_date",
+            # absent pivot cells surface as NULL *after* the pivot
+            F.coalesce(F.col("O"), F.lit(0.0)).alias("open_value"),
+            F.coalesce(F.col("P"), F.lit(0.0)).alias("pending_value"),
+            F.coalesce(F.col("F"), F.lit(0.0)).alias("filled_value"),
+        )
+    )
+    w = Window.orderBy("fact_date")
+
+    def dod(col: str) -> F.Column:
+        return (
+            F.col(col).cast("decimal(14,2)")
+            - F.coalesce(F.lag(col).over(w), F.lit(0)).cast("decimal(14,2)")
+        ).cast("double")
+
+    return piv.select(
+        "fact_date",
+        "open_value",
+        "pending_value",
+        "filled_value",
+        dod("open_value").alias("open_delta_dod"),
+        dod("filled_value").alias("filled_delta_dod"),
+    ).orderBy("fact_date")

@@ -148,3 +148,96 @@ def run_streaming_sessions(
         .start()
     )
     q.awaitTermination(timeout_sec)
+
+
+RUNNING_STATS_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("lifetime_events", LongType()),
+        StructField("lifetime_value", DoubleType()),
+        StructField("last_seen", TimestampType()),
+    ]
+)
+
+# State travels as value cents (int) so replayed/rebatched runs
+# accumulate exactly — float accumulation order would drift.
+_RUNNING_STATS_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("value_cents", LongType()),
+        StructField("last_seen", TimestampType()),
+    ]
+)
+
+
+def running_user_stats(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    LIFETIME running totals emitted once per micro-batch — state that
+    outlives any window, which ``F.session_window``/watermarked aggs
+    cannot express (their state is bounded and evicted by design).
+    The reference approximates this shape with full nightly
+    recomputation (e.g. 4_dwh_grover_card/Account_balance.sql running
+    balances); here the state store carries it incrementally.
+
+    State per user is O(1) (count, cents, last ts) — safe at any
+    cardinality; the shuffle is the groupBy(user_id) exchange that
+    any per-user aggregation needs."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    def update(key, pdf_iter, state):
+        (user_id,) = key
+        if state.exists:
+            n, cents, last_seen = state.get
+        else:
+            n, cents, last_seen = 0, 0, None
+        for pdf in pdf_iter:
+            n += len(pdf)
+            cents += int(round(pdf["value"].astype(float).sum() * 100))
+            batch_max = pdf["ts"].max()
+            if last_seen is None or batch_max > last_seen:
+                last_seen = batch_max
+        state.update((n, cents, last_seen))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "lifetime_events": [n],
+                "lifetime_value": [cents / 100.0],
+                "last_seen": [last_seen],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_STATS_OUTPUT,
+        stateStructType=_RUNNING_STATS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_running_user_stats(
+    spark: SparkSession,
+    landing_dir: str,
+    target_path: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 300,
+) -> None:
+    """Drain new files through the stateful operator; the state store
+    (backed by the checkpoint) carries per-user totals across runs,
+    so a second drain continues counting where the first stopped."""
+    stream = read_events_stream(spark, landing_dir)
+    stats = running_user_stats(stream)
+
+    def sink(batch: DataFrame, _batch_id: int) -> None:
+        writers.upsert(spark, batch, target_path, ["user_id"])
+
+    q = (
+        stats.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)

@@ -108,3 +108,46 @@ class TestStreamingSessions:
             "user_id", "session_start", "session_end",
             "n_events", "session_value",
         }
+
+
+class TestStatefulRunningStats:
+    def test_state_survives_across_drains(self, spark, events, tmp_path):
+        from etl_pipelines_spark.streaming.incremental import (
+            run_running_user_stats,
+        )
+
+        landing = str(tmp_path / "landing")
+        target = str(tmp_path / "user_stats")
+        ckpt = str(tmp_path / "ckpt")
+
+        few = events.filter(F.col("user_id") < 5)
+        batch1 = few.filter(F.col("event_id") % 2 == 0)
+        batch2 = few.filter(F.col("event_id") % 2 == 1)
+
+        _write_landing(batch1, landing)
+        run_running_user_stats(spark, landing, target, ckpt)
+        got1 = {r.user_id: r for r in spark.read.parquet(target).collect()}
+        exp1 = {r.user_id: r for r in batch1.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("v"),
+            F.max("ts").alias("last"),
+        ).collect()}
+        assert {u: r.lifetime_events for u, r in got1.items()} == {
+            u: r.n for u, r in exp1.items()
+        }
+
+        # second drain, same checkpoint: totals must be CUMULATIVE
+        _write_landing(batch2, landing)
+        run_running_user_stats(spark, landing, target, ckpt)
+        got2 = {r.user_id: r for r in spark.read.parquet(target).collect()}
+        expall = {r.user_id: r for r in few.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("v"),
+            F.max("ts").alias("last"),
+        ).collect()}
+        assert {u: r.lifetime_events for u, r in got2.items()} == {
+            u: r.n for u, r in expall.items()
+        }
+        for u, r in got2.items():
+            assert abs(r.lifetime_value - expall[u].v) < 1e-9
+            assert r.last_seen == expall[u].last
