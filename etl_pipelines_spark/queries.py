@@ -3285,9 +3285,12 @@ def dd_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash/LSH pair graph, min-doc_id canonical per cluster — the
     transitive-closure step every corpus-dedup pipeline needs after
     pair generation (pairs A-B and B-C must collapse to ONE kept
-    doc). Iterative min-label propagation over the edge set only
-    (textops/dedup.neardup_components); the oracle computes the same
-    closure with a recursive CTE over the exact-Jaccard pair set."""
+    doc). textops/dedup.neardup_components picks its path by
+    measured edge count: driver union-find when the pair graph fits
+    (it is the detector's OUTPUT — tiny relative to the corpus),
+    distributed min-label propagation beyond; the oracle computes
+    the same closure with a recursive CTE over the exact-Jaccard
+    pair set."""
     d = load_spread(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(
         d, n=3, num_hashes=64, bands=16, threshold=0.8, verify=True

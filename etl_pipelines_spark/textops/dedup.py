@@ -393,23 +393,32 @@ def neardup_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    driver_max_edges: int = 5_000_000,
 ) -> DataFrame:
     """Connected components over an undirected near-duplicate pair
     graph (the step after pair generation in every corpus-dedup
     pipeline: transitively-linked docs form one cluster, keep one
     canonical doc per cluster).
 
-    Iterative min-label propagation: every node starts labeled with
-    its own id; each round a node takes the min of its label and its
-    neighbors' labels; converges in O(graph diameter) rounds. Each
-    round is one shuffle join + one groupBy on the EDGE set only —
-    document text never enters the loop. Near-dup graphs are
-    overwhelmingly tiny disjoint cliques (diameter 1-2), so 3-4
-    rounds typically reach fixpoint; `max_iter` bounds adversarial
-    chains. At 100 TB scale swap in the large-star/small-star
-    variant (Kiveris et al., "Connected Components in MapReduce")
-    which squares the convergence rate with the same join primitive;
-    the loop below IS its small-star half.
+    Two execution paths, picked by measured edge count — the pair
+    graph is the OUTPUT of near-dup detection and is orders of
+    magnitude smaller than the corpus, so even a 100 TB corpus
+    usually yields a graph that fits on the driver:
+
+    - ``<= driver_max_edges``: collect (src, dst) longs and run
+      union-find on the driver — exact, O(E α(E)), zero scheduling
+      overhead (a distributed fixpoint loop pays several jobs PER
+      ROUND just to move kilobytes).
+    - larger: distributed min-label propagation — every node starts
+      labeled with its own id; each round takes the min of its own
+      and its neighbors' labels; converges in O(graph diameter)
+      rounds, each one shuffle join + groupBy over the edge set
+      only. Near-dup graphs are overwhelmingly tiny disjoint
+      cliques (diameter 1-2), so 3-4 rounds reach fixpoint;
+      `max_iter` bounds adversarial chains. At extreme scale swap
+      in large-star/small-star (Kiveris et al., "Connected
+      Components in MapReduce") — same join primitive, squared
+      convergence rate; the loop below IS its small-star half.
 
     Returns (doc_id, component_id, component_size, is_canonical)
     for every doc that appears in at least one pair; component_id =
@@ -417,7 +426,33 @@ def neardup_components(
     """
     edges = pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
-    )
+    ).localCheckpoint()
+    n_edges = edges.count()
+    if n_edges <= driver_max_edges:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in edges.toLocalIterator():
+            a, b = row.src, row.dst
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min id keeps component_id = min(doc_id)
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        spark = pairs.sparkSession
+        labels = spark.createDataFrame(
+            [(x, find(x)) for x in parent], schema="src long, comp long"
+        )
+        return _component_output(labels)
     # localCheckpoint (not just persist) each round: an iterative
     # dataflow's logical plan otherwise grows with every iteration
     # and planning/codegen cost explodes long before the data does.
@@ -451,6 +486,11 @@ def neardup_components(
         labels = new_labels
         if n_changed == 0:
             break
+    return _component_output(labels)
+
+
+def _component_output(labels: DataFrame) -> DataFrame:
+    """(src, comp) labels -> the public components schema."""
     wsize = F.count(F.lit(1)).over(Window.partitionBy("component_id"))
     out = labels.select(
         F.col("src").alias("doc_id"), F.col("comp").alias("component_id")

@@ -179,7 +179,16 @@ def lsh_signature(
     vec: Column, planes: list[list[float]]
 ) -> Column:
     """Sign-bit signature of the vector against each hyperplane,
-    packed into a bigint (n_planes <= 63)."""
+    packed into a bigint (n_planes <= 63).
+
+    Expression-tree spelling, kept for single-table/few-plane use.
+    CAUTION — sizing lesson measured on this engine: the HOF dot is
+    CodegenFallback (interpreted, ~25µs/64-dim plane), and unrolling
+    it into a flat element_at chain is WORSE once n_tables×n_planes
+    ×dim reaches thousands of nodes (blows the codegen method-size
+    budget → whole-tree interpretation, ~15x slower still). For
+    multi-table signatures use the Arrow path in ``lsh_topk``
+    (one numpy matmul per batch)."""
     bits = []
     for i, plane in enumerate(planes):
         p = F.array(*[F.lit(v) for v in plane])
@@ -214,17 +223,42 @@ def lsh_topk(
     At scale the bucket join replaces the full cross product —
     shuffle on (table_idx, signature) instead of scoring everything.
     """
+    import numpy as np
+    import pandas as pd
+
     tables = [
         _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
     ]
+    # (n_tables, n_planes, dim) — broadcast once; signatures are one
+    # numpy matmul per Arrow batch (narrow map, no shuffle). The
+    # expression-tree alternative is either interpreted (HOF) or
+    # codegen-budget-busting (flat chain) at this width — see
+    # lsh_signature docstring.
+    P = np.array(tables, dtype=np.float64)
+    bc = corpus.sparkSession.sparkContext.broadcast(P)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
 
     def signatures(df: DataFrame, vec: str) -> DataFrame:
-        return df.select(
-            "*",
-            F.posexplode(
-                F.array(*[lsh_signature(F.col(vec), planes) for planes in tables])
-            ).alias("__table", "__sig"),
+        fields = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
         )
+
+        def gen(batches):
+            T = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                M = np.array(list(pdf[vec]), dtype=np.float64)
+                outs = []
+                for t in range(T.shape[0]):
+                    sig = ((M @ T[t].T >= 0).astype(np.int64) * weights).sum(axis=1)
+                    o = pdf.copy()
+                    o["__table"] = np.int32(t)
+                    o["__sig"] = sig
+                    outs.append(o)
+                yield pd.concat(outs, ignore_index=True)
+
+        return df.mapInPandas(gen, schema=f"{fields}, __table int, __sig long")
 
     c_sig = signatures(corpus, vec_col)
     q_sig = signatures(

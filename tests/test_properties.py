@@ -148,3 +148,47 @@ class TestUpsertProperties:
         upsert(spark, inc_df, path, keys=["k"])  # replay
         got = {r.k: r.v for r in spark.read.parquet(path).collect()}
         assert got == {**base_dedup, **inc_dedup}
+
+
+class TestComponentsProperty:
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 30), st.integers(0, 30)),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    @settings(max_examples=15, deadline=None)
+    def test_matches_reference_union_find(self, spark, edges):
+        """Random graphs: component labeling must equal a trivial
+        reference union-find, on BOTH execution paths."""
+        from etl_pipelines_spark.textops import neardup_components
+
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            return
+        # reference: naive python union-find
+        parent = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+        expected = {x: find(x) for x in parent}
+
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        for kwargs in ({}, {"driver_max_edges": 0}):
+            got = {
+                r.doc_id: r.component_id
+                for r in neardup_components(pairs, **kwargs).collect()
+            }
+            assert got == expected

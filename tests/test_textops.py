@@ -225,3 +225,19 @@ class TestNeardupComponents:
         out = neardup_components(pairs).collect()
         assert {r.component_id for r in out} == {0}
         assert all(r.component_size == n + 1 for r in out)
+
+    def test_distributed_path_matches_driver_path(self, spark):
+        # driver_max_edges=0 forces the label-propagation loop; both
+        # paths must emit the identical component labeling.
+        from etl_pipelines_spark.textops import neardup_components
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+            ["id_a", "id_b"],
+        )
+        drv = sorted(tuple(r) for r in neardup_components(pairs).collect())
+        dist = sorted(
+            tuple(r)
+            for r in neardup_components(pairs, driver_max_edges=0).collect()
+        )
+        assert drv == dist
