@@ -14,6 +14,8 @@ from .binary import (
     decode_image,
     fake_feature_extract,
     frame_sample_plan,
+    with_resize_dims,
+    resize_image,
 )
 
 __all__ = [
@@ -23,4 +25,6 @@ __all__ = [
     "decode_image",
     "fake_feature_extract",
     "frame_sample_plan",
+    "with_resize_dims",
+    "resize_image",
 ]

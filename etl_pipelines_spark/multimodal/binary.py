@@ -144,3 +144,45 @@ def frame_sample_plan(
             ).alias("frame_idx", "ts_ms"),
         )
     )
+
+
+def with_resize_dims(
+    df: DataFrame, max_w: int = 256, max_h: int = 256
+) -> DataFrame:
+    """Aspect-fit resize TARGET computation — the real half of a
+    resize stage (pure JVM expressions; never upscales). The byte
+    transform itself is `resize_image`, stubbed below."""
+    scale = F.least(
+        F.lit(float(max_w)) / F.col("meta.width"),
+        F.lit(float(max_h)) / F.col("meta.height"),
+        F.lit(1.0),
+    )
+    return df.select(
+        "*",
+        F.greatest(F.floor(F.col("meta.width") * scale), F.lit(1))
+        .cast("int")
+        .alias("target_width"),
+        F.greatest(F.floor(F.col("meta.height") * scale), F.lit(1))
+        .cast("int")
+        .alias("target_height"),
+    )
+
+
+def resize_image(df: DataFrame, max_w: int = 256, max_h: int = 256) -> DataFrame:
+    """STUB — pixel resampling requires a codec/imaging library not
+    present in this container. Target dims are computed for real
+    (with_resize_dims); the mapInPandas signature and output schema
+    (payload replaced by the resized bytes) are the production
+    contract — swap the body for PIL `Image.resize` in production."""
+    out_schema = "media_id long, payload binary, target_width int, target_height int"
+    sized = with_resize_dims(df, max_w, max_h)
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "image resize is stubbed: no imaging library in this environment"
+        )
+        yield  # pragma: no cover — keeps this a generator
+
+    return sized.select(
+        "media_id", "payload", "target_width", "target_height"
+    ).mapInPandas(_resize, schema=out_schema)

@@ -1953,7 +1953,12 @@ from .textops import (  # noqa: E402
     with_language_id,
     with_quality_score,
 )
-from .multimodal import attach_fake_payload, extract_binary_meta  # noqa: E402
+from .multimodal import (  # noqa: E402
+    attach_fake_payload,
+    extract_binary_meta,
+    frame_sample_plan,
+    with_resize_dims,
+)
 
 
 @q(
@@ -3364,3 +3369,88 @@ def gc_wallet_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         dod("open_value").alias("open_delta_dod"),
         dod("filled_value").alias("filled_delta_dod"),
     ).orderBy("fact_date")
+
+
+@q(
+    "mm_resize_dims",
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id,
+    CAST(doc_id % 640 + 64 AS INT) AS width,
+    CAST(doc_id % 480 + 48 AS INT) AS height
+  FROM documents
+),
+scaled AS (
+  SELECT *, LEAST(256.0 / width, 256.0 / height, 1.0) AS scale FROM media
+)
+SELECT media_id, width, height,
+  CAST(GREATEST(FLOOR(width * scale), 1) AS INT) AS target_width,
+  CAST(GREATEST(FLOOR(height * scale), 1) AS INT) AS target_height
+FROM scaled
+ORDER BY media_id
+""",
+)
+def mm_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-fit resize targets (multimodal/binary.with_resize_dims):
+    the JVM-expression half of a resize stage — never upscales,
+    preserves aspect ratio, floors to >= 1px. The pixel resample
+    itself is the stubbed mapInPandas contract (resize_image)."""
+    d = load(spark, sf_dir, "documents")
+    media = attach_fake_payload(d, "doc_id", "text")
+    return (
+        with_resize_dims(media, 256, 256)
+        .select(
+            "media_id",
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            "target_width",
+            "target_height",
+        )
+        .orderBy("media_id")
+    )
+
+
+@q(
+    "mm_frame_plan",
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id,
+    CAST(doc_id % 90000 + 500 AS INT) AS duration_ms
+  FROM documents
+  WHERE doc_id % 7 = 0
+)
+SELECT media_id,
+  CAST(u.idx AS INT) AS frame_idx,
+  CAST(u.idx * 1000 AS INT) AS ts_ms
+FROM media,
+  LATERAL (SELECT unnest(range(0, CAST(FLOOR(duration_ms / 1000) AS INT))) AS idx) u
+WHERE FLOOR(duration_ms / 1000) > 0
+ORDER BY media_id, frame_idx
+""",
+)
+def mm_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (multimodal/binary.frame_sample_plan):
+    one row per frame to grab at a 1000ms cadence, exploded from
+    meta.duration_ms — the real dataflow around a stubbed decoder.
+    posexplode keeps the frame index (the reference's line_item_
+    position idiom, curated/kafka README)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    media = attach_fake_payload(d, "doc_id", "text").select(
+        "media_id",
+        "payload",
+        F.struct(
+            F.col("meta.mime").alias("mime"),
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            (F.col("media_id") % 90000 + 500).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return (
+        frame_sample_plan(media, every_ms=1000)
+        .select(
+            "media_id",
+            F.col("frame_idx").cast("int").alias("frame_idx"),
+            F.col("ts_ms").cast("int").alias("ts_ms"),
+        )
+        .orderBy("media_id", "frame_idx")
+    )

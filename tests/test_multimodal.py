@@ -62,3 +62,31 @@ def test_frame_sample_plan(spark):
     assert [(r.media_id, r.frame_idx, r.ts_ms) for r in out] == [
         (1, 0, 0), (1, 1, 1000), (1, 2, 2000)
     ]
+
+
+def test_resize_dims_aspect_fit(spark):
+    from etl_pipelines_spark.multimodal import with_resize_dims
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(b"a"), ("image/png", 1024, 512, None)),  # downscale, wide
+            (2, bytearray(b"b"), ("image/png", 100, 100, None)),   # already fits
+            (3, bytearray(b"c"), ("image/png", 300, 600, None)),   # downscale, tall
+        ],
+        "media_id long, payload binary, meta struct<mime string, width int, height int, duration_ms int>",
+    )
+    out = {r.media_id: r for r in with_resize_dims(df, 256, 256).collect()}
+    assert (out[1].target_width, out[1].target_height) == (256, 128)
+    assert (out[2].target_width, out[2].target_height) == (100, 100)  # no upscale
+    assert (out[3].target_width, out[3].target_height) == (128, 256)
+
+
+def test_resize_image_is_stubbed(spark, media):
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from etl_pipelines_spark.multimodal import resize_image
+
+    with _pytest.raises((Py4JJavaError, Exception)) as exc:
+        resize_image(media).collect()
+    assert "stubbed" in str(exc.value)
