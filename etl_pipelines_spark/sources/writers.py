@@ -40,10 +40,19 @@ def full_refresh(
     df: DataFrame,
     path: str,
     partition_by: list[str] | None = None,
+    sort_within_by: list[str] | None = None,
 ) -> None:
     """W1: CREATE TEMP AS ... ; TRUNCATE tgt; INSERT — i.e. rebuild
-    the whole table atomically (customer.sql:332-336)."""
+    the whole table atomically (customer.sql:332-336).
+
+    ``sort_within_by`` is the SORTKEY analogue (08_sessions.sql:4
+    ``SORTKEY(session_start)``): rows are sorted inside each output
+    task so parquet row-group min/max stats make range predicates on
+    those columns skip row groups at scan time — the Spark-native
+    form of Redshift's zone maps."""
     tmp = path + "." + uuid.uuid4().hex[:8] + ".tmp"
+    if sort_within_by:
+        df = df.sortWithinPartitions(*sort_within_by)
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
@@ -64,6 +73,7 @@ def snapshot(
     path: str,
     snapshot_date: str,
     date_col: str = "date",
+    sort_within_by: list[str] | None = None,
 ) -> None:
     """W4: daily-snapshot history table — write exactly one date
     partition, idempotently (subscription_historical.sql:2-110:
@@ -71,12 +81,17 @@ def snapshot(
 
     Dynamic partition overwrite replaces only the touched partition;
     re-running a day is a no-op-equivalent overwrite of that day.
+    ``sort_within_by``: SORTKEY analogue for event/history tables
+    (see full_refresh) — range scans on the sort column skip parquet
+    row groups via min/max stats.
     """
     spark = df.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    out = df.withColumn(date_col, F.lit(snapshot_date).cast("date"))
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
     (
-        df.withColumn(date_col, F.lit(snapshot_date).cast("date"))
-        .write.mode("overwrite")
+        out.write.mode("overwrite")
         .partitionBy(date_col)
         .parquet(path)
     )

@@ -16,7 +16,6 @@ precision — no Python, deterministic left-to-right fold.
 
 from __future__ import annotations
 
-import math
 import random
 
 from pyspark.sql import Column, DataFrame, Window

@@ -1,0 +1,71 @@
+"""Physical-plan regression tests: lock in the scale properties that
+PLANS.md documents (broadcasts for dims, pushdown reaching scans, no
+accidental nested-loop joins or Python nodes in relational paths).
+These guard against regressions that correctness tests can't see —
+a query can stay value-exact while silently losing its pushdown or
+broadcasting a fact table."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from etl_pipelines_spark.queries import REGISTRY
+
+
+def formatted_plan(spark, name: str, sf_dir: str) -> tuple[list[str], str]:
+    df = REGISTRY[name].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+    return nodes, plan
+
+
+PY_NODES = (
+    "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+    "FlatMapGroupsInPandas", "MapInArrow",
+)
+
+
+class TestPlanShapes:
+    @pytest.mark.parametrize(
+        "name",
+        ["q5_regional_revenue", "master_subscription", "spv_price_outliers",
+         "luxco_multigrain_union", "top_products"],
+    )
+    def test_dimension_joins_broadcast(self, spark, sf_dir, name):
+        nodes, plan = formatted_plan(spark, name, sf_dir)
+        assert nodes.count("BroadcastHashJoin") >= 1, plan
+        assert nodes.count("BroadcastNestedLoopJoin") == 0, plan
+
+    @pytest.mark.parametrize(
+        "name", ["q1_pricing_summary", "q3_top_revenue_orders", "spv_price_outliers"]
+    )
+    def test_filters_reach_the_scan(self, spark, sf_dir, name):
+        _, plan = formatted_plan(spark, name, sf_dir)
+        assert re.search(r"PushedFilters: \[(?!\])", plan), plan
+
+    @pytest.mark.parametrize(
+        "name",
+        ["q1_pricing_summary", "master_customer", "wh_sessions_mart",
+         "w_rownum_latest_event", "master_subscription", "gc_wallet_expansion"],
+    )
+    def test_relational_paths_have_no_python_nodes(self, spark, sf_dir, name):
+        nodes, plan = formatted_plan(spark, name, sf_dir)
+        assert not any(n in PY_NODES for n in nodes), plan
+
+    def test_q1_aggregates_partially_before_shuffle(self, spark, sf_dir):
+        # map-side partial agg: two HashAggregate nodes around one Exchange
+        nodes, plan = formatted_plan(spark, "q1_pricing_summary", sf_dir)
+        assert nodes.count("HashAggregate") >= 2, plan
+
+    def test_ann_brute_bnlj_is_the_exact_scorer_only(self, spark, sf_dir):
+        # the broadcast cross product is the exact scorer by design;
+        # the corpus side must not also shuffle for a join
+        nodes, plan = formatted_plan(spark, "ann_brute_topk", sf_dir)
+        assert nodes.count("BroadcastNestedLoopJoin") == 1, plan
+        assert nodes.count("SortMergeJoin") == 0, plan

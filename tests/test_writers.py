@@ -90,3 +90,25 @@ def test_compact_reduces_files(spark, tmp_table):
     n_after = len([f for f in os.listdir(tmp_table) if f.endswith(".parquet")])
     assert n_before == 8 and n_after == 1
     assert spark.read.parquet(tmp_table).count() == 100
+
+
+def test_full_refresh_sorted_within_files(spark, tmp_table):
+    """sort_within_by (the SORTKEY analogue) must leave every output
+    file internally sorted so parquet min/max stats can skip row
+    groups on range predicates."""
+    df = spark.range(0, 10_000).select(
+        F.col("id"),
+        (F.col("id") * 7919 % 10_000).alias("ts"),  # scrambled order
+    ).repartition(4)
+    full_refresh(df, tmp_table, sort_within_by=["ts"])
+
+    got = spark.read.parquet(tmp_table).select(
+        F.input_file_name().alias("f"), "ts"
+    )
+    from pyspark.sql import Window
+
+    prev = F.lag("ts").over(Window.partitionBy("f").orderBy(F.monotonically_increasing_id()))
+    violations = got.withColumn("prev", prev).filter(
+        F.col("prev").isNotNull() & (F.col("prev") > F.col("ts"))
+    )
+    assert violations.count() == 0
