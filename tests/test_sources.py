@@ -4,6 +4,15 @@ import pytest
 from pyspark.sql import functions as F
 
 from etl_pipelines_spark.sources.copy_unload import copy_csv, unload
+from etl_pipelines_spark.sources.extract import (
+    LocalDirExchange,
+    StaleFeedError,
+    ingest_exchange_files,
+    latest_collection_file,
+    paged_api_extract,
+    send_exchange_export,
+    sql_pull,
+)
 from etl_pipelines_spark.sources.reverse_etl import (
     ErrorThresholdExceeded,
     PushResult,
@@ -151,3 +160,143 @@ class TestJsonlCompaction:
         assert set(back.columns) == {"message_id", "userId", "value"}
         # all-string landing (typing happens downstream, like the reference)
         assert all(t == "string" for _, t in back.dtypes)
+
+
+class TestSqlPull:
+    """S7: injected-executor SQL pull (duckdb stands in for the
+    reference's pd.read_sql over Redshift)."""
+
+    def test_pull_roundtrip(self, spark):
+        import duckdb
+
+        df = sql_pull(
+            spark,
+            "SELECT i AS id, i * 2.5 AS amount FROM range(5) t(i)",
+            lambda q: duckdb.sql(q).df(),
+            schema="id bigint, amount double",
+        )
+        rows = {r.id: r.amount for r in df.collect()}
+        assert rows == {i: i * 2.5 for i in range(5)}
+
+    def test_zero_rows_early_exit(self, spark):
+        import duckdb
+
+        df = sql_pull(
+            spark,
+            "SELECT 1 AS x WHERE false",
+            lambda q: duckdb.sql(q).df(),
+        )
+        assert df is None
+
+
+class TestPagedApiExtract:
+    """S8: cursor-paged bulk export with explicit schema."""
+
+    def _fake_api(self):
+        pages = {
+            None: ([{"id": 1, "code": "a"}, {"id": 2, "code": "b"}], "p2"),
+            "p2": ([{"id": 3, "code": "c"}], "p3"),
+            "p3": ([], None),
+        }
+        calls = []
+
+        def fetch(cursor):
+            calls.append(cursor)
+            return pages[cursor]
+
+        return fetch, calls
+
+    def test_walks_cursors_to_exhaustion(self, spark):
+        fetch, calls = self._fake_api()
+        df = paged_api_extract(spark, fetch, "id int, code string")
+        assert calls == [None, "p2", "p3"]
+        assert {r.id: r.code for r in df.collect()} == {1: "a", 2: "b", 3: "c"}
+        assert df.schema.simpleString() == "struct<id:int,code:string>"
+
+    def test_runaway_pagination_guard(self, spark):
+        with pytest.raises(RuntimeError, match="did not terminate"):
+            paged_api_extract(
+                spark, lambda c: ([], "again"), "id int", max_pages=3
+            )
+
+
+class TestCollectionFeed:
+    """S9: newest date-stamped scraper drop, staleness-gated."""
+
+    LISTING = [
+        "drops/price-collection-amazon-2024-01-03.csv",
+        "drops/price-collection-amazon-2024-01-05.csv",
+        "drops/price-collection-amazon-2024-01-09.csv",  # future vs run
+        "drops/price-collection-rebuy-2024-01-06.csv",  # other feed
+        "drops/price-collection-amazon-junkdate.csv",
+    ]
+
+    def test_picks_latest_at_or_before_run_date(self):
+        from datetime import date
+
+        got = latest_collection_file(
+            self.LISTING, "price-collection-amazon-", ".csv", date(2024, 1, 7)
+        )
+        assert got.path.endswith("amazon-2024-01-05.csv")
+        assert got.stamp == date(2024, 1, 5)
+
+    def test_stale_feed_raises(self):
+        from datetime import date
+
+        with pytest.raises(StaleFeedError, match="older than 4d"):
+            latest_collection_file(
+                self.LISTING, "price-collection-amazon-", ".csv",
+                date(2024, 1, 31),
+            )
+
+    def test_no_match_raises(self):
+        from datetime import date
+
+        with pytest.raises(StaleFeedError, match="no price-collection-ebay-"):
+            latest_collection_file(
+                self.LISTING, "price-collection-ebay-", ".csv", date(2024, 1, 7)
+            )
+
+
+class TestFileExchange:
+    """S10: SFTP-shaped exchange with a local-directory fake."""
+
+    def test_ingest_inbound_files(self, spark, tmp_path):
+        remote = tmp_path / "remote"
+        (remote / "inbox").mkdir(parents=True)
+        (remote / "inbox" / "g1.csv").write_text("order_id;grade\n1;A\n2;B\n")
+        (remote / "inbox" / "g2.csv").write_text("order_id;grade\n3;C\n")
+        (remote / "inbox" / "notes.txt").write_text("ignore me")
+
+        ex = LocalDirExchange(str(remote))
+        df, names = ingest_exchange_files(
+            spark, ex, "inbox", str(tmp_path / "staging"),
+            "order_id int, grade string",
+        )
+        assert names == ["g1.csv", "g2.csv"]
+        assert {r.order_id: r.grade for r in df.collect()} == {
+            1: "A", 2: "B", 3: "C",
+        }
+
+    def test_empty_inbox_skips(self, spark, tmp_path):
+        ex = LocalDirExchange(str(tmp_path / "remote"))
+        df, names = ingest_exchange_files(
+            spark, ex, "inbox", str(tmp_path / "staging"), "order_id int"
+        )
+        assert df is None and names == []
+
+    def test_outbound_roundtrip(self, spark, tmp_path):
+        remote = tmp_path / "remote"
+        ex = LocalDirExchange(str(remote))
+        df = spark.range(5).select(
+            F.col("id").alias("order_id"),
+            F.concat(F.lit("G"), F.col("id")).alias("status"),
+        )
+        send_exchange_export(
+            df, ex, "outbox/status.csv", str(tmp_path / "scratch")
+        )
+        back = spark.read.option("sep", ";").option("header", True).csv(
+            str(remote / "outbox" / "status.csv")
+        )
+        assert back.count() == 5
+        assert set(back.columns) == {"order_id", "status"}
