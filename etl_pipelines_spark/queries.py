@@ -3454,3 +3454,150 @@ def mm_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id", "frame_idx")
     )
+
+
+@q(
+    "gc_account_balance",
+    oracle="""
+WITH base AS (
+  SELECT CAST(ts AS DATE) AS fact_date,
+    COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) END), 0) AS dep,
+    COALESCE(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(12,2)) END), 0) AS refunded,
+    COALESCE(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(12,2)) END), 0) AS spent,
+    COALESCE(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(12,2)) END), 0) AS transferred
+  FROM events GROUP BY 1
+),
+bal AS (
+  SELECT fact_date, dep, refunded, spent, transferred,
+    SUM(dep + refunded - spent - transferred) OVER (
+      ORDER BY fact_date ROWS UNBOUNDED PRECEDING) AS balance
+  FROM base
+)
+SELECT fact_date,
+  CAST(dep AS DOUBLE) AS deposited_amount,
+  CAST(spent AS DOUBLE) AS transaction_amount,
+  CAST(refunded AS DOUBLE) AS refund_amount,
+  CAST(transferred AS DOUBLE) AS transferred_amount,
+  CAST(balance AS DOUBLE) AS eod_balance,
+  CAST(SUM(balance) OVER w7 AS DOUBLE) / COUNT(*) OVER w7 AS seven_day_rolling_avg,
+  CAST(SUM(balance) OVER w30 AS DOUBLE) / COUNT(*) OVER w30 AS thirty_day_rolling_avg
+FROM bal
+WINDOW
+  w7 AS (ORDER BY fact_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+  w30 AS (ORDER BY fact_date ROWS BETWEEN 30 PRECEDING AND CURRENT ROW)
+ORDER BY fact_date
+""",
+)
+def gc_account_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account-balance mart (reference 4_dwh_grover_card/
+    Account_balance.sql:1-59): per-day conditional sums by event
+    type -> day-end delta -> the recursive-CTE running balance
+    replaced by a cumulative window (pure prefix sum, SURVEY
+    §2.12b) -> 7-day / 30-day rolling averages (Wn9 frames).
+
+    Exactness: money stays decimal through every sum (order-
+    independent); rolling averages are emitted as one double
+    division of an exact decimal frame-sum by the frame count, so
+    both engines produce the identical IEEE quotient. Scale: one
+    shuffle to day grain; every window after that runs on a
+    day-grain frame (thousands of rows per decade), single
+    partition by design — matching the reference, whose recursive
+    CTE was inherently sequential over the same frame."""
+    e = load(spark, sf_dir, "events")
+
+    def tsum(tp: str) -> F.Column:
+        return F.coalesce(
+            F.sum(F.when(F.col("event_type") == tp, _d(F.col("value")))),
+            F.lit(0).cast("decimal(22,2)"),
+        )
+
+    base = e.groupBy(F.to_date("ts").alias("fact_date")).agg(
+        tsum("purchase").alias("dep"),
+        tsum("view").alias("refunded"),
+        tsum("click").alias("spent"),
+        tsum("error").alias("transferred"),
+    )
+    w_cum = Window.orderBy("fact_date").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bal = base.withColumn(
+        "balance",
+        F.sum(
+            F.col("dep") + F.col("refunded") - F.col("spent") - F.col("transferred")
+        ).over(w_cum),
+    )
+    w7 = Window.orderBy("fact_date").rowsBetween(-6, Window.currentRow)
+    w30 = Window.orderBy("fact_date").rowsBetween(-30, Window.currentRow)
+
+    def rolling_avg(w: Window) -> F.Column:
+        return F.sum("balance").over(w).cast("double") / F.count(F.lit(1)).over(w)
+
+    return bal.select(
+        "fact_date",
+        F.col("dep").cast("double").alias("deposited_amount"),
+        F.col("spent").cast("double").alias("transaction_amount"),
+        F.col("refunded").cast("double").alias("refund_amount"),
+        F.col("transferred").cast("double").alias("transferred_amount"),
+        F.col("balance").cast("double").alias("eod_balance"),
+        rolling_avg(w7).alias("seven_day_rolling_avg"),
+        rolling_avg(w30).alias("thirty_day_rolling_avg"),
+    ).orderBy("fact_date")
+
+
+@q(
+    "mon_freshness",
+    oracle="""
+WITH f AS (
+  SELECT 'events' AS table_name,
+    max(CAST(ts AS DATE)) AS latest_date,
+    DATE '2024-02-01' AS run_date
+  FROM events
+  UNION ALL
+  SELECT 'orders' AS table_name,
+    max(CAST(o_orderdate AS DATE)) AS latest_date,
+    DATE '2001-08-15' AS run_date
+  FROM orders
+)
+SELECT table_name, latest_date,
+  CAST(datediff('day', latest_date, run_date) AS BIGINT) AS age_days,
+  datediff('day', latest_date, run_date) <= 7 AS is_fresh
+FROM f
+ORDER BY table_name
+""",
+)
+def mon_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§5 freshness monitor — the Soda `freshness(created_date) < Nd`
+    check (reference bi-airflow-prod/business_logic/data_quality/
+    checks/master/subscription.yaml:1-5) as a queryable mart: one row
+    per watched table with its latest date, age against the pinned
+    per-table run date (never wall-clock), and the pass flag.
+    Scale: each branch is a full-scan max() — a single partial-agg
+    shuffle of one row per partition; parquet column stats make the
+    scan column-pruned to the date alone."""
+
+    def branch(table: str, date_expr: F.Column, run_date: str) -> DataFrame:
+        return (
+            load(spark, sf_dir, table)
+            .agg(F.max(date_expr).alias("latest_date"))
+            .select(
+                F.lit(table).alias("table_name"),
+                "latest_date",
+                F.datediff(F.lit(run_date).cast("date"), F.col("latest_date"))
+                .cast("long")
+                .alias("age_days"),
+                (
+                    F.datediff(
+                        F.lit(run_date).cast("date"), F.col("latest_date")
+                    )
+                    <= 7
+                ).alias("is_fresh"),
+            )
+        )
+
+    return (
+        branch("events", F.to_date("ts"), "2024-02-01")
+        .unionByName(
+            branch("orders", F.to_date("o_orderdate"), "2001-08-15")
+        )
+        .orderBy("table_name")
+    )
