@@ -3601,3 +3601,86 @@ def mon_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("table_name")
     )
+
+
+@q(
+    "wh_track_events",
+    oracle="""
+WITH parsed AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS event_time, user_id,
+    event_type,
+    CAST(value AS DECIMAL(12,2)) AS amount,
+    CAST(json_extract_string(props, '$.k') AS INT) AS ctx_k
+  FROM events
+  WHERE json_valid(props)
+    AND regexp_matches(CAST(user_id AS VARCHAR), '^[0-9]+$')
+),
+deduped AS (
+  SELECT *,
+    ROW_NUMBER() OVER (
+      PARTITION BY event_id ORDER BY event_time DESC) AS rn
+  FROM parsed
+)
+SELECT event_id,
+  CAST(user_id AS VARCHAR) AS anonymous_id,
+  event_type,
+  event_time,
+  CAST(
+    CAST(year(event_time) AS VARCHAR) || '-' ||
+    lpad(CAST(month(event_time) AS VARCHAR), 2, '0') || '-' ||
+    lpad(CAST(dayofmonth(event_time) AS VARCHAR), 2, '0')
+    AS DATE) AS collector_date,
+  ctx_k,
+  CASE WHEN ctx_k >= 67 THEN 'high'
+       WHEN ctx_k >= 34 THEN 'mid'
+       ELSE 'low' END AS ctx_band,
+  CAST(amount AS DOUBLE) AS amount
+FROM deduped
+WHERE rn = 1
+ORDER BY event_id
+""",
+)
+def wh_track_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Track-events conformance stage (reference 30_segment_events/
+    01_track_events.sql:21-74,144-148 — the most-cited model in
+    SURVEY): IS_VALID_JSON guard -> JSON_PARSE to SUPER -> dot
+    navigation (`c."k"` -> struct field), POSIX `~ '^[0-9]+$'`
+    identity filter (P6), message-id window dedup (Wn1/St2),
+    partition-column date reconstruction
+    ((year||'-'||month||'-'||day)::DATE, :27-29), CASE banding.
+
+    Scale: the JSON parse/navigate is a JVM-side `from_json` inside
+    whole-stage codegen (no Python), filters go in the same scan
+    stage, and the only shuffle is the dedup window's hash partition
+    by event_id — at 100 TB that is one shuffle of already-filtered,
+    column-pruned rows; amount stays decimal until the final cast."""
+    e = load(spark, sf_dir, "events")
+    parsed = (
+        e.withColumn("ctx", F.from_json("props", "k INT"))
+        .filter(RF.is_valid_json("props"))
+        .filter(F.col("user_id").cast("string").rlike("^[0-9]+$"))
+    )
+    deduped = dedupe_latest(
+        parsed, ["event_id"], [F.col("ts").desc()]
+    )
+    k = F.col("ctx.k")
+    return deduped.select(
+        "event_id",
+        F.col("user_id").cast("string").alias("anonymous_id"),
+        "event_type",
+        F.col("ts").alias("event_time"),
+        F.concat_ws(
+            "-",
+            F.year("ts").cast("string"),
+            F.lpad(F.month("ts").cast("string"), 2, "0"),
+            F.lpad(F.dayofmonth("ts").cast("string"), 2, "0"),
+        )
+        .cast("date")
+        .alias("collector_date"),
+        k.alias("ctx_k"),
+        F.when(k >= 67, "high")
+        .when(k >= 34, "mid")
+        .otherwise("low")
+        .alias("ctx_band"),
+        _d(F.col("value")).cast("double").alias("amount"),
+    ).orderBy("event_id")
