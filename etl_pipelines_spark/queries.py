@@ -3684,3 +3684,376 @@ def wh_track_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ctx_band"),
         _d(F.col("value")).cast("double").alias("amount"),
     ).orderBy("event_id")
+
+
+@q(
+    "ops_allocation",
+    oracle="""
+WITH replacement_allocated AS (
+  SELECT user_id AS allocation_uid, event_id, ts AS allocated_at,
+    CAST(value AS DECIMAL(12,2)) AS amount,
+    CAST(json_extract_string(props, '$.k') AS INT) AS replacement_for
+  FROM events
+  WHERE event_type = 'error'
+  QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC) = 1
+    AND ROW_NUMBER() OVER (
+      PARTITION BY CAST(json_extract_string(props, '$.k') AS INT)
+      ORDER BY ts DESC, event_id DESC) = 1
+),
+order_allocated AS (
+  SELECT user_id AS allocation_uid, event_id, ts AS allocated_at,
+    CAST(value AS DECIMAL(12,2)) AS amount,
+    CAST(NULL AS INT) AS replacement_for
+  FROM events
+  WHERE event_type = 'click'
+    AND user_id NOT IN (SELECT allocation_uid FROM replacement_allocated)
+  QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC) = 1
+)
+SELECT allocation_uid, event_id,
+  CAST(allocated_at AS TIMESTAMP) AS allocated_at,
+  CAST(amount AS DOUBLE) AS amount, replacement_for,
+  CASE WHEN replacement_for IS NULL THEN 'regular' ELSE 'replacement'
+    END AS allocation_kind
+FROM (SELECT * FROM replacement_allocated
+      UNION ALL SELECT * FROM order_allocated)
+ORDER BY allocation_uid, event_id
+""",
+)
+def ops_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allocation conformance stage (reference 1_ods_core/
+    00_allocation.sql:63-103): the double-QUALIFY idiom — one source
+    deduped to rn=1 over TWO different partitions at once (first row
+    per allocation_uid AND last row per replaced uid, :78-81), a
+    second source excluded by `NOT IN (SELECT …)` against the first
+    (:101), both deduped then merged with NULL-padded columns.
+
+    Spark shape: each QUALIFY is a window + filter (SURVEY §4 item
+    2); the two windows over different keys are two shuffles of the
+    already-filtered slice, the NOT IN becomes a broadcast left-anti
+    join (keys are non-null by schema), and the merge is a
+    unionByName. At 100 TB each shuffle carries only the event-type
+    slice, and the anti-join side is the deduped (small) set."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+
+    repl = (
+        e.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("allocation_uid"),
+            "event_id",
+            F.col("ts").alias("allocated_at"),
+            _d(F.col("value")).alias("amount"),
+            k.alias("replacement_for"),
+        )
+        .withColumn(
+            "rn_first",
+            F.row_number().over(
+                Window.partitionBy("allocation_uid").orderBy(
+                    F.col("allocated_at").asc(), F.col("event_id").asc()
+                )
+            ),
+        )
+        .withColumn(
+            "rn_last_per_replaced",
+            F.row_number().over(
+                Window.partitionBy("replacement_for").orderBy(
+                    F.col("allocated_at").desc(), F.col("event_id").desc()
+                )
+            ),
+        )
+        .filter((F.col("rn_first") == 1) & (F.col("rn_last_per_replaced") == 1))
+        .drop("rn_first", "rn_last_per_replaced")
+    )
+
+    regular = (
+        e.filter(F.col("event_type") == "click")
+        .join(
+            F.broadcast(repl.select("allocation_uid").distinct()),
+            on=[F.col("user_id") == F.col("allocation_uid")],
+            how="left_anti",
+        )
+        .select(
+            F.col("user_id").alias("allocation_uid"),
+            "event_id",
+            F.col("ts").alias("allocated_at"),
+            _d(F.col("value")).alias("amount"),
+            F.lit(None).cast("int").alias("replacement_for"),
+        )
+        .withColumn(
+            "rn_first",
+            F.row_number().over(
+                Window.partitionBy("allocation_uid").orderBy(
+                    F.col("allocated_at").asc(), F.col("event_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn_first") == 1)
+        .drop("rn_first")
+    )
+
+    return (
+        repl.unionByName(regular)
+        .select(
+            "allocation_uid",
+            "event_id",
+            "allocated_at",
+            F.col("amount").cast("double").alias("amount"),
+            "replacement_for",
+            F.when(F.col("replacement_for").isNull(), "regular")
+            .otherwise("replacement")
+            .alias("allocation_kind"),
+        )
+        .orderBy("allocation_uid", "event_id")
+    )
+
+
+@q(
+    "sust_seasonality",
+    oracle="""
+WITH spine AS (
+  SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '2001-12-31',
+    INTERVAL 1 DAY)) AS DATE) AS datum
+),
+first_mondays AS (
+  SELECT year(datum) AS year_number, min(datum) AS first_monday
+  FROM spine
+  WHERE year(datum) IN (1996, 1997, 1998)
+    AND month(datum) = 11
+    AND dayofweek(datum) = 1
+  GROUP BY 1
+),
+bf_week AS (
+  SELECT s.datum
+  FROM spine s JOIN first_mondays b
+    ON s.datum BETWEEN b.first_monday AND b.first_monday + INTERVAL 7 DAY
+),
+promo_numbers AS (
+  SELECT
+    CAST(year(o_orderdate) AS VARCHAR) ||
+      CASE WHEN month(o_orderdate) < 10
+        THEN '0' || CAST(month(o_orderdate) AS VARCHAR)
+        ELSE CAST(month(o_orderdate) AS VARCHAR) END AS acquisition_month,
+    o_orderpriority,
+    COUNT(DISTINCT o_orderkey) AS num_orders
+  FROM orders a
+  INNER JOIN first_mondays b
+    ON CAST(a.o_orderdate AS DATE)
+       BETWEEN b.first_monday AND b.first_monday + INTERVAL 7 DAY
+  GROUP BY 1, 2
+),
+raw_ AS (
+  SELECT
+    CAST(year(o_orderdate) AS VARCHAR) ||
+      CASE WHEN month(o_orderdate) < 10
+        THEN '0' || CAST(month(o_orderdate) AS VARCHAR)
+        ELSE CAST(month(o_orderdate) AS VARCHAR) END AS acquisition_month,
+    o_orderpriority,
+    COUNT(DISTINCT o_orderkey) AS num_orders
+  FROM orders a
+  WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+    AND NOT EXISTS (SELECT NULL FROM bf_week b
+                    WHERE CAST(a.o_orderdate AS DATE) = b.datum)
+  GROUP BY 1, 2
+)
+SELECT 'ex_promo' AS grain, * FROM raw_
+UNION ALL
+SELECT 'promo_week' AS grain, * FROM promo_numbers
+ORDER BY grain, acquisition_month, o_orderpriority
+""",
+)
+def sust_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality mart (reference 4_dwh_sustainability/
+    dm_sustainability.v_seasonality.sql:2-47): a promo-week calendar
+    slice (bf_week, :2-8), a first-Monday-of-November spine joined to
+    the fact by a date range (J9, :20-29), a NOT EXISTS calendar
+    exclusion (J8, :44-45), and the reference's zero-pad CASE month
+    concat (:33-35) — then both grains stacked UNION ALL.
+
+    Spark shape: the spine and first-Monday sets are one-row-per-day
+    DataFrames built from sequence()+explode — broadcast on both the
+    range join (the small side of a BNLJ is 3 rows) and the anti
+    join, so the orders fact is scanned once per grain with no
+    shuffle except the final per-grain aggregation; COUNT(DISTINCT
+    o_orderkey) folds into the groupBy hash aggregate."""
+    o = load(spark, sf_dir, "orders")
+    spine = date_spine(spark, "1995-01-01", "2001-12-31", "datum")
+    first_mondays = (
+        spine.filter(
+            F.year("datum").isin(1996, 1997, 1998)
+            & (F.month("datum") == 11)
+            & (F.dayofweek("datum") == 2)
+        )
+        .groupBy(F.year("datum").alias("year_number"))
+        .agg(F.min("datum").alias("first_monday"))
+    )
+    bf_week = spine.join(
+        F.broadcast(first_mondays),
+        on=[
+            F.col("datum").between(
+                F.col("first_monday"), F.date_add(F.col("first_monday"), 7)
+            )
+        ],
+    ).select("datum")
+
+    m = F.month("o_orderdate")
+    acq_month = F.concat(
+        F.year("o_orderdate").cast("string"),
+        F.when(m < 10, F.concat(F.lit("0"), m.cast("string"))).otherwise(
+            m.cast("string")
+        ),
+    ).alias("acquisition_month")
+
+    promo_numbers = (
+        o.join(
+            F.broadcast(first_mondays),
+            on=[
+                F.to_date("o_orderdate").between(
+                    F.col("first_monday"), F.date_add(F.col("first_monday"), 7)
+                )
+            ],
+            how="inner",
+        )
+        .groupBy(acq_month, "o_orderpriority")
+        .agg(F.countDistinct("o_orderkey").alias("num_orders"))
+        .select(F.lit("promo_week").alias("grain"), "*")
+    )
+    raw_ = (
+        o.filter(F.to_date("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        .join(
+            F.broadcast(bf_week),
+            on=[F.to_date("o_orderdate") == F.col("datum")],
+            how="left_anti",
+        )
+        .groupBy(acq_month, "o_orderpriority")
+        .agg(F.countDistinct("o_orderkey").alias("num_orders"))
+        .select(F.lit("ex_promo").alias("grain"), "*")
+    )
+    return raw_.unionByName(promo_numbers).orderBy(
+        "grain", "acquisition_month", "o_orderpriority"
+    )
+
+
+@q(
+    "pay_retry_payments",
+    oracle="""
+WITH payments_all AS (
+  SELECT
+    a.user_id AS group_id,
+    CAST(a.user_id AS VARCHAR) || '|' ||
+      strftime(CAST(a.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS key_,
+    a.event_type AS status,
+    CAST(a.ts AS TIMESTAMP) AS createdat,
+    a.event_id,
+    json_extract_string(a.props, '$.k') AS payment_method_raw,
+    b.o_orderkey AS order_id,
+    CAST(b.o_totalprice AS DECIMAL(12,2)) AS amount,
+    CAST(b.o_orderdate AS DATE) AS duedate,
+    CASE WHEN b.o_orderkey IS NULL THEN FALSE ELSE TRUE
+      END AS group_id_available,
+    c.c_custkey AS customer_id,
+    c.c_mktsegment AS customer_segment,
+    CASE WHEN b.o_orderpriority = '1-URGENT' THEN 'FIRST'
+      ELSE 'RECURRING' END AS payment_type,
+    ROW_NUMBER() OVER (
+      PARTITION BY a.user_id, a.event_type
+      ORDER BY CAST(a.ts AS DATE) ASC, a.event_id ASC, b.o_orderkey ASC
+    ) AS rownum
+  FROM (SELECT * FROM events WHERE event_type IN ('purchase', 'error')) a
+  LEFT JOIN orders b ON a.user_id = b.o_custkey
+  LEFT JOIN customer c ON b.o_custkey = c.c_custkey
+)
+SELECT group_id, key_, status, createdat, event_id,
+  CASE WHEN payment_method_raw IS NULL OR payment_method_raw = ''
+    THEN status ELSE payment_method_raw END AS payment_method,
+  order_id, CAST(amount AS DOUBLE) AS amount, duedate,
+  group_id_available, customer_id, customer_segment, payment_type,
+  rownum,
+  (status = 'error' AND rownum = 1) AS is_first_failed
+FROM payments_all
+ORDER BY group_id, status, rownum, event_id, order_id
+""",
+)
+def pay_retry_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payment-retry mart (reference 16_payment_reporting/
+    dm_payments.v_retry_payments.sql:3-75): transactions LEFT JOIN
+    payment orders LEFT JOIN wallet (:35-38), JSON gateway-response
+    field extraction with empty-string fallback CASE (:11-14,47-51),
+    `account_to || created_at` composite key (:6), group-availability
+    flag (:21-25), FIRST/RECURRING period CASE (:27-31), and the
+    per-(account,status) ROW_NUMBER ordered by created_at::DATE
+    (:33) that drives the `first failed` retry flag (:66-70).
+
+    Spark shape: the filtered event slice joins orders on the hashed
+    customer key (fan-out is the reference's own semantics — one
+    transaction row per order in the group); the wallet attach
+    broadcasts. The window shuffles on (user, status) once; ties on
+    the DATE-truncated order key are made deterministic with unique
+    tiebreakers on both sides."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+
+    joined = e.join(o, on=[e.user_id == o.o_custkey], how="left").join(
+        F.broadcast(c), on=[o.o_custkey == c.c_custkey], how="left"
+    )
+    pm_raw = F.get_json_object("props", "$.k")
+    base = joined.select(
+        F.col("user_id").alias("group_id"),
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit("|"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+        ).alias("key_"),
+        F.col("event_type").alias("status"),
+        F.col("ts").alias("createdat"),
+        "event_id",
+        pm_raw.alias("payment_method_raw"),
+        F.col("o_orderkey").alias("order_id"),
+        _d(F.col("o_totalprice")).alias("amount"),
+        F.to_date("o_orderdate").alias("duedate"),
+        F.when(F.col("o_orderkey").isNull(), F.lit(False))
+        .otherwise(F.lit(True))
+        .alias("group_id_available"),
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_mktsegment").alias("customer_segment"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", "FIRST")
+        .otherwise("RECURRING")
+        .alias("payment_type"),
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id", "event_type").orderBy(
+                F.to_date("ts").asc(), F.col("event_id").asc(),
+                F.col("o_orderkey").asc(),
+            )
+        )
+        .alias("rownum"),
+    )
+    return base.select(
+        "group_id",
+        "key_",
+        "status",
+        "createdat",
+        "event_id",
+        F.when(
+            F.col("payment_method_raw").isNull()
+            | (F.col("payment_method_raw") == ""),
+            F.col("status"),
+        )
+        .otherwise(F.col("payment_method_raw"))
+        .alias("payment_method"),
+        "order_id",
+        F.col("amount").cast("double").alias("amount"),
+        "duedate",
+        "group_id_available",
+        "customer_id",
+        "customer_segment",
+        "payment_type",
+        "rownum",
+        ((F.col("status") == "error") & (F.col("rownum") == 1)).alias(
+            "is_first_failed"
+        ),
+    ).orderBy("group_id", "status", "rownum", "event_id", "order_id")
