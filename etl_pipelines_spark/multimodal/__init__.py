@@ -14,6 +14,8 @@ from .binary import (
     decode_image,
     fake_feature_extract,
     frame_sample_plan,
+    audio_segment_plan,
+    decode_audio,
     with_resize_dims,
     resize_image,
 )
@@ -25,6 +27,8 @@ __all__ = [
     "decode_image",
     "fake_feature_extract",
     "frame_sample_plan",
+    "audio_segment_plan",
+    "decode_audio",
     "with_resize_dims",
     "resize_image",
 ]

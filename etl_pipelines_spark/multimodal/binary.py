@@ -146,6 +146,55 @@ def frame_sample_plan(
     )
 
 
+def audio_segment_plan(
+    df: DataFrame, window_ms: int = 1000, hop_ms: int = 500
+) -> DataFrame:
+    """Audio segmentation *plan*: one output row per (overlapping)
+    analysis window (media_id, seg_idx, start_ms, end_ms), derived
+    from meta.duration_ms with the standard window/hop framing —
+    n_segs = floor((duration - window) / hop) + 1. Like
+    frame_sample_plan this is the real dataflow half of an audio
+    featurizer: the plan joins to the (stubbed) decoder, and the
+    explode keeps the segment index (posexplode, the reference's
+    line_item_position idiom). Clips shorter than one window yield
+    no segments."""
+    n_segs = (
+        F.floor((F.col("meta.duration_ms") - window_ms) / hop_ms).cast("int") + 1
+    )
+    return (
+        df.filter(
+            F.col("meta.duration_ms").isNotNull()
+            & (F.col("meta.duration_ms") >= window_ms)
+        )
+        .select(
+            "media_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_segs - 1),
+                    lambda i: i * hop_ms,
+                )
+            ).alias("seg_idx", "start_ms"),
+        )
+        .withColumn("end_ms", F.col("start_ms") + window_ms)
+    )
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """STUB — audio decode (PCM frames from the payload container)
+    requires a codec library not present in this container. The
+    mapInPandas signature and output schema are the production
+    contract; swap the body for soundfile/ffmpeg in production."""
+    out_schema = "media_id long, sample_rate int, n_samples long, channels int"
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "audio decode is stubbed: no codec library in this environment"
+        )
+        yield  # pragma: no cover — keeps this a generator
+
+    return df.mapInPandas(_decode, schema=out_schema)
+
+
 def with_resize_dims(
     df: DataFrame, max_w: int = 256, max_h: int = 256
 ) -> DataFrame:

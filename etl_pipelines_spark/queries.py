@@ -1955,6 +1955,7 @@ from .textops import (  # noqa: E402
 )
 from .multimodal import (  # noqa: E402
     attach_fake_payload,
+    audio_segment_plan,
     extract_binary_meta,
     frame_sample_plan,
     with_resize_dims,
@@ -3415,7 +3416,7 @@ def mm_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH media AS (
   SELECT doc_id AS media_id,
-    CAST(doc_id % 90000 + 500 AS INT) AS duration_ms
+    CAST((doc_id % 90) * 1000 + 500 AS INT) AS duration_ms
   FROM documents
   WHERE doc_id % 7 = 0
 )
@@ -3442,7 +3443,7 @@ def mm_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("meta.mime").alias("mime"),
             F.col("meta.width").alias("width"),
             F.col("meta.height").alias("height"),
-            (F.col("media_id") % 90000 + 500).cast("int").alias("duration_ms"),
+            ((F.col("media_id") % 90) * 1000 + 500).cast("int").alias("duration_ms"),
         ).alias("meta"),
     )
     return (
@@ -4057,3 +4058,54 @@ def pay_retry_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_first_failed"
         ),
     ).orderBy("group_id", "status", "rownum", "event_id", "order_id")
+
+
+@q(
+    "mm_audio_segments",
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id,
+    CAST((doc_id % 90) * 1000 + 500 AS INT) AS duration_ms
+  FROM documents
+  WHERE doc_id % 11 = 0
+)
+SELECT media_id,
+  CAST(u.idx AS INT) AS seg_idx,
+  CAST(u.idx * 500 AS INT) AS start_ms,
+  CAST(u.idx * 500 + 1000 AS INT) AS end_ms
+FROM media,
+  LATERAL (SELECT unnest(range(0,
+    CAST(FLOOR((duration_ms - 1000) / 500) AS INT) + 1)) AS idx) u
+WHERE duration_ms >= 1000
+ORDER BY media_id, seg_idx
+""",
+)
+def mm_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio segmentation plan (multimodal/binary.audio_segment_plan):
+    one row per overlapping analysis window (1000ms window / 500ms
+    hop) exploded from meta.duration_ms — the audio counterpart of
+    mm_frame_plan, with the real dataflow around a stubbed decoder.
+    Scale: pure per-row posexplode, no shuffle except the output
+    sort; the plan joins to the decoder by media_id so segment
+    extraction parallelizes per input split."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0)
+    media = attach_fake_payload(d, "doc_id", "text").select(
+        "media_id",
+        "payload",
+        F.struct(
+            F.lit("audio/wav").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            ((F.col("media_id") % 90) * 1000 + 500).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return (
+        audio_segment_plan(media, window_ms=1000, hop_ms=500)
+        .select(
+            "media_id",
+            F.col("seg_idx").cast("int").alias("seg_idx"),
+            F.col("start_ms").cast("int").alias("start_ms"),
+            F.col("end_ms").cast("int").alias("end_ms"),
+        )
+        .orderBy("media_id", "seg_idx")
+    )

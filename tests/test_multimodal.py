@@ -13,6 +13,8 @@ from etl_pipelines_spark.multimodal import (
     extract_binary_meta,
     fake_feature_extract,
     frame_sample_plan,
+    audio_segment_plan,
+    decode_audio,
 )
 
 
@@ -90,3 +92,26 @@ def test_resize_image_is_stubbed(spark, media):
     with _pytest.raises((Py4JJavaError, Exception)) as exc:
         resize_image(media).collect()
     assert "stubbed" in str(exc.value)
+
+
+def test_audio_segment_plan(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"a"), ("audio/wav", None, None, 2400)),
+         (2, bytearray(b"b"), ("audio/wav", None, None, 800)),
+         (3, bytearray(b"c"), ("image/png", 10, 10, None))],
+        "media_id long, payload binary, meta struct<mime string, width int, height int, duration_ms int>",
+    )
+    out = audio_segment_plan(df, window_ms=1000, hop_ms=500).collect()
+    # 2400ms: floor((2400-1000)/500)+1 = 3 windows at 0/500/1000;
+    # the 800ms clip is shorter than one window; the image has no duration
+    assert [(r.media_id, r.seg_idx, r.start_ms, r.end_ms) for r in out] == [
+        (1, 0, 0, 1000), (1, 1, 500, 1500), (1, 2, 1000, 2000)
+    ]
+
+
+def test_decode_audio_is_stubbed(spark, media):
+    assert decode_audio(media).schema.simpleString() == (
+        "struct<media_id:bigint,sample_rate:int,n_samples:bigint,channels:int>"
+    )
+    with pytest.raises(Exception, match="stubbed"):
+        decode_audio(media).collect()
