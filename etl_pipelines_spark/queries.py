@@ -641,18 +641,22 @@ SELECT c_custkey, c_name FROM customer c
 WHERE EXISTS (
   SELECT 1 FROM events e WHERE e.user_id = c.c_custkey AND e.event_type = 'purchase'
 ) AND NOT EXISTS (
-  SELECT 1 FROM events e2 WHERE e2.user_id = c.c_custkey AND e2.event_type = 'error'
+  SELECT 1 FROM events e2 WHERE e2.user_id = c.c_custkey
+    AND e2.event_type = 'error' AND e2.value > 150
 )
 ORDER BY c_custkey
 """,
 )
 def j_exists_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8: correlated [NOT] EXISTS (reference
-    2_ods_risk/00_order_decline_reason.sql:43) -> semi + anti join."""
+    2_ods_risk/00_order_decline_reason.sql:43) -> semi + anti join.
+    The NOT EXISTS branch is value-qualified (> 150) so it is
+    selective: every event-active customer has *some* error event,
+    and an unqualified anti side would empty the result."""
     c = load(spark, sf_dir, "customer")
     e = load(spark, sf_dir, "events")
     purchases = e.filter(F.col("event_type") == "purchase")
-    errors = e.filter(F.col("event_type") == "error")
+    errors = e.filter((F.col("event_type") == "error") & (F.col("value") > 150))
     return (
         c.join(purchases, c.c_custkey == purchases.user_id, "left_semi")
         .join(errors, F.col("c_custkey") == errors.user_id, "left_anti")
@@ -1909,7 +1913,7 @@ def m_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_orderkey, o_totalprice,
   o_totalprice / (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) FROM orders) AS vs_avg
 FROM orders
-WHERE o_totalprice > 2 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) FROM orders)
+WHERE o_totalprice > 1.5 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) FROM orders)
 ORDER BY o_orderkey
 """,
 )
@@ -1924,7 +1928,7 @@ def m_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         o.crossJoin(F.broadcast(avg_df))
-        .filter(F.col("o_totalprice") > 2 * F.col("avg_price"))
+        .filter(F.col("o_totalprice") > 1.5 * F.col("avg_price"))
         .select(
             "o_orderkey",
             "o_totalprice",
@@ -1965,37 +1969,62 @@ from .multimodal import (  # noqa: E402
 @q(
     "dd_exact_dup_groups",
     oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+)
 SELECT md5(text) AS fingerprint, COUNT(*) AS n_docs,
        list_sort(list(doc_id)) AS doc_ids
-FROM documents
+FROM corpus
 GROUP BY md5(text)
 HAVING COUNT(*) > 1
 ORDER BY fingerprint
 """,
 )
 def dd_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup, group view: hash-groupBy on md5(text). (The
-    testdata has no byte-identical dups — both sides return the
-    planted state; near-dup coverage is dd_ngram_jaccard/minhash.)"""
-    d = load(spark, sf_dir, "documents")
-    return exact_duplicate_groups(d).orderBy("fingerprint")
+    """Exact dedup, group view: hash-groupBy on md5(text) over a
+    re-crawl corpus (the base documents plus a deterministic
+    re-ingested subset under new ids — the small-sf testdata has no
+    byte-identical dups of its own, and a dedup oracle over a
+    dup-free corpus proves nothing)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    recrawl = d.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    return exact_duplicate_groups(d.unionByName(recrawl)).orderBy("fingerprint")
 
 
 @q(
     "dd_exact_dedup_survivors",
     oracle="""
-SELECT doc_id, n_chars FROM documents
+WITH corpus AS (
+  SELECT doc_id, n_chars, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, n_chars, text
+  FROM documents WHERE doc_id % 50 = 0
+)
+SELECT doc_id, n_chars FROM corpus
 WHERE doc_id IN (
-  SELECT min(doc_id) FROM documents GROUP BY md5(text)
+  SELECT min(doc_id) FROM corpus GROUP BY md5(text)
 )
 ORDER BY doc_id
 """,
 )
 def dd_exact_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup, survivor view: keep min doc_id per identical
-    text. One shuffle on the fingerprint."""
-    d = load(spark, sf_dir, "documents")
-    return exact_dedup(d).select("doc_id", "n_chars").orderBy("doc_id")
+    text over the same re-crawl corpus as dd_exact_dup_groups, so
+    the survivor filter actually drops rows. One shuffle on the
+    fingerprint."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars", "text")
+    recrawl = d.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    return (
+        exact_dedup(d.unionByName(recrawl))
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
 
 
 @q(
@@ -3023,7 +3052,9 @@ WITH touches AS (
     ROW_NUMBER() OVER (PARTITION BY o.o_orderkey
                        ORDER BY e.ts DESC, e.event_id DESC) AS rn
   FROM orders o
-  JOIN events e
+  JOIN (SELECT user_id, event_id, event_type,
+               ts - INTERVAL 23 YEAR AS ts
+        FROM events) e
     ON e.user_id = o.o_custkey
    AND e.ts <= o.o_orderdate
    AND e.event_type IN ('click', 'view')
@@ -3049,8 +3080,13 @@ def braze_order_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the user/custkey equi-join (hash join + residual filter — no
     BNLJ); ROW_NUMBER dedups on the orderkey grain."""
     o = load(spark, sf_dir, "orders")
-    e = load(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("click", "view")
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        # the synthetic events table lives 23 years after the orders
+        # epoch; shift touches back so the at-or-before-order window
+        # is non-degenerate at every scale factor
+        .withColumn("ts", F.col("ts") - F.expr("INTERVAL 23 YEARS"))
     )
     touches = o.join(
         e, (e.user_id == o.o_custkey) & (e.ts <= o.o_orderdate)
