@@ -21,6 +21,9 @@ from pyspark.sql import SparkSession  # noqa: E402
 from etl_pipelines_spark import session as _session  # noqa: E402
 from etl_pipelines_spark.queries import REGISTRY  # noqa: E402
 
+# Ordered JVM-relational first, Python-worker-heavy (Arrow batches,
+# numpy sketching) last: the python workers' spawn cost and memory
+# churn otherwise bleed into the timings of whatever runs next.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
@@ -28,10 +31,10 @@ HEADLINE = [
     "master_customer",
     "s_sessionize_gap",
     "w_rownum_latest_event",
-    "dd_minhash_lsh",
-    "ann_brute_topk",
     "wh_daily_kpi",
     "ml_churn_score",
+    "dd_minhash_lsh",
+    "ann_brute_topk",
 ]
 
 
@@ -57,12 +60,15 @@ def main() -> None:
     # Warm-up: trivial scan to absorb JVM/codegen/first-stage cost.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
-    # Best-of-2 per query: the first run pays codegen/JIT and any GC
+    # Best-of-3 per query: the first run pays codegen/JIT and any GC
     # debt from the previous query; the min is the stable warm figure.
+    # An explicit JVM GC before each query keeps inherited heap debt
+    # from billing the wrong query.
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        spark._jvm.System.gc()
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             df = REGISTRY[name].spark(spark, sf_dir)
             t0 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()
