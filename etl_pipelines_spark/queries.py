@@ -3802,12 +3802,17 @@ def ops_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("rn_first") == 1) & (F.col("rn_last_per_replaced") == 1))
         .drop("rn_first", "rn_last_per_replaced")
+        # referenced twice downstream (union + NOT IN side): cache =
+        # the reference's TEMP TABLE materialization (SURVEY §4),
+        # without it the two-window dedup subtree is computed twice
+        .cache()
     )
 
     regular = (
         e.filter(F.col("event_type") == "click")
         .join(
-            F.broadcast(repl.select("allocation_uid").distinct()),
+            # rn_first == 1 already makes allocation_uid unique
+            F.broadcast(repl.select("allocation_uid")),
             on=[F.col("user_id") == F.col("allocation_uid")],
             how="left_anti",
         )
