@@ -4281,3 +4281,42 @@ def ops_shipment_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     detailed = rollup(funnel.groupBy(week, "segment"), F.col("segment"))
     total = rollup(funnel.groupBy(week), F.lit("Total"))
     return detailed.unionByName(total).orderBy("fact_week", "segment")
+
+
+@q(
+    "w_percentile_window",
+    oracle="""
+SELECT DISTINCT event_type,
+  CAST(ts AS DATE) AS fact_date,
+  ROUND(quantile_cont(value, 0.75) OVER w, 6) AS p75_value,
+  ROUND(quantile_cont(value, 0.95) OVER w, 6) AS p95_value
+FROM events
+WINDOW w AS (PARTITION BY event_type, CAST(ts AS DATE))
+ORDER BY event_type, fact_date
+""",
+)
+def w_percentile_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: PERCENTILE_CONT(q) WITHIN GROUP OVER (PARTITION BY …) —
+    the windowed form (reference 4_dwh_core/v_weekly_cs_reporting
+    .sql:86-87 computes .75/.95 handling-time percentiles per
+    partition). Whole-partition window (no ORDER BY) + DISTINCT
+    collapse, the reference's idiom for attaching a distribution
+    stat to a reporting grain. Scale: one hash-partition exchange on
+    the (type, day) key serves both percentile columns; the DISTINCT
+    reuses the same partitioning (no extra shuffle of note)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", F.to_date("ts"))
+    return (
+        e.select(
+            "event_type",
+            F.to_date("ts").alias("fact_date"),
+            F.round(F.percentile("value", F.lit(0.75)).over(w), 6).alias(
+                "p75_value"
+            ),
+            F.round(F.percentile("value", F.lit(0.95)).over(w), 6).alias(
+                "p95_value"
+            ),
+        )
+        .distinct()
+        .orderBy("event_type", "fact_date")
+    )
