@@ -321,13 +321,21 @@ def master_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_partkey").alias("n_distinct_parts"),
         )
     )
+    # The two rollups leave their aggregations hash-partitioned by
+    # custkey, so joining them to each other first costs no exchange
+    # (li_stats keys are a subset of order_stats keys — lineitems
+    # reach a custkey only through orders), and the wide customer
+    # stream then shuffles ONCE instead of once per rollup.
+    stats = order_stats.join(
+        li_stats.withColumnRenamed("o_custkey", "li_custkey"),
+        F.col("o_custkey") == F.col("li_custkey"),
+        "left",
+    )
     acct = F.col("c_acctbal").cast("decimal(12,2)")
     return (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
-        .join(order_stats, order_stats.o_custkey == c.c_custkey, "left")
-        .join(li_stats.withColumnRenamed("o_custkey", "li_custkey"),
-              F.col("li_custkey") == c.c_custkey, "left")
+        .join(stats, F.col("o_custkey") == c.c_custkey, "left")
         .select(
             "c_custkey",
             "c_name",
