@@ -69,3 +69,20 @@ class TestPlanShapes:
         nodes, plan = formatted_plan(spark, "ann_brute_topk", sf_dir)
         assert nodes.count("BroadcastNestedLoopJoin") == 1, plan
         assert nodes.count("SortMergeJoin") == 0, plan
+
+    def test_master_customer_exchange_budget(self, spark, sf_dir):
+        """The flagship wide build: rollups pre-join at their shared
+        custkey partitioning so the customer stream shuffles once —
+        the plan must stay within its audited exchange budget and
+        keep the dimension attaches broadcast."""
+        nodes, plan = formatted_plan(spark, "master_customer", sf_dir)
+        assert nodes.count("Exchange") <= 5, plan
+        assert nodes.count("BroadcastHashJoin") >= 2, plan
+
+    def test_ops_allocation_caches_reused_branch(self, spark, sf_dir):
+        """The replacement branch feeds both the union and the NOT IN
+        exclusion; the SURVEY §4 materialize-if-reused rule demands a
+        cache so the two-window dedup subtree isn't computed twice."""
+        nodes, plan = formatted_plan(spark, "ops_allocation", sf_dir)
+        assert "InMemoryTableScan" in nodes, plan
+        assert nodes.count("Exchange") <= 4, plan
