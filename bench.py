@@ -32,9 +32,12 @@ HEADLINE = [
     "s_sessionize_gap",
     "w_rownum_latest_event",
     "wh_daily_kpi",
+    "wh_track_events",
+    "ops_shipment_funnel",
     "ml_churn_score",
     "dd_minhash_lsh",
     "ann_brute_topk",
+    "dd_neardup_components",
 ]
 
 
