@@ -101,6 +101,12 @@ def main():
             if problems:
                 print(f"  ✗ {name}: {'; '.join(problems)}")
                 n_fail += 1
+            elif df.count() == 0:
+                # a 0=0 match proves nothing — a query whose oracle
+                # agrees on the empty set is a FAILING check here
+                # (four queries once passed vacuously this way)
+                print(f"  ✗ {name}: VACUOUS (0 rows on both sides)")
+                n_fail += 1
             else:
                 print(f"  ✓ {name}")
                 n_pass += 1
