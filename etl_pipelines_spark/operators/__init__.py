@@ -15,8 +15,11 @@ from .asof import asof_join
 from .rangejoin import range_join
 from .running import running_total, rolling_agg
 from .skew import salted_agg, salted_join
+from .moneysum import cents, two_tier_exact_sums
 
 __all__ = [
+    "cents",
+    "two_tier_exact_sums",
     "salted_agg",
     "salted_join",
     "dedupe_latest",

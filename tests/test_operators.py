@@ -147,3 +147,64 @@ class TestRunning:
         )
         out = running_total(df, "amt", ["k"], ["i"], "bal").orderBy("i").collect()
         assert [r.bal for r in out] == [10.0, 7.0, 12.0]
+
+
+class TestTwoTierExactSums:
+    """moneysum: the fixed-point fast path must be value-identical to
+    the exact-decimal slow path regardless of partitioning/order."""
+
+    def _base(self, spark):
+        import random
+        rng = random.Random(7)
+        rows = [
+            (i % 5, round(rng.uniform(-1000, 10000) * 100) / 100.0)
+            for i in range(5000)
+        ]
+        return spark.createDataFrame(rows, "k int, amount double")
+
+    def test_matches_decimal_sums(self, spark):
+        from etl_pipelines_spark.operators import cents, two_tier_exact_sums
+        df = self._base(spark)
+        fast = {
+            r["k"]: (r["total"], r["n"])
+            for r in two_tier_exact_sums(
+                df,
+                ["k"],
+                units={"total": (cents(F.col("amount")), 100)},
+                partial_extra={"pn": F.count(F.lit(1))},
+                merge_extra={"n": F.sum("pn")},
+            ).collect()
+        }
+        slow = {
+            r["k"]: (r["total"], r["n"])
+            for r in df.groupBy("k")
+            .agg(
+                F.sum(F.col("amount").cast("decimal(12,2)"))
+                .cast("double")
+                .alias("total"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        }
+        assert fast == slow
+
+    def test_partitioning_invariant(self, spark):
+        from etl_pipelines_spark.operators import cents, two_tier_exact_sums
+
+        def run(df):
+            return {
+                r["k"]: r["total"]
+                for r in two_tier_exact_sums(
+                    df, ["k"], units={"total": (cents(F.col("amount")), 100)}
+                ).collect()
+            }
+
+        df = self._base(spark)
+        assert run(df.repartition(1)) == run(df.repartition(37, "k"))
+
+    def test_cents_recovers_two_decimal_doubles_exactly(self, spark):
+        from etl_pipelines_spark.operators import cents
+        vals = [0.01, -0.01, 123.45, -99999.99, 0.05, 1e7 - 0.01]
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        got = [r["c"] for r in df.select(cents(F.col("v")).alias("c")).collect()]
+        assert got == [round(v * 100) for v in vals]
