@@ -1589,6 +1589,8 @@ SELECT p_partkey,
   len(regexp_extract_all(p_name, '[aeiou]')) AS n_vowels,
   upper(p_name) AS up,
   lower(p_brand) AS lo,
+  array_to_string(list_transform(string_split(lower(p_name), ' '),
+    w -> upper(w[1]) || w[2:]), ' ') AS title_name,
   replace(p_name, ' ', '_') AS snake,
   translate(p_type, 'AEIOU', 'aeiou') AS lower_vowel_type,
   trim('  ' || p_name || '  ') AS trimmed,
@@ -1622,6 +1624,7 @@ def f_string_kitchen_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract(name, "([a-z]+)$", 1).alias("last_token"),
         RF.regexp_count(name, "[aeiou]").cast("long").alias("n_vowels"),
         F.upper(name).alias("up"),
+        F.initcap(name).alias("title_name"),
         F.lower("p_brand").alias("lo"),
         F.replace(name, F.lit(" "), F.lit("_")).alias("snake"),
         F.translate("p_type", "AEIOU", "aeiou").alias("lower_vowel_type"),
