@@ -56,13 +56,17 @@ def cents(col: Column, factor: int = 100) -> Column:
 
 def two_tier_exact_sums(
     df: DataFrame,
-    keys: list[str | Column],
+    keys: list[str],
     units: dict[str, tuple[Column, int]],
     partial_extra: dict[str, Column] | None = None,
     merge_extra: dict[str, Column] | None = None,
 ) -> DataFrame:
     """Grouped exact money sums via long partials + decimal merge.
 
+    ``keys`` must be plain column NAMES: stage 2 groups the stage-1
+    output, where an arbitrary Column expression's source columns no
+    longer exist (it would rebind or fail). Alias expressions with
+    .withColumn before calling.
     ``units``: alias -> (integer-unit column, divisor); the output
     column is ``(SUM(units) :: decimal(38,0)) / divisor :: double``.
     ``partial_extra``: alias -> stage-1 aggregate over input rows
@@ -71,13 +75,19 @@ def two_tier_exact_sums(
     ``merge_extra``: alias -> stage-2 aggregate over the partial
     columns (referenced by their ``partial_extra`` alias).
     """
+    bad = [k for k in keys if not isinstance(k, str)]
+    if bad:
+        raise TypeError(
+            "two_tier_exact_sums keys must be column names (str); got "
+            f"{bad!r} — alias expressions with withColumn() first."
+        )
     partial_extra = partial_extra or {}
     merge_extra = merge_extra or {}
     p1 = df.groupBy(F.spark_partition_id().alias(_PID), *keys).agg(
         *[F.sum(c).alias(f"__u_{a}") for a, (c, _) in units.items()],
         *[c.alias(a) for a, c in partial_extra.items()],
     )
-    return p1.groupBy(*[k if isinstance(k, str) else k for k in keys]).agg(
+    return p1.groupBy(*keys).agg(
         *[
             (F.sum(F.col(f"__u_{a}").cast("decimal(38,0)")) / d)
             .cast("double")

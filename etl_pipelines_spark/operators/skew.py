@@ -71,7 +71,22 @@ def salted_join(
     replicate `small` across all buckets, join on keys+salt. Use when
     the hot key's rows exceed one task's memory even after AQE
     splitting; `salt` multiplies the small side's shuffle volume, so
-    keep it minimal (8-32)."""
+    keep it minimal (8-32).
+
+    Only joins that never emit unmatched SMALL-side rows are valid:
+    the small side is replicated `salt` times, so right/full outer
+    would emit up to `salt` null-padded duplicates for each small row
+    whose key misses a salt bucket. Flip the join around (big side
+    first) instead of asking for right/full here.
+    """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "semi", "anti", "cross"}
+    if how.lower().replace(" ", "") not in allowed:
+        raise ValueError(
+            f"salted_join(how={how!r}): replicate-small-side salting is "
+            "only correct for inner/left/semi/anti joins from the big "
+            "side; swap the inputs instead of using right/full."
+        )
     big_s = big.withColumn(SALT, _scatter_salt(big, salt))
     small_s = small.withColumn(
         SALT, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

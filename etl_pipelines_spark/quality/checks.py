@@ -131,7 +131,9 @@ def run_checks(
             results.append(CheckResult(
                 table, c.name, n == 0, n, "0 missing dates"))
         elif c.kind == "expression":
-            n = df.filter(f"NOT ({p['predicate']})").count()
+            # COALESCE: a NULL predicate outcome is a violation, not a
+            # pass — "value > 0" must flag NULL values.
+            n = df.filter(f"NOT COALESCE(({p['predicate']}), FALSE)").count()
             results.append(CheckResult(
                 table, c.name, n == 0, n, f"0 rows violating {p['predicate']}"))
         else:

@@ -1763,8 +1763,11 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sessions AS (
-  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING) AS session_seq
+  -- CAST: DuckDB types a window SUM of integers as HUGEINT, which
+  -- pandas widens to float64 — hash-mismatch vs Spark's bigint even
+  -- with equal values (the round-1 red row).
+  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
   FROM flagged
 )
 SELECT user_id, session_seq,
@@ -2143,33 +2146,25 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_neardup_pairs(d, max_hamming=3, n=2).orderBy("id_a", "id_b")
 
 
-@q(
-    "dd_embedding_neardup",
-    oracle="""
-WITH v AS (
-  SELECT vec_id,
-    list_transform(embedding, x -> x::DOUBLE /
-      sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)))) AS vn
-  FROM embeddings
-)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-  round(list_sum(list_transform(range(1, 65), i -> a.vn[i] * b.vn[i])), 6) AS cosine
-FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE list_sum(list_transform(range(1, 65), i -> a.vn[i] * b.vn[i])) >= 0.4
-ORDER BY id_a, id_b
-""",
-)
-def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (>= 0.4; the corpus's cosine
-    distribution tops out at ~0.55, so 0.4 exercises a non-trivial
-    pair set). Each side unit-normalizes ONCE pre-join so the n²/2
-    pair loop is a bare dot product; at 100 TB this becomes
-    LSH-bucketed first (lsh_topk machinery) — the exact all-pairs
-    form is the verifier."""
-    from .textops.similarity import all_pairs_cosine
+from .textops import lsh_neardup_oracle_sql, lsh_neardup_pairs  # noqa: E402
 
+
+@q("dd_embedding_neardup", oracle=lsh_neardup_oracle_sql())
+def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (>= 0.4), the SCALE path:
+    sign-LSH candidate buckets (4 tables x 6 bits, deterministic
+    hyperplanes) + exact-cosine verification of candidates only —
+    the same candidate→verify shape as dd_minhash_lsh. The bucket
+    self-join shuffles only (id, table, sig); vectors rejoin onto
+    the candidate pair set; no driver-side collect anywhere.
+
+    The oracle replicates the hyperplanes as SQL literals, so the
+    driver compares the exact verified pair set. The lossless n²
+    verifier (all_pairs_cosine) stays as the test oracle:
+    tests/test_textops.py asserts every LSH pair appears in the
+    all-pairs set with a bit-identical cosine."""
     e = load_spread(spark, sf_dir, "embeddings")
-    pairs = all_pairs_cosine(e, threshold=0.4, dim=64)
+    pairs = lsh_neardup_pairs(e, threshold=0.4, dim=64, n_planes=6, n_tables=4)
     return (
         pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
         .orderBy("id_a", "id_b")
@@ -2701,8 +2696,10 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sessions AS (
-  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING) AS session_seq
+  -- CAST: window SUM of ints is HUGEINT in DuckDB -> pandas float64,
+  -- hash-mismatch vs Spark bigint (same fix as s_sessionize_gap).
+  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
   FROM flagged
 ),
 enriched AS (
@@ -4355,3 +4352,91 @@ def w_percentile_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("event_type", "fact_date")
     )
+
+
+# ===========================================================================
+# Registry ordering: the driver's correctness gate evaluates the FIRST
+# 50 registry entries (registration order). Round 1 registered the §2
+# micro-operator queries first, which left every LLM-data operator
+# (dd_*/ann_*/txt_*/mm_*), the §2 long tail and all composite
+# warehouse queries past the window with no driver CORRECTNESS row
+# (VERDICT.md "Next round" #1). Re-rank so the window covers exactly
+# the queries with no prior driver evidence plus a small headline set
+# (q1/master_customer keep a cross-round anchor; s_sessionize_gap
+# proves the round-1 red row is fixed). The demoted micro-queries lost
+# no coverage: each was driver-green in CORRECTNESS_r01 and stays in
+# the registry, the local gate (tools/verify_queries.py) and pytest.
+# ===========================================================================
+
+_DRIVER_WINDOW = [
+    # round-1 red row, now fixed (HUGEINT session_seq cast)
+    "s_sessionize_gap",
+    # cross-round anchors (driver-green in r01, headline bench queries)
+    "q1_pricing_summary",
+    "master_customer",
+    # LLM-data: dedup family
+    "dd_exact_dup_groups",
+    "dd_exact_dedup_survivors",
+    "dd_ngram_jaccard",
+    "dd_minhash_lsh",
+    "dd_simhash",
+    "dd_embedding_neardup",
+    "dd_neardup_components",
+    # LLM-data: similarity search
+    "ann_brute_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    # LLM-data: text analysis
+    "txt_quality",
+    "txt_langid",
+    "txt_fingerprint",
+    # LLM-data: multimodal
+    "mm_binary_meta",
+    "mm_resize_dims",
+    "mm_frame_plan",
+    "mm_audio_segments",
+    # ML scoring
+    "ml_churn_score",
+    "ml_price_score",
+    # §2 long tail with no driver row yet
+    "s_page_view_end",
+    "s_event_dedup_incremental",
+    "m_explode_split",
+    "m_posexplode",
+    "m_date_spine",
+    "m_scalar_subquery",
+    "w_percentile_window",
+    "mon_duplicate_keys",
+    "mon_missing_dates",
+    "mon_freshness",
+    # composite warehouse queries
+    "wh_daily_kpi",
+    "wh_sessions_mart",
+    "sessions_union_stitch",
+    "wh_page_views",
+    "wh_track_events",
+    "dm_rfm_segmentation",
+    "spv_price_outliers",
+    "master_subscription",
+    "top_products",
+    "braze_order_attribution",
+    "luxco_multigrain_union",
+    "fin_collection_curves",
+    "gc_wallet_expansion",
+    "gc_account_balance",
+    "ops_allocation",
+    "ops_shipment_funnel",
+    "sust_seasonality",
+    "pay_retry_payments",
+]
+
+
+def _reorder_registry() -> None:
+    front = [n for n in _DRIVER_WINDOW if n in REGISTRY]
+    rest = [n for n in REGISTRY if n not in set(front)]
+    items = {n: REGISTRY[n] for n in front + rest}
+    REGISTRY.clear()
+    REGISTRY.update(items)
+
+
+_reorder_registry()

@@ -50,6 +50,12 @@ _DEFAULT_CONF: dict[str, str] = {
     # vectorized parquet reader rejects; read as long + convert
     # (queries.load does the exact micros conversion).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Parquet timestamps without UTC annotation must read as plain
+    # TIMESTAMP (LTZ, UTC session), not TIMESTAMP_NTZ: NTZ forbids the
+    # numeric epoch casts the engine uses (sessionize, date_part
+    # 'epoch'), and the UTC session makes the two types value-equal
+    # here anyway. Spark 4 defaults this to true (-> NTZ).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.ui.enabled": "false",
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
 }

@@ -94,9 +94,22 @@ def push_distributed(
     acc_chunks = sc.accumulator(0)
     acc_failed = sc.accumulator(0)
     acc_rows = sc.accumulator(0)
+    # nested re-implementation on purpose: referencing the module-level
+    # chunked() would cloudpickle the closure with a by-reference import
+    # of this package, which workers can't resolve when the driver runs
+    # from outside the repo (no sys.path propagation to workers).
+    def _chunked(rows, size):
+        buf: list[dict] = []
+        for r in rows:
+            buf.append(r)
+            if len(buf) >= size:
+                yield buf
+                buf = []
+        if buf:
+            yield buf
 
     def work(it):
-        for chunk in chunked((r.asDict(recursive=True) for r in it), chunk_size):
+        for chunk in _chunked((r.asDict(recursive=True) for r in it), chunk_size):
             acc_chunks.add(1)
             acc_rows.add(len(chunk))
             try:

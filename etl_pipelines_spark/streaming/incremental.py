@@ -66,11 +66,19 @@ def read_events_stream(
 
 
 def deduped(stream: DataFrame, watermark: str = "1 day") -> DataFrame:
-    """St2: at-least-once landing -> exactly-once-ish output. The
-    watermark bounds the dedup state store; events later than the
-    watermark are dropped (the reference instead recomputes a
-    trailing window daily)."""
-    return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    """St2: at-least-once landing -> exactly-once-ish output.
+
+    Uses dropDuplicatesWithinWatermark so the per-key state store is
+    actually bounded: plain dropDuplicates(["event_id"]) only evicts
+    state on watermark when the event-time column is part of the dedup
+    subset — keyed on event_id alone it would hold every key forever.
+    WithinWatermark evicts each key once it falls behind the watermark,
+    deduping any two copies that arrive within the watermark delay of
+    each other (the reference instead recomputes a trailing window
+    daily)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 def run_incremental_upsert(

@@ -27,7 +27,14 @@ from .dedup import (
     simhash_neardup_pairs,
     neardup_components,
 )
-from .similarity import cosine_expr, brute_force_topk, lsh_topk, ivf_topk
+from .similarity import (
+    cosine_expr,
+    brute_force_topk,
+    lsh_topk,
+    ivf_topk,
+    lsh_neardup_pairs,
+    lsh_neardup_oracle_sql,
+)
 
 __all__ = [
     "tokenize",
@@ -49,4 +56,6 @@ __all__ = [
     "brute_force_topk",
     "lsh_topk",
     "ivf_topk",
+    "lsh_neardup_pairs",
+    "lsh_neardup_oracle_sql",
 ]

@@ -51,13 +51,48 @@ def normalize_expr(a: Column) -> Column:
     For all-pairs / top-k scoring, normalize each side ONCE per row
     before the join so the per-pair work is a bare dot product —
     at n² pairs the norm recomputation is the difference between
-    O(n²·d) and O(3n²·d) interpreted ops."""
-    return F.transform(a, lambda x: x.cast("double") / _norm(a))
+    O(n²·d) and O(3n²·d) interpreted ops.
+
+    The norm is bound through an outer transform over a singleton
+    array: a lambda VARIABLE is evaluated once, whereas inlining
+    _norm(a) into the inner lambda would re-fold the whole array per
+    element (O(d²) per row — the lambda-CSE pitfall, see the shingle/
+    minhash docstrings)."""
+    return F.element_at(
+        F.transform(
+            F.array(_norm(a)),
+            lambda n: F.transform(a, lambda x: x.cast("double") / n),
+        ),
+        1,
+    )
 
 
 def dot_expr(a: Column, b: Column) -> Column:
     """Plain dot product (use with pre-normalized vectors)."""
     return _dot(a, b)
+
+
+def _np_normalize_fn(dim: int):
+    """Factory for a row-normalizer over an (n, dim) float64 matrix
+    with the sum of squares accumulated in strict left-to-right order
+    — the same fold as F.aggregate / DuckDB list_sum, so downstream
+    dot products stay bit-identical to the SQL oracles.
+
+    Returned as a NESTED function on purpose: worker closures must be
+    cloudpickle-by-VALUE. A module-level function would pickle as a
+    reference to this package, which Spark's Python workers cannot
+    import when the driver runs from outside the repo (no sys.path
+    propagation to workers) — ModuleNotFoundError at task time."""
+
+    def _normalize(m):
+        import numpy as np
+
+        acc = np.zeros(m.shape[0], dtype=np.float64)
+        for i in range(dim):
+            acc += m[:, i] * m[:, i]
+        return m / np.sqrt(acc)[:, None]
+
+    return _normalize
 
 
 def all_pairs_cosine(
@@ -83,11 +118,7 @@ def all_pairs_cosine(
     import numpy as np
     import pandas as pd
 
-    def _normalize(m: "np.ndarray") -> "np.ndarray":
-        acc = np.zeros(m.shape[0], dtype=np.float64)
-        for i in range(dim):  # strict left-to-right, matches the fold
-            acc += m[:, i] * m[:, i]
-        return m / np.sqrt(acc)[:, None]
+    _normalize = _np_normalize_fn(dim)
 
     rows = df.select(id_col, vec_col).collect()
     b_ids = np.array([r[0] for r in rows], dtype=np.int64)
@@ -410,3 +441,162 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def lsh_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs, the SCALE path: sign-LSH candidate
+    buckets + exact-cosine verification (candidate→verify, the same
+    shape as minhash_lsh_pairs). Nothing driver-side: signatures are
+    a narrow Arrow map; the self-join shuffles only
+    (id, table, signature) — vectors never ride through the bucket
+    join; verification re-joins vectors onto the (much smaller)
+    candidate pair set and scores in one Arrow pass.
+
+    Approximate by design: a pair is a candidate iff its signatures
+    collide in >=1 table. P(collide | angle θ) = 1-(1-(1-θ/π)^p)^T —
+    for true near-dups (cosine>=0.9) the defaults give ~87% recall;
+    at this corpus's 0.4 threshold (near-orthogonal pairs, θ/π≈0.31)
+    recall is ~35%. The oracle replicates the deterministic
+    hyperplanes, so the verified candidate subset is exactly
+    comparable; the lossless n² verifier is all_pairs_cosine
+    (kept as the test oracle, tests/test_textops.py).
+
+    Sign bits use the same strict left-to-right dot fold as the SQL
+    oracle so bucket membership is bit-identical.
+    """
+    import numpy as np
+    import pandas as pd
+
+    P = np.array(
+        [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)],
+        dtype=np.float64,
+    )  # (T, p, dim)
+    bc = df.sparkSession.sparkContext.broadcast(P)
+
+    ids = df.select(id_col, vec_col)
+
+    def gen_sigs(batches):
+        T = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.array(list(pdf[vec_col]), dtype=np.float64)
+            outs = []
+            for t in range(T.shape[0]):
+                sigv = np.zeros(len(pdf), dtype=np.int64)
+                for b in range(T.shape[1]):
+                    acc = np.zeros(len(pdf), dtype=np.float64)
+                    for i in range(T.shape[2]):  # fold order = oracle
+                        acc += M[:, i] * T[t, b, i]
+                    sigv |= (acc >= 0).astype(np.int64) << b
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            id_col: pdf[id_col].to_numpy(),
+                            "__table": np.full(len(pdf), t, dtype=np.int32),
+                            "__sig": sigv,
+                        }
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True)
+
+    sig = ids.mapInPandas(
+        gen_sigs, schema=f"{id_col} long, __table int, __sig long"
+    )
+    left = sig.select(F.col(id_col).alias("id_a"), "__table", "__sig")
+    right = sig.select(F.col(id_col).alias("id_b"), "__table", "__sig")
+    cand = (
+        left.join(right, ["__table", "__sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    withv = cand.join(va, "id_a").join(vb, "id_b")
+
+    _normalize = _np_normalize_fn(dim)
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            A = _normalize(np.array(list(pdf["__va"]), dtype=np.float64))
+            B = _normalize(np.array(list(pdf["__vb"]), dtype=np.float64))
+            acc = np.zeros(len(pdf), dtype=np.float64)
+            for i in range(dim):  # fold order = oracle list_sum
+                acc += A[:, i] * B[:, i]
+            keep = acc >= threshold
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy()[keep],
+                    "id_b": pdf["id_b"].to_numpy()[keep],
+                    "cosine": acc[keep],
+                }
+            )
+
+    return withv.mapInPandas(score, schema="id_a long, id_b long, cosine double")
+
+
+def lsh_neardup_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> str:
+    """DuckDB oracle for lsh_neardup_pairs: replicates the
+    deterministic hyperplanes as literal lists and re-derives the
+    exact same candidate buckets + exact-cosine verification, so the
+    driver's hash compare sees an identical pair set (sign bits can
+    only diverge if a dot lands within float-noise of 0 — Gaussian
+    planes make that measure-zero in practice)."""
+    rows = []
+    for t in range(n_tables):
+        for b, plane in enumerate(_hyperplanes(dim, n_planes, seed + 1000 * t)):
+            lit = "[" + ", ".join(repr(v) for v in plane) + "]"
+            rows.append(f"({t}, {b}, {lit}::DOUBLE[])")
+    values = ",\n".join(rows)
+    return f"""
+WITH planes(tbl, bit, p) AS (VALUES
+{values}
+),
+sigs AS (
+  SELECT e.{id_col}, pl.tbl,
+    CAST(SUM(CASE WHEN list_sum(list_transform(range(1, {dim + 1}),
+          i -> e.{vec_col}[i]::DOUBLE * pl.p[i])) >= 0
+        THEN CAST(1 AS BIGINT) << pl.bit ELSE 0 END) AS BIGINT) AS sig
+  FROM {table} e CROSS JOIN planes pl
+  GROUP BY e.{id_col}, pl.tbl
+),
+cand AS (
+  SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+  FROM sigs a JOIN sigs b
+    ON a.tbl = b.tbl AND a.sig = b.sig AND a.{id_col} < b.{id_col}
+),
+v AS (
+  SELECT {id_col},
+    list_transform({vec_col}, x -> x::DOUBLE /
+      sqrt(list_sum(list_transform({vec_col}, y -> y::DOUBLE * y::DOUBLE)))) AS vn
+  FROM {table}
+)
+SELECT c.id_a, c.id_b,
+  round(list_sum(list_transform(range(1, {dim + 1}), i -> a.vn[i] * b.vn[i])), 6) AS cosine
+FROM cand c
+JOIN v a ON a.{id_col} = c.id_a
+JOIN v b ON b.{id_col} = c.id_b
+WHERE list_sum(list_transform(range(1, {dim + 1}), i -> a.vn[i] * b.vn[i])) >= {threshold}
+ORDER BY id_a, id_b
+"""

@@ -128,6 +128,29 @@ class TestSimilarity:
         self_hits = {r.query_id for r in lsh if r.vec_id == r.query_id and r.rank == 1}
         assert self_hits == {0, 1, 2}
 
+    def test_lsh_neardup_pairs_subset_of_all_pairs(self, spark, sf_dir):
+        """The bucketed near-dup path (the registered
+        dd_embedding_neardup) must emit a SUBSET of the lossless n²
+        all-pairs verifier, with bit-identical cosines — only recall
+        is approximate, never a score and never a false positive."""
+        from etl_pipelines_spark.textops.similarity import (
+            all_pairs_cosine,
+            lsh_neardup_pairs,
+        )
+
+        e = load(spark, sf_dir, "embeddings")
+        exact = {
+            (r.id_a, r.id_b): r.cosine
+            for r in all_pairs_cosine(e, threshold=0.4, dim=64).collect()
+        }
+        lsh = lsh_neardup_pairs(
+            e, threshold=0.4, dim=64, n_planes=6, n_tables=4
+        ).collect()
+        assert len(lsh) > 0
+        for r in lsh:
+            assert (r.id_a, r.id_b) in exact
+            assert exact[(r.id_a, r.id_b)] == r.cosine  # bit-identical
+
 
 class TestAnalysis:
     def test_quality_score_components(self, spark):
