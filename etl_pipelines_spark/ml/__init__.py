@@ -5,6 +5,14 @@ from .batch_scoring import (
     score_expression,
     score_with_pandas,
 )
+from .trees import (
+    TreeEnsemble,
+    ensemble_sql,
+    load_tree_model,
+    make_demo_pricing_model,
+    score_trees_pandas,
+    score_trees_reference,
+)
 
 __all__ = [
     "LinearModel",
@@ -12,4 +20,10 @@ __all__ = [
     "one_hot",
     "score_expression",
     "score_with_pandas",
+    "TreeEnsemble",
+    "ensemble_sql",
+    "load_tree_model",
+    "make_demo_pricing_model",
+    "score_trees_pandas",
+    "score_trees_reference",
 ]

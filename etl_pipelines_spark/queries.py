@@ -2502,6 +2502,70 @@ def ml_churn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _price_model():
+    from .ml import make_demo_pricing_model
+
+    return make_demo_pricing_model()
+
+
+def _price_score_oracle() -> str:
+    from .ml import ensemble_sql
+
+    return f"""
+WITH feat AS (
+  SELECT p.p_partkey,
+    CAST(p.p_size AS DOUBLE) AS p_size,
+    p.p_retailprice,
+    CAST(COALESCE(SUM(l.l_quantity), 0) AS DOUBLE) AS qty_sum,
+    CAST(COUNT(l.l_orderkey) AS DOUBLE) AS line_cnt
+  FROM part p LEFT JOIN lineitem l ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_partkey, p.p_size, p.p_retailprice
+)
+SELECT p_partkey, {ensemble_sql(_price_model())} AS price_score
+FROM feat
+ORDER BY p_partkey
+"""
+
+
+@q("ml_price_score", oracle=_price_score_oracle())
+def ml_price_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NON-linear model through the batch-scoring plumbing (reference
+    ds-airflow-prod/business_logic/tft_pricing_inference/
+    inference_model.py shape): per-part demand features -> a GBT-
+    shaped tree-ensemble artifact -> vectorized mapInPandas scoring
+    (ml/trees.py). The oracle renders the same artifact as nested
+    CASE WHEN trees, and every feature is exact in double arithmetic
+    (sums of integral quantities, counts, stored prices), so branch
+    decisions and the left-to-right leaf sum are bit-identical —
+    a full value-exact row, not rows-only. Driver-side scalar
+    agreement is additionally tested in tests/test_ml.py."""
+    from .ml import score_trees_pandas
+
+    model = _price_model()
+    p = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    feat = (
+        p.join(li, li.l_partkey == p.p_partkey, "left")
+        .groupBy("p_partkey", "p_size", "p_retailprice")
+        .agg(
+            F.coalesce(F.sum("l_quantity"), F.lit(0.0))
+            .cast("double")
+            .alias("qty_sum"),
+            F.count("l_orderkey").cast("double").alias("line_cnt"),
+        )
+        .select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("p_size"),
+            "p_retailprice",
+            "qty_sum",
+            "line_cnt",
+        )
+    )
+    return score_trees_pandas(
+        feat, model, id_cols=["p_partkey"], score_col="price_score"
+    ).orderBy("p_partkey")
+
+
 # ===========================================================================
 # Warehouse-pipeline shape (SURVEY §3.1/§7 P3; plans/warehouse.py)
 # ===========================================================================
@@ -2766,6 +2830,119 @@ def wh_sessions_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("last_event_type").alias("last_event_type"),
         )
         .orderBy("user_id", "session_seq")
+    )
+
+
+@q(
+    "sessions_union_stitch",
+    oracle="""
+WITH web_flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS is_new
+  FROM events WHERE event_type IN ('view', 'click')
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+web_sessions AS (
+  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM web_flagged
+),
+web AS (
+  SELECT 'web' AS platform, user_id, session_seq,
+    MIN(ts) AS session_start, MAX(ts) AS session_end,
+    COUNT(*) AS n_events,
+    COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_page_views,
+    CAST(NULL AS BIGINT) AS n_purchases
+  FROM web_sessions GROUP BY user_id, session_seq
+),
+app_flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS is_new
+  FROM events WHERE event_type IN ('signup', 'purchase', 'error')
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+app_sessions AS (
+  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM app_flagged
+),
+app AS (
+  SELECT 'app' AS platform, user_id, session_seq,
+    MIN(ts) AS session_start, MAX(ts) AS session_end,
+    COUNT(*) AS n_events,
+    CAST(NULL AS BIGINT) AS n_page_views,
+    COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases
+  FROM app_sessions GROUP BY user_id, session_seq
+)
+SELECT platform || '-' || user_id || '-' || session_seq AS session_key, *
+FROM (SELECT * FROM web UNION ALL SELECT * FROM app)
+ORDER BY user_id, session_start, platform
+""",
+)
+def sessions_union_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web+app sessions union stitch (reference 31_segment_page_view_
+    and_sessions/13_sessions_union.sql): each platform's event subset
+    is sessionized independently (30-min gap), rolled up with
+    platform-specific measures, then UNION ALLed with NULL padding
+    for the other platform's columns, a platform tag, and a stitched
+    session_key. Each branch shares one user_id shuffle for its
+    lag-flag, running sum and rollup; the union is shuffle-free."""
+    e = load(spark, sf_dir, "events")
+
+    def sessionize(platform: str, types: list[str]) -> DataFrame:
+        sub = e.filter(F.col("event_type").isin(types))
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        prev_ts = F.lag("ts").over(w)
+        is_new = F.when(
+            prev_ts.isNull()
+            | (RF.datediff("second", prev_ts, F.col("ts")) > 1800),
+            1,
+        ).otherwise(0)
+        return sub.withColumn(
+            "session_seq",
+            F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        ).groupBy("user_id", "session_seq").agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("event_type") == "view", 1)).alias(
+                "n_page_views"
+            ),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+                "n_purchases"
+            ),
+        ).select(
+            F.lit(platform).alias("platform"),
+            "user_id",
+            "session_seq",
+            "session_start",
+            "session_end",
+            "n_events",
+            (
+                F.col("n_page_views")
+                if platform == "web"
+                else F.lit(None).cast("long").alias("n_page_views")
+            ),
+            (
+                F.col("n_purchases")
+                if platform == "app"
+                else F.lit(None).cast("long").alias("n_purchases")
+            ),
+        )
+
+    web = sessionize("web", ["view", "click"])
+    app = sessionize("app", ["signup", "purchase", "error"])
+    return (
+        web.unionByName(app)
+        .select(
+            F.concat_ws("-", "platform", "user_id", "session_seq").alias(
+                "session_key"
+            ),
+            "*",
+        )
+        .orderBy("user_id", "session_start", "platform")
     )
 
 

@@ -76,3 +76,82 @@ class TestScoring:
         import math
 
         assert abs(got - 1 / (1 + math.exp(0.5))) < 1e-12
+
+
+class TestTreeEnsemble:
+    """GBT-shaped artifact through the same plumbing (ml/trees.py)."""
+
+    def _feat_pdf(self, spark, sf_dir):
+        from etl_pipelines_spark.queries import load
+
+        p = load(spark, sf_dir, "part")
+        li = load(spark, sf_dir, "lineitem")
+        return (
+            p.join(li, li.l_partkey == p.p_partkey, "left")
+            .groupBy("p_partkey", "p_size", "p_retailprice")
+            .agg(
+                F.coalesce(F.sum("l_quantity"), F.lit(0.0))
+                .cast("double")
+                .alias("qty_sum"),
+                F.count("l_orderkey").cast("double").alias("line_cnt"),
+            )
+            .select(
+                "p_partkey",
+                F.col("p_size").cast("double").alias("p_size"),
+                "p_retailprice",
+                "qty_sum",
+                "line_cnt",
+            )
+        )
+
+    def test_roundtrip_artifact(self, tmp_path):
+        from etl_pipelines_spark.ml import (
+            TreeEnsemble,
+            load_tree_model,
+            make_demo_pricing_model,
+        )
+
+        m = make_demo_pricing_model()
+        path = tmp_path / "model.json"
+        path.write_text(m.to_json())
+        m2 = load_tree_model(str(path))
+        assert m2 == m
+        assert m2 == TreeEnsemble.from_json(m.to_json())
+
+    def test_mapinpandas_matches_scalar_reference(self, spark, sf_dir):
+        """Vectorized mask-descent scoring must agree bit-for-bit
+        with a row-at-a-time recursive descent on the driver."""
+        from etl_pipelines_spark.ml import (
+            make_demo_pricing_model,
+            score_trees_pandas,
+            score_trees_reference,
+        )
+
+        model = make_demo_pricing_model()
+        feat = self._feat_pdf(spark, sf_dir)
+        got = {
+            r.p_partkey: r.score
+            for r in score_trees_pandas(
+                feat, model, id_cols=["p_partkey"], score_col="score"
+            ).collect()
+        }
+        pdf = feat.toPandas().sort_values("p_partkey").reset_index(drop=True)
+        want = score_trees_reference(pdf, model)
+        assert len(got) == len(pdf)
+        for i, pk in enumerate(pdf["p_partkey"]):
+            assert got[pk] == want[i]  # bit-identical
+
+    def test_trees_actually_branch(self, spark, sf_dir):
+        """The demo ensemble must produce a non-degenerate score
+        distribution (more than one distinct leaf path taken)."""
+        from etl_pipelines_spark.ml import make_demo_pricing_model, score_trees_pandas
+
+        model = make_demo_pricing_model()
+        feat = self._feat_pdf(spark, sf_dir)
+        n = (
+            score_trees_pandas(feat, model, id_cols=["p_partkey"], score_col="s")
+            .select("s")
+            .distinct()
+            .count()
+        )
+        assert n > 10
