@@ -95,8 +95,13 @@ def dateadd(unit: str, n: int | ColumnOrName, ts: ColumnOrName) -> Column:
     if unit == "year":
         return F.add_months(t, ncol * 12).cast("timestamp")
     if unit in _SECONDS:
-        secs = ncol.cast("long") * _SECONDS[unit]
-        return F.timestamp_seconds(t.cast("timestamp").cast("long") + secs)
+        # arithmetic on the MICROS value: Redshift DATEADD preserves
+        # fractional seconds for second/minute/hour/day/week units —
+        # a whole-seconds cast would truncate them.
+        micros = F.unix_micros(t.cast("timestamp")) + ncol.cast("long") * (
+            _SECONDS[unit] * 1_000_000
+        )
+        return F.timestamp_micros(micros)
     raise ValueError(f"unsupported dateadd unit: {unit!r}")
 
 

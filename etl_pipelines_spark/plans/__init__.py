@@ -1,3 +1,4 @@
+from .matview import MaterializedView
 from .model import Model, ModelResult, RunContext, TaskGroup
 from .pipeline import Pipeline
 from .warehouse import build_warehouse_pipeline

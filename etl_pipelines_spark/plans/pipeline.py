@@ -56,8 +56,6 @@ class Pipeline:
                         ModelResult(m.name, "skipped", 0.0, 0) for m in remaining
                     )
                     break
-        if failed_any and not self.continue_on_failure:
-            pass
         return results
 
     def _run_model(self, model: Model, ctx: RunContext) -> ModelResult:

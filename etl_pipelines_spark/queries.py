@@ -1539,7 +1539,13 @@ SELECT o_orderkey,
   strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS ts_char,
   strftime(o_orderdate, '%B') AS month_name,
   strftime(o_orderdate, '%A') AS day_name,
-  CAST(o_orderdate AS DATE) AS just_date
+  CAST(o_orderdate AS DATE) AS just_date,
+  CAST(o_orderdate AS TIMESTAMP) + to_microseconds(o_orderkey % 1000000)
+    + INTERVAL 90 SECOND AS plus_90s,
+  CAST(o_orderdate AS TIMESTAMP) + to_microseconds(o_orderkey % 1000000)
+    - INTERVAL 3 HOUR AS minus_3h,
+  CAST(o_orderdate AS TIMESTAMP) + to_microseconds(o_orderkey % 1000000)
+    + INTERVAL 5 MINUTE AS plus_5m
 FROM orders
 WHERE o_orderkey < 300
 ORDER BY o_orderkey
@@ -1553,6 +1559,9 @@ def f_datetime_kitchen_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
     d = F.col("o_orderdate")
     eoy = F.lit("2001-12-31").cast("timestamp")
+    ts_us = F.timestamp_micros(
+        F.unix_micros(d.cast("timestamp")) + F.col("o_orderkey") % 1000000
+    )
     return o.select(
         "o_orderkey",
         RF.date_trunc("month", d).alias("month_start"),
@@ -1574,6 +1583,12 @@ def f_datetime_kitchen_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         RF.to_char(d, "MONTH").alias("month_name"),
         RF.to_char(d, "DAY").alias("day_name"),
         RF.trunc_date(d).alias("just_date"),
+        # sub-second preservation: DATEADD on a micros-precision input
+        # must keep the fractional seconds (a whole-seconds epoch cast
+        # would zero them — the bug this column set guards against)
+        RF.dateadd("second", 90, ts_us).alias("plus_90s"),
+        RF.dateadd("hour", -3, ts_us).alias("minus_3h"),
+        RF.dateadd("minute", 5, ts_us).alias("plus_5m"),
     ).orderBy("o_orderkey")
 
 

@@ -141,10 +141,34 @@ def schema_evolving_append(existing: DataFrame, incoming: DataFrame) -> DataFram
     return existing.unionByName(incoming, allowMissingColumns=True)
 
 
-def compact(spark: SparkSession, path: str, target_files: int = 1) -> None:
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_files: int | None = None,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
     """Janitor small-file compaction (SURVEY.md §4 VACUUM row;
-    reference janitor/redshift/redshift_maintenance_ops.py:12-21)."""
+    reference janitor/redshift/redshift_maintenance_ops.py:12-21).
+
+    Output file count is sized by INPUT BYTES (ceil(bytes/128MB) by
+    default) and written through repartition(), not coalesce():
+    coalesce(1) would collapse the rewrite into a single task — a
+    one-thread funnel for the whole table at scale — while
+    repartition keeps the read parallel and shuffles into n sized
+    writers. Returns the file count used."""
     df = spark.read.parquet(path)
+    if target_files is None:
+        target_files = max(1, -(-_dir_bytes(path) // target_bytes))
     tmp = path + "." + uuid.uuid4().hex[:8] + ".tmp"
-    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    df.repartition(target_files).write.mode("overwrite").parquet(tmp)
     _atomic_swap(tmp, path)
+    return target_files

@@ -151,3 +151,46 @@ class TestQualityChecks:
         assert [r.passed for r in results] == [False, False, False, False]
         by_name = {r.check: r for r in results}
         assert by_name["no_missing_dates"].observed == 1  # 2020-01-02
+
+
+class TestMaterializedView:
+    def _mv(self):
+        from etl_pipelines_spark.plans import MaterializedView
+
+        return MaterializedView(
+            name="reporting.order_totals",
+            build=lambda ctx: ctx.read("staging.orders_seed")
+            .groupBy("o_orderstatus")
+            .count(),
+        )
+
+    def _seed(self, ctx, n):
+        ctx.source("orders").limit(n).write.mode("overwrite").parquet(
+            ctx.catalog.path("staging.orders_seed")
+        )
+
+    def test_stale_read_then_refresh(self, ctx):
+        """CREATE MV -> source changes -> reads stay stale -> REFRESH
+        recomputes (the staging_price_collection.ods_amazon.sql /
+        SPV-Union source.sql lifecycle)."""
+        import os
+
+        mv = self._mv()
+        os.makedirs(os.path.dirname(ctx.catalog.path("staging.orders_seed")),
+                    exist_ok=True)
+        self._seed(ctx, 100)
+        assert mv.ensure(ctx) is True
+        before = mv.read(ctx).agg({"count": "sum"}).first()[0]
+        assert before == 100
+        # underlying table doubles; the MV must NOT see it yet
+        self._seed(ctx, 200)
+        assert mv.ensure(ctx) is False  # IF NOT EXISTS: no rebuild
+        assert mv.read(ctx).agg({"count": "sum"}).first()[0] == 100
+        mv.refresh(ctx)
+        assert mv.read(ctx).agg({"count": "sum"}).first()[0] == 200
+
+    def test_read_before_build_raises(self, ctx):
+        import pytest as _pytest
+
+        with _pytest.raises(FileNotFoundError):
+            self._mv().read(ctx)

@@ -112,3 +112,19 @@ def test_full_refresh_sorted_within_files(spark, tmp_table):
         F.col("prev").isNotNull() & (F.col("prev") > F.col("ts"))
     )
     assert violations.count() == 0
+
+
+def test_compact_sizes_by_bytes_and_stays_parallel(spark, tmp_table):
+    """Auto-sized compaction: file count derives from input bytes /
+    target_bytes, written via repartition (multi-task), not a
+    single-task coalesce funnel."""
+    spark.createDataFrame(
+        [(i, "x" * 50) for i in range(5000)], ["id", "pad"]
+    ).repartition(16).write.parquet(tmp_table)
+    n_before = len([f for f in os.listdir(tmp_table) if f.endswith(".parquet")])
+    # tiny target_bytes forces >1 output file from the byte sizing
+    n = compact(spark, tmp_table, target_bytes=16 * 1024)
+    n_after = len([f for f in os.listdir(tmp_table) if f.endswith(".parquet")])
+    assert n_before == 16
+    assert n > 1 and n_after == n
+    assert spark.read.parquet(tmp_table).count() == 5000
