@@ -79,6 +79,38 @@ class TestPlanShapes:
         assert nodes.count("Exchange") <= 5, plan
         assert nodes.count("BroadcastHashJoin") >= 2, plan
 
+    def test_minhash_lsh_never_shuffles_shingles(self, spark, sf_dir):
+        """Candidate generation must shuffle only (doc_id, band,
+        band_key) + fixed-size sketch buffers — the shingle arrays
+        (plan-width killers) stay partition-local. Budget: 6
+        exchanges (3 are the local-testdata input spreads)."""
+        nodes, plan = formatted_plan(spark, "dd_minhash_lsh", sf_dir)
+        for m in re.finditer(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan):
+            assert "shingle" not in m.group(1).lower(), m.group(0)
+        assert nodes.count("Exchange") <= 6, plan
+
+    def test_master_subscription_broadcasts_all_dims(self, spark, sf_dir):
+        """All four dimension attaches must broadcast; the only real
+        shuffles are the rollup and the customer-grain join (+ final
+        order)."""
+        nodes, plan = formatted_plan(spark, "master_subscription", sf_dir)
+        assert nodes.count("BroadcastHashJoin") >= 4, plan
+        assert nodes.count("SortMergeJoin") == 0, plan
+        assert nodes.count("Exchange") <= 3, plan
+
+    def test_wh_daily_kpi_joins_at_day_grain_only(self, spark, sf_dir):
+        """The full-outer stitch must join day-grain aggregates, never
+        fact rows: any sort-merge join keyed on a fact id (event_id /
+        o_orderkey) would mean the rollup slipped below the join."""
+        nodes, plan = formatted_plan(spark, "wh_daily_kpi", sf_dir)
+        for m in re.finditer(
+            r"\(\d+\) SortMergeJoin[^\n]*\n(Left keys[^\n]*\n)(Right keys[^\n]*\n)",
+            plan,
+        ):
+            keys = (m.group(1) + m.group(2)).lower()
+            assert "event_id" not in keys and "o_orderkey" not in keys, m.group(0)
+        assert nodes.count("Exchange") <= 5, plan
+
     def test_ops_allocation_caches_reused_branch(self, spark, sf_dir):
         """The replacement branch feeds both the union and the NOT IN
         exclusion; the SURVEY §4 materialize-if-reused rule demands a
