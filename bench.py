@@ -38,6 +38,13 @@ HEADLINE = [
     "dd_minhash_lsh",
     "ann_brute_topk",
     "dd_neardup_components",
+    # round 2 additions: the new scale-path / capability queries.
+    # The cross-round comparable core is the 13 above; these extend
+    # visibility (dd_embedding_neardup switched from all-pairs to
+    # LSH-bucketed this round).
+    "sessions_union_stitch",
+    "ml_price_score",
+    "dd_embedding_neardup",
 ]
 
 

@@ -4,14 +4,26 @@ from .incremental import (
     read_events_stream,
     run_incremental_upsert,
     run_streaming_sessions,
+    running_user_stats,
     streaming_session_rollup,
+)
+from .kafka_shaped import (
+    KAFKA_WIRE_SCHEMA,
+    decode_events,
+    encode_events_to_wire,
+    read_kafka_shaped_stream,
 )
 
 __all__ = [
     "EVENTS_SCHEMA",
+    "KAFKA_WIRE_SCHEMA",
+    "decode_events",
     "deduped",
+    "encode_events_to_wire",
     "read_events_stream",
+    "read_kafka_shaped_stream",
     "run_incremental_upsert",
     "run_streaming_sessions",
+    "running_user_stats",
     "streaming_session_rollup",
 ]

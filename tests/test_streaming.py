@@ -151,3 +151,75 @@ class TestStatefulRunningStats:
         for u, r in got2.items():
             assert abs(r.lifetime_value - expall[u].v) < 1e-9
             assert r.last_seen == expall[u].last
+
+
+class TestKafkaShaped:
+    def test_wire_roundtrip_matches_batch(self, spark, events, tmp_path):
+        """events -> kafka wire encoding -> streamed decode must
+        reproduce the original rows, with broker lineage columns
+        (topic, partition, offset) attached and offsets monotonic
+        per partition."""
+        from etl_pipelines_spark.streaming import (
+            KAFKA_WIRE_SCHEMA,
+            decode_events,
+            encode_events_to_wire,
+            read_kafka_shaped_stream,
+        )
+
+        src = events.limit(500)
+        wire_dir = str(tmp_path / "wire")
+        wire = encode_events_to_wire(src)
+        # name/type contract (nullability differs on literal columns)
+        assert [(f.name, f.dataType) for f in wire.schema.fields] == [
+            (f.name, f.dataType) for f in KAFKA_WIRE_SCHEMA.fields
+        ]
+        wire.write.parquet(wire_dir)
+
+        stream = read_kafka_shaped_stream(spark, wire_dir)
+        assert stream.isStreaming
+        decoded = decode_events(stream)
+        out_dir = str(tmp_path / "out")
+        q = (
+            decoded.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+        got = spark.read.parquet(out_dir)
+        assert got.count() == 500
+        # typed payload survives the bytes round-trip
+        want = {
+            (r.event_id, r.ts, r.user_id, r.event_type, r.value)
+            for r in src.collect()
+        }
+        have = {
+            (r.event_id, r.ts, r.user_id, r.event_type, r.value)
+            for r in got.collect()
+        }
+        assert have == want
+        # offsets are dense + monotonic within each partition
+        import itertools
+
+        offs = sorted(
+            ((r.partition, r.offset) for r in got.select("partition", "offset").collect())
+        )
+        for part, grp in itertools.groupby(offs, key=lambda t: t[0]):
+            seq = [o for _, o in grp]
+            assert seq == list(range(1, len(seq) + 1))
+
+    def test_decode_is_jvm_only(self, spark, events):
+        """The decode path must stay whole-stage-codegen (no Python
+        nodes) — it sits in the hot ingestion path."""
+        from etl_pipelines_spark.streaming import decode_events, encode_events_to_wire
+
+        wire = encode_events_to_wire(events.limit(10))
+        plan = decode_events(wire)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        for n in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+            assert n not in plan
