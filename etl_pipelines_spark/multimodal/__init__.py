@@ -1,34 +1,47 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata (BASELINE.json north star).
 
-The container has no image/audio codecs, so the *decode* steps are
-stubbed (NotImplementedError or a deterministic fake, clearly
-marked); everything Spark-side — schema conventions, Arrow batch
-shapes, mapInPandas plumbing, partitioning — is real and tested.
+Uncompressed formats decode FOR REAL with numpy as the codec —
+P6 PPM images (decode_ppm_image, resize_ppm_image with true
+nearest-neighbor resampling) and PCM WAV audio (decode_wav_audio).
+Codec-requiring formats (JPEG/PNG/MP3/MP4) stay honestly stubbed
+(NotImplementedError, clearly marked); everything Spark-side —
+schema conventions, Arrow batch shapes, mapInPandas plumbing,
+partitioning — is real and tested either way.
 """
 
 from .binary import (
     MEDIA_SCHEMA,
     attach_fake_payload,
-    extract_binary_meta,
-    decode_image,
-    fake_feature_extract,
-    frame_sample_plan,
     audio_segment_plan,
     decode_audio,
-    with_resize_dims,
+    decode_image,
+    decode_ppm_image,
+    decode_wav_audio,
+    extract_binary_meta,
+    fake_feature_extract,
+    frame_sample_plan,
     resize_image,
+    resize_ppm_image,
+    synth_ppm_payload,
+    synth_wav_payload,
+    with_resize_dims,
 )
 
 __all__ = [
     "MEDIA_SCHEMA",
     "attach_fake_payload",
-    "extract_binary_meta",
-    "decode_image",
-    "fake_feature_extract",
-    "frame_sample_plan",
     "audio_segment_plan",
     "decode_audio",
-    "with_resize_dims",
+    "decode_image",
+    "decode_ppm_image",
+    "decode_wav_audio",
+    "extract_binary_meta",
+    "fake_feature_extract",
+    "frame_sample_plan",
     "resize_image",
+    "resize_ppm_image",
+    "synth_ppm_payload",
+    "synth_wav_payload",
+    "with_resize_dims",
 ]

@@ -7,11 +7,17 @@ Schema convention: a media row is
 feature-extract run as Arrow-batched Pandas iterators (mapInPandas)
 so bytes stay in columnar batches end-to-end.
 
-Decode is STUBBED: the container ships no codecs. The stubs either
-raise NotImplementedError (decode_image) or produce a deterministic
-fake (fake_feature_extract: byte-histogram "embedding") so the
-plumbing — batch shapes, schemas, partition sizing — is fully
-exercised by tests without pretending to decode JPEGs.
+Decode policy (no codec libraries ship in this container):
+- UNCOMPRESSED formats decode FOR REAL: PPM (P6) images and PCM WAV
+  audio are header + raw array parsing — numpy is the whole codec
+  (decode_ppm_image, decode_wav_audio, resize_ppm_image with true
+  nearest-neighbor pixel resampling).
+- codec-requiring formats (JPEG/PNG/MP3/MP4) stay honestly STUBBED
+  (decode_image / decode_audio / resize_image raise
+  NotImplementedError); their mapInPandas signatures and schemas are
+  the production contract — swap the body for PIL/libvips/ffmpeg.
+- fake_feature_extract produces a deterministic byte-histogram
+  "embedding" so feature plumbing is exercised without a model.
 """
 
 from __future__ import annotations
@@ -235,3 +241,215 @@ def resize_image(df: DataFrame, max_w: int = 256, max_h: int = 256) -> DataFrame
     return sized.select(
         "media_id", "payload", "target_width", "target_height"
     ).mapInPandas(_resize, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# REAL decode for uncompressed formats (numpy is the whole codec)
+# ---------------------------------------------------------------------------
+
+def synth_ppm_payload(id_col, width, height):
+    """Spark expression building a REAL P6 PPM payload: solid color
+    derived from the id — (id%256, id*3%256, id*7%256). The payload
+    is a valid image any PPM reader decodes; solid color keeps the
+    closed-form oracle (mean_r == id%256) exact."""
+    header = F.concat(
+        F.lit("P6\n"),
+        width.cast("string"), F.lit(" "), height.cast("string"),
+        F.lit("\n255\n"),
+    )
+    pixel = F.concat(
+        F.chr(F.pmod(id_col, 256)),
+        F.chr(F.pmod(id_col * 3, 256)),
+        F.chr(F.pmod(id_col * 7, 256)),
+    )
+    body = F.array_join(
+        F.transform(F.sequence(F.lit(1), width * height), lambda _: pixel), ""
+    )
+    # latin-1 encode: chr codes 0-255 map 1:1 onto bytes
+    return F.encode(F.concat(header, body), "ISO-8859-1")
+
+
+def _ppm_parser():
+    """Factory for the P6 parser: ASCII header (magic, dims, maxval;
+    # comments allowed) + raw RGB bytes -> (h, w, 3) uint8 array.
+    Returned NESTED so worker closures capture it by VALUE (a
+    module-level function would cloudpickle as a package reference
+    workers can't import — see textops/similarity._np_normalize_fn)."""
+
+    def parse(buf: bytes):
+        import numpy as np
+
+        if not buf.startswith(b"P6"):
+            raise ValueError("not a P6 PPM payload")
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while pos < len(buf) and buf[pos : pos + 1].isspace():
+                pos += 1
+            if buf[pos : pos + 1] == b"#":  # comment to end of line
+                while pos < len(buf) and buf[pos : pos + 1] != b"\n":
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(buf) and not buf[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(buf[start:pos]))
+        pos += 1  # single whitespace after maxval
+        w, h, maxval = fields
+        if maxval != 255:
+            raise ValueError(f"only 8-bit PPM supported (maxval={maxval})")
+        pix = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=pos)
+        return pix.reshape(h, w, 3)
+
+    return parse
+
+
+def decode_ppm_image(df: DataFrame) -> DataFrame:
+    """REAL image decode for P6 PPM payloads: header parse + raw RGB
+    frombuffer, per Arrow batch. Output carries dims + per-channel
+    means (the stats a quality filter needs); non-PPM payloads raise
+    — route compressed formats to the stubbed decode_image."""
+    out_schema = (
+        "media_id long, width int, height int, channels int, "
+        "mean_r double, mean_g double, mean_b double"
+    )
+    parse = _ppm_parser()
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "width", "height", "channels",
+                "mean_r", "mean_g", "mean_b")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = parse(bytes(payload))
+                h, w, c = img.shape
+                rows["media_id"].append(mid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["channels"].append(c)
+                means = img.reshape(-1, 3).mean(axis=0)
+                rows["mean_r"].append(float(means[0]))
+                rows["mean_g"].append(float(means[1]))
+                rows["mean_b"].append(float(means[2]))
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "payload").mapInPandas(_decode, schema=out_schema)
+
+
+def resize_ppm_image(df: DataFrame, max_w: int = 256, max_h: int = 256) -> DataFrame:
+    """REAL pixel resampling for PPM payloads: aspect-fit target dims
+    (with_resize_dims, JVM-side) then nearest-neighbor index-map
+    resampling in numpy; the output payload is a valid PPM at the new
+    size. Deterministic: index = floor((i + 0.5) * src/dst)."""
+    out_schema = "media_id long, payload binary, width int, height int"
+    parse = _ppm_parser()
+    sized = with_resize_dims(df, max_w, max_h)
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads, ws, hs = [], [], [], []
+            for mid, payload, tw, th in zip(
+                pdf["media_id"], pdf["payload"],
+                pdf["target_width"], pdf["target_height"],
+            ):
+                img = parse(bytes(payload))
+                sh, sw, _ = img.shape
+                yi = np.minimum(
+                    ((np.arange(th) + 0.5) * sh / th).astype(np.int64), sh - 1
+                )
+                xi = np.minimum(
+                    ((np.arange(tw) + 0.5) * sw / tw).astype(np.int64), sw - 1
+                )
+                out = img[yi][:, xi]
+                header = f"P6\n{tw} {th}\n255\n".encode()
+                ids.append(mid)
+                payloads.append(header + out.tobytes())
+                ws.append(tw)
+                hs.append(th)
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "width": ws, "height": hs}
+            )
+
+    return sized.select(
+        "media_id", "payload", "target_width", "target_height"
+    ).mapInPandas(_resize, schema=out_schema)
+
+
+def synth_wav_payload(id_col, n_samples, sample_rate: int = 8000):
+    """Spark expression building a REAL 8-bit mono PCM WAV payload
+    (RIFF header + fmt + data chunks); sample i = (id + i) % 256."""
+    def le32(v):
+        return F.concat(*[F.chr(F.pmod(F.floor(v / f), 256)) for f in
+                          (1, 256, 65536, 16777216)])
+
+    def le16(v):
+        return F.concat(F.chr(F.pmod(v, 256)), F.chr(F.pmod(F.floor(v / 256), 256)))
+
+    sr = F.lit(sample_rate)
+    fmt = F.concat(
+        F.lit("fmt "), le32(F.lit(16)),
+        le16(F.lit(1)),            # PCM
+        le16(F.lit(1)),            # mono
+        le32(sr),                  # sample rate
+        le32(sr),                  # byte rate (8-bit mono)
+        le16(F.lit(1)),            # block align
+        le16(F.lit(8)),            # bits/sample
+    )
+    data = F.concat(
+        F.lit("data"), le32(n_samples),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_samples - 1),
+                lambda i: F.chr(F.pmod(id_col + i, 256)),
+            ),
+            "",
+        ),
+    )
+    riff = F.concat(F.lit("RIFF"), le32(n_samples + 36), F.lit("WAVE"), fmt, data)
+    return F.encode(riff, "ISO-8859-1")
+
+
+def decode_wav_audio(df: DataFrame) -> DataFrame:
+    """REAL audio decode for PCM WAV payloads: RIFF chunk walk, fmt
+    parse, data length -> (sample_rate, n_samples, channels,
+    duration_ms). Compressed audio goes to the stubbed decode_audio."""
+    out_schema = (
+        "media_id long, sample_rate int, n_samples long, channels int, "
+        "duration_ms double"
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def parse(buf: bytes):
+            if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+                raise ValueError("not a RIFF/WAVE payload")
+            pos, fmt, data_len = 12, None, None
+            while pos + 8 <= len(buf):
+                cid = buf[pos : pos + 4]
+                clen = struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
+                if cid == b"fmt ":
+                    fmt = struct.unpack("<HHIIHH", buf[pos + 8 : pos + 24])
+                elif cid == b"data":
+                    data_len = clen
+                pos += 8 + clen + (clen % 2)  # chunks are word-aligned
+            if fmt is None or data_len is None:
+                raise ValueError("missing fmt/data chunk")
+            _audio_fmt, channels, rate, _br, block_align, bits = fmt
+            n = data_len // (channels * (bits // 8))
+            return rate, n, channels
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "sample_rate", "n_samples", "channels", "duration_ms")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, n, ch = parse(bytes(payload))
+                rows["media_id"].append(mid)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(n)
+                rows["channels"].append(ch)
+                rows["duration_ms"].append(n * 1000.0 / rate)
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "payload").mapInPandas(_decode, schema=out_schema)

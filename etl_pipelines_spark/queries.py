@@ -1253,13 +1253,18 @@ SELECT c_mktsegment,
   CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_balance
 FROM customer
 GROUP BY c_mktsegment
-HAVING COUNT(*) > 250
+HAVING COUNT(*) * (SELECT COUNT(DISTINCT c_mktsegment) FROM customer)
+       > (SELECT COUNT(*) FROM customer)
 ORDER BY c_mktsegment
 """,
 )
 def a_having_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5: HAVING -> post-agg filter (customer.sql:68)."""
+    """A5: HAVING -> post-agg filter (customer.sql:68). The threshold
+    is above-average segment size (exact integer cross-multiply, no
+    division), so the filter splits the groups at EVERY scale factor
+    — a fixed absolute count made the query vacuous at sf0.001."""
     c = load(spark, sf_dir, "customer")
+    w_all = Window.partitionBy()
     return (
         c.groupBy("c_mktsegment")
         .agg(
@@ -1268,7 +1273,10 @@ def a_having_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "avg_balance"
             ),
         )
-        .filter(F.col("n_customers") > 250)
+        .withColumn("__total", F.sum("n_customers").over(w_all))
+        .withColumn("__nseg", F.count(F.lit(1)).over(w_all))
+        .filter(F.col("n_customers") * F.col("__nseg") > F.col("__total"))
+        .drop("__total", "__nseg")
         .orderBy("c_mktsegment")
     )
 
@@ -2431,6 +2439,7 @@ def mon_duplicate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH present AS (
   SELECT DISTINCT CAST(o_orderdate AS DATE) AS date FROM orders
+  WHERE day(CAST(o_orderdate AS DATE)) <= 25
 ),
 b AS (SELECT min(date) AS lo, max(date) AS hi FROM present),
 spine AS (
@@ -2443,11 +2452,17 @@ ORDER BY date
 )
 def mon_missing_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-gap monitor (missing_dates.sql:3-8 shape): calendar
-    days inside the observed range with no orders. Spine via
+    days inside the observed range where the monitored feed loaded
+    nothing. The feed is a partial export (days 1-25 of each month)
+    so the monitor provably FINDS gaps at every scale factor — over
+    the full orders table the check is vacuously empty from sf0.1 up
+    (every day has orders), which proves nothing. Spine via
     F.sequence — no recursive CTE (SURVEY §2.12)."""
     from .quality.checks import missing_dates
 
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(
+        F.dayofmonth(F.to_date("o_orderdate")) <= 25
+    )
     return missing_dates(o, F.to_date("o_orderdate")).orderBy("date")
 
 
@@ -2559,21 +2574,24 @@ def ml_price_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = _price_model()
     p = load(spark, sf_dir, "part")
     li = load(spark, sf_dir, "lineitem")
+    # rollup-before-join (master_customer discipline): the lineitem
+    # shuffle carries only (l_partkey, partials); part attributes
+    # attach AFTER aggregation via broadcast — at scale the fact
+    # stream never carries dimension columns through the exchange.
+    demand = li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").cast("double").alias("qty_sum"),
+        F.count("l_orderkey").cast("double").alias("line_cnt"),
+    )
+    # no broadcast hint: demand is part-cardinality (not guaranteed
+    # small at scale) — AQE broadcasts it when it fits, SMJ otherwise.
     feat = (
-        p.join(li, li.l_partkey == p.p_partkey, "left")
-        .groupBy("p_partkey", "p_size", "p_retailprice")
-        .agg(
-            F.coalesce(F.sum("l_quantity"), F.lit(0.0))
-            .cast("double")
-            .alias("qty_sum"),
-            F.count("l_orderkey").cast("double").alias("line_cnt"),
-        )
+        p.join(demand, demand.l_partkey == p.p_partkey, "left")
         .select(
             "p_partkey",
             F.col("p_size").cast("double").alias("p_size"),
             "p_retailprice",
-            "qty_sum",
-            "line_cnt",
+            F.coalesce(F.col("qty_sum"), F.lit(0.0)).alias("qty_sum"),
+            F.coalesce(F.col("line_cnt"), F.lit(0.0)).alias("line_cnt"),
         )
     )
     return score_trees_pandas(
@@ -2900,65 +2918,57 @@ def sessions_union_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web+app sessions union stitch (reference 31_segment_page_view_
     and_sessions/13_sessions_union.sql): each platform's event subset
     is sessionized independently (30-min gap), rolled up with
-    platform-specific measures, then UNION ALLed with NULL padding
-    for the other platform's columns, a platform tag, and a stitched
-    session_key. Each branch shares one user_id shuffle for its
-    lag-flag, running sum and rollup; the union is shuffle-free."""
-    e = load(spark, sf_dir, "events")
+    platform-specific measures, then stitched with NULL padding for
+    the other platform's columns, a platform tag, and a session_key.
 
-    def sessionize(platform: str, types: list[str]) -> DataFrame:
-        sub = e.filter(F.col("event_type").isin(types))
-        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        prev_ts = F.lag("ts").over(w)
-        is_new = F.when(
-            prev_ts.isNull()
-            | (RF.datediff("second", prev_ts, F.col("ts")) > 1800),
-            1,
-        ).otherwise(0)
-        return sub.withColumn(
+    Physically this is ONE pass, not two: the platform tag is derived
+    per row and every window/rollup partitions by (platform, user_id)
+    — identical semantics to sessionizing each subset separately
+    (platforms partition the events), but one event scan and one
+    shuffle instead of two of each. The UNION in the reference SQL is
+    a logical shape; the NULL padding is a post-agg CASE."""
+    e = load(spark, sf_dir, "events")
+    tagged = e.withColumn(
+        "platform",
+        F.when(F.col("event_type").isin("view", "click"), "web").otherwise("app"),
+    )
+    w = Window.partitionBy("platform", "user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull() | (RF.datediff("second", prev_ts, F.col("ts")) > 1800),
+        1,
+    ).otherwise(0)
+    rolled = (
+        tagged.withColumn(
             "session_seq",
             F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
-        ).groupBy("user_id", "session_seq").agg(
+        )
+        .groupBy("platform", "user_id", "session_seq")
+        .agg(
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            F.count(F.when(F.col("event_type") == "view", 1)).alias(
-                "n_page_views"
-            ),
-            F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
-                "n_purchases"
-            ),
-        ).select(
-            F.lit(platform).alias("platform"),
-            "user_id",
-            "session_seq",
-            "session_start",
-            "session_end",
-            "n_events",
-            (
-                F.col("n_page_views")
-                if platform == "web"
-                else F.lit(None).cast("long").alias("n_page_views")
-            ),
-            (
-                F.col("n_purchases")
-                if platform == "app"
-                else F.lit(None).cast("long").alias("n_purchases")
-            ),
+            F.count(F.when(F.col("event_type") == "view", 1)).alias("__pv"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("__pu"),
         )
-
-    web = sessionize("web", ["view", "click"])
-    app = sessionize("app", ["signup", "purchase", "error"])
-    return (
-        web.unionByName(app)
-        .select(
-            F.concat_ws("-", "platform", "user_id", "session_seq").alias(
-                "session_key"
-            ),
-            "*",
-        )
-        .orderBy("user_id", "session_start", "platform")
     )
+    return rolled.select(
+        F.concat_ws("-", "platform", "user_id", "session_seq").alias(
+            "session_key"
+        ),
+        "platform",
+        "user_id",
+        "session_seq",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.when(F.col("platform") == "web", F.col("__pv"))
+        .otherwise(F.lit(None).cast("long"))
+        .alias("n_page_views"),
+        F.when(F.col("platform") == "app", F.col("__pu"))
+        .otherwise(F.lit(None).cast("long"))
+        .alias("n_purchases"),
+    ).orderBy("user_id", "session_start", "platform")
 
 
 @q(
@@ -2972,13 +2982,33 @@ WITH s AS (
   FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
   WHERE l.l_shipdate >= TIMESTAMP '1998-07-20'
 ),
+r AS (
+  SELECT *,
+    ROW_NUMBER() OVER wo AS rn,
+    COUNT(*) OVER wp AS cnt
+  FROM s
+  WINDOW wo AS (PARTITION BY p_brand, p_type
+                ORDER BY coeff, l_orderkey, l_linenumber),
+         wp AS (PARTITION BY p_brand, p_type)
+),
+-- interpolating median spelled as the explicit middle pair:
+-- MEDIAN()'s internal (lo+hi)/2 is engine-specific at the ulp level,
+-- which flips ROUND(x, 6) on half-boundary values; (lo+hi)/2 over
+-- identical element values is bit-identical everywhere.
 m AS (
   SELECT *,
-    MEDIAN(coeff) OVER (PARTITION BY p_brand, p_type) AS med
-  FROM s
+    (MAX(CASE WHEN rn = (cnt + 1) // 2 THEN coeff END) OVER wp
+     + MAX(CASE WHEN rn = cnt // 2 + 1 THEN coeff END) OVER wp) / 2 AS med
+  FROM r
+  WINDOW wp AS (PARTITION BY p_brand, p_type)
 )
+-- median_coeff stays UNROUNDED: the pair midpoint often lands within
+-- an ulp of a 7th-decimal half (…49999999), where the engines' ROUND
+-- implementations disagree (DuckDB's x*1e6 multiply can hit .5
+-- exactly; Spark's BigDecimal path sees the true below-half value).
+-- The raw doubles are bit-identical, so emit them as-is.
 SELECT p_brand, p_type, l_orderkey, l_linenumber, coeff,
-  ROUND(med, 6) AS median_coeff,
+  med AS median_coeff,
   RANK() OVER (PARTITION BY p_brand, p_type
                ORDER BY coeff, l_orderkey, l_linenumber) AS price_rank
 FROM m
@@ -3012,7 +3042,20 @@ def spv_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("coeff"),
     )
     grp = Window.partitionBy("p_brand", "p_type")
-    m = s.withColumn("med", F.median("coeff").over(grp))
+    # interpolating median via the explicit middle pair (see oracle
+    # comment): (lo+hi)/2 over identical element values is bit-exact
+    # across engines, F.median's internal interpolation is not.
+    wo = grp.orderBy("coeff", "l_orderkey", "l_linenumber")
+    ranked = s.withColumn("__rn", F.row_number().over(wo)).withColumn(
+        "__cnt", F.count(F.lit(1)).over(grp)
+    )
+    lo = F.max(
+        F.when(F.col("__rn") == F.expr("(__cnt + 1) DIV 2"), F.col("coeff"))
+    ).over(grp)
+    hi = F.max(
+        F.when(F.col("__rn") == F.expr("__cnt DIV 2 + 1"), F.col("coeff"))
+    ).over(grp)
+    m = ranked.withColumn("med", (lo + hi) / 2).drop("__rn", "__cnt")
     inliers = m.filter(
         F.col("ref_price").isNull()
         | ((F.col("coeff") - F.col("med")).between(-10.0, 10.0))
@@ -3024,7 +3067,7 @@ def spv_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
             "l_linenumber",
             "coeff",
-            F.round("med", 6).alias("median_coeff"),
+            F.col("med").alias("median_coeff"),
             F.rank()
             .over(grp.orderBy("coeff", "l_orderkey", "l_linenumber"))
             .alias("price_rank"),
@@ -4374,6 +4417,73 @@ def mm_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id", "seg_idx")
     )
+
+
+@q(
+    "mm_ppm_decode",
+    oracle="""
+SELECT doc_id AS media_id,
+  CAST(doc_id % 16 + 4 AS INT) AS width,
+  CAST(doc_id % 12 + 4 AS INT) AS height,
+  CAST(3 AS INT) AS channels,
+  CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+  CAST((doc_id * 3) % 256 AS DOUBLE) AS mean_g,
+  CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_b
+FROM documents
+ORDER BY media_id
+""",
+)
+def mm_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, no codec library: each doc gets a valid P6
+    PPM payload (solid id-derived color, id-derived dims), and
+    decode_ppm_image parses the header + raw RGB buffer in Arrow
+    batches. Solid color makes the per-channel means closed-form
+    (mean_r == id % 256 exactly — uint8 sums are exact in float64),
+    so the driver verifies the DECODED PIXELS, not just metadata.
+    Gradient payloads + resize resampling are pytest-gated
+    (tests/test_multimodal.py). Scale: narrow mapInPandas, one output
+    sort; bytes never leave the Arrow batch."""
+    from .multimodal import decode_ppm_image, synth_ppm_payload
+
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    media = d.select(
+        did.alias("media_id"),
+        synth_ppm_payload(
+            did, F.pmod(did, 16) + 4, F.pmod(did, 12) + 4
+        ).alias("payload"),
+    )
+    return decode_ppm_image(media).orderBy("media_id")
+
+
+@q(
+    "mm_wav_decode",
+    oracle="""
+SELECT doc_id AS media_id,
+  CAST(8000 AS INT) AS sample_rate,
+  CAST(doc_id % 400 + 100 AS BIGINT) AS n_samples,
+  CAST(1 AS INT) AS channels,
+  CAST((doc_id % 400 + 100) * 1000 AS DOUBLE) / 8000 AS duration_ms
+FROM documents
+ORDER BY media_id
+""",
+)
+def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, no codec library: each doc gets a valid
+    8-bit mono PCM WAV payload (RIFF/fmt/data chunks, id-derived
+    sample count) and decode_wav_audio walks the chunk structure to
+    recover rate / samples / channels / duration. The oracle derives
+    the same values in closed form, so the driver verifies actual
+    RIFF parsing. Scale: narrow mapInPandas + output sort only."""
+    from .multimodal import decode_wav_audio, synth_wav_payload
+
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    media = d.select(
+        did.alias("media_id"),
+        synth_wav_payload(did, F.pmod(did, 400) + 100, 8000).alias("payload"),
+    )
+    return decode_wav_audio(media).orderBy("media_id")
 
 
 @q(

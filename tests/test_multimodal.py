@@ -115,3 +115,111 @@ def test_decode_audio_is_stubbed(spark, media):
     )
     with pytest.raises(Exception, match="stubbed"):
         decode_audio(media).collect()
+
+
+class TestRealDecode:
+    """The numpy-as-codec paths: P6 PPM and PCM WAV decode for real."""
+
+    def _gradient_ppm(self, w, h):
+        """Hand-built P6 with a full gradient — every pixel distinct."""
+        import numpy as np
+
+        img = np.zeros((h, w, 3), dtype=np.uint8)
+        for y in range(h):
+            for x in range(w):
+                img[y, x] = ((x * 7 + y) % 256, (x + y * 5) % 256, (x * y) % 256)
+        return f"P6\n{w} {h}\n255\n".encode() + img.tobytes(), img
+
+    def test_ppm_decode_exact_pixels(self, spark):
+        import numpy as np
+
+        buf, img = self._gradient_ppm(13, 9)
+        df = spark.createDataFrame([(1, bytearray(buf))], "media_id long, payload binary")
+        from etl_pipelines_spark.multimodal import decode_ppm_image
+
+        row = decode_ppm_image(df).first()
+        assert (row.width, row.height, row.channels) == (13, 9, 3)
+        flat = img.reshape(-1, 3).mean(axis=0)
+        assert row.mean_r == pytest.approx(flat[0], abs=0)
+        assert row.mean_g == pytest.approx(flat[1], abs=0)
+        assert row.mean_b == pytest.approx(flat[2], abs=0)
+
+    def test_ppm_decode_handles_comments(self, spark):
+        buf, _ = self._gradient_ppm(4, 3)
+        commented = buf.replace(b"P6\n", b"P6\n# a comment line\n", 1)
+        df = spark.createDataFrame(
+            [(1, bytearray(commented))], "media_id long, payload binary"
+        )
+        from etl_pipelines_spark.multimodal import decode_ppm_image
+
+        row = decode_ppm_image(df).first()
+        assert (row.width, row.height) == (4, 3)
+
+    def test_resize_matches_numpy_reference(self, spark):
+        import numpy as np
+
+        buf, img = self._gradient_ppm(20, 16)
+        meta = {"mime": "image/ppm", "width": 20, "height": 16, "duration_ms": None}
+        df = spark.createDataFrame(
+            [(1, bytearray(buf), meta)],
+            "media_id long, payload binary, "
+            "meta struct<mime string, width int, height int, duration_ms int>",
+        )
+        from etl_pipelines_spark.multimodal import resize_ppm_image
+
+        row = resize_ppm_image(df, max_w=10, max_h=10).first()
+        # aspect fit: 20x16 -> 10x8
+        assert (row.width, row.height) == (10, 8)
+        got = bytes(row.payload)
+        assert got.startswith(b"P6\n10 8\n255\n")
+        pix = np.frombuffer(got, dtype=np.uint8, offset=len(b"P6\n10 8\n255\n"))
+        pix = pix.reshape(8, 10, 3)
+        yi = np.minimum(((np.arange(8) + 0.5) * 16 / 8).astype(int), 15)
+        xi = np.minimum(((np.arange(10) + 0.5) * 20 / 10).astype(int), 19)
+        want = img[yi][:, xi]
+        assert np.array_equal(pix, want)
+
+    def test_wav_decode_walks_chunks(self, spark):
+        import struct
+
+        # 16-bit stereo, 4410 samples, with an odd-length LIST chunk
+        # before data to exercise word-aligned chunk walking
+        sr, n, ch, bits = 44100, 4410, 2, 16
+        data = b"\x01\x02" * (n * ch)
+        fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, sr,
+                                    sr * ch * bits // 8, ch * bits // 8, bits)
+        lst = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad byte
+        dat = b"data" + struct.pack("<I", len(data)) + data
+        body = b"WAVE" + fmt + lst + dat
+        buf = b"RIFF" + struct.pack("<I", len(body)) + body
+        df = spark.createDataFrame([(7, bytearray(buf))], "media_id long, payload binary")
+        from etl_pipelines_spark.multimodal import decode_wav_audio
+
+        row = decode_wav_audio(df).first()
+        assert (row.sample_rate, row.n_samples, row.channels) == (sr, n, ch)
+        assert row.duration_ms == pytest.approx(100.0)
+
+    def test_synth_payloads_roundtrip(self, spark):
+        """The Spark-expression synthesizers emit payloads the real
+        decoders parse back to the constructed parameters."""
+        from etl_pipelines_spark.multimodal import (
+            decode_ppm_image,
+            decode_wav_audio,
+            synth_ppm_payload,
+            synth_wav_payload,
+        )
+
+        base = spark.range(1, 6).select(F.col("id").alias("media_id"))
+        ppm = base.select(
+            "media_id",
+            synth_ppm_payload(F.col("media_id"), F.lit(6), F.lit(5)).alias("payload"),
+        )
+        for r in decode_ppm_image(ppm).collect():
+            assert (r.width, r.height) == (6, 5)
+            assert r.mean_r == float(r.media_id % 256)
+        wav = base.select(
+            "media_id",
+            synth_wav_payload(F.col("media_id"), F.lit(250), 8000).alias("payload"),
+        )
+        for r in decode_wav_audio(wav).collect():
+            assert (r.sample_rate, r.n_samples, r.channels) == (8000, 250, 1)
