@@ -16,6 +16,7 @@ from .rangejoin import range_join
 from .running import running_total, rolling_agg
 from .skew import salted_agg, salted_join
 from .moneysum import cents, two_tier_exact_sums
+from .scd2 import as_of, open_rows, scd2_merge
 
 __all__ = [
     "cents",
@@ -33,4 +34,7 @@ __all__ = [
     "range_join",
     "running_total",
     "rolling_agg",
+    "scd2_merge",
+    "open_rows",
+    "as_of",
 ]

@@ -208,3 +208,83 @@ class TestTwoTierExactSums:
         df = spark.createDataFrame([(v,) for v in vals], "v double")
         got = [r["c"] for r in df.select(cents(F.col("v")).alias("c")).collect()]
         assert got == [round(v * 100) for v in vals]
+
+
+class TestScd2:
+    """Interval SCD2 merge vs the reference's daily-snapshot history."""
+
+    def _hist(self, spark):
+        from etl_pipelines_spark.operators import scd2_merge
+
+        day1 = spark.createDataFrame(
+            [(1, "basic", "DE"), (2, "premium", "FR"), (3, "basic", None)],
+            ["cust_id", "tier", "country"],
+        )
+        h = scd2_merge(None, day1, ["cust_id"], ["tier", "country"], "2024-01-01")
+        # day 2: cust 1 upgrades, cust 4 appears, cust 2/3 unchanged
+        day2 = spark.createDataFrame(
+            [(1, "premium", "DE"), (2, "premium", "FR"), (3, "basic", None),
+             (4, "basic", "US")],
+            ["cust_id", "tier", "country"],
+        )
+        h = scd2_merge(h, day2, ["cust_id"], ["tier", "country"], "2024-02-01")
+        # day 3: cust 3's NULL country fills in (NULL->value IS a change)
+        day3 = spark.createDataFrame(
+            [(1, "premium", "DE"), (2, "premium", "FR"), (3, "basic", "ES"),
+             (4, "basic", "US")],
+            ["cust_id", "tier", "country"],
+        )
+        return scd2_merge(h, day3, ["cust_id"], ["tier", "country"], "2024-03-01")
+
+    def test_history_intervals(self, spark):
+        import datetime as dt
+
+        h = self._hist(spark)
+        rows = {(r.cust_id, str(r.valid_from)): (r.tier, r.country, r.valid_to)
+                for r in h.collect()}
+        assert len(rows) == 6  # 3 original + upgrade + new key + null-fill
+        assert rows[(1, "2024-01-01")] == ("basic", "DE", dt.date(2024, 2, 1))
+        assert rows[(1, "2024-02-01")] == ("premium", "DE", None)
+        assert rows[(2, "2024-01-01")] == ("premium", "FR", None)
+        assert rows[(3, "2024-01-01")] == ("basic", None, dt.date(2024, 3, 1))
+        assert rows[(3, "2024-03-01")] == ("basic", "ES", None)
+        assert rows[(4, "2024-02-01")] == ("basic", "US", None)
+
+    def test_as_of_matches_snapshots(self, spark):
+        from etl_pipelines_spark.operators import as_of
+
+        h = self._hist(spark)
+        jan = {r.cust_id: r.tier for r in as_of(h, "2024-01-15").collect()}
+        assert jan == {1: "basic", 2: "premium", 3: "basic"}
+        feb = {r.cust_id: r.tier for r in as_of(h, "2024-02-15").collect()}
+        assert feb == {1: "premium", 2: "premium", 3: "basic", 4: "basic"}
+        # boundary: as-of the change day sees the NEW row (valid_to
+        # is exclusive)
+        flip = {r.cust_id: r.tier for r in as_of(h, "2024-02-01").collect()}
+        assert flip[1] == "premium"
+
+    def test_rerun_is_idempotent(self, spark):
+        from etl_pipelines_spark.operators import scd2_merge
+
+        h = self._hist(spark)
+        day3 = spark.createDataFrame(
+            [(1, "premium", "DE"), (2, "premium", "FR"), (3, "basic", "ES"),
+             (4, "basic", "US")],
+            ["cust_id", "tier", "country"],
+        )
+        again = scd2_merge(h, day3, ["cust_id"], ["tier", "country"], "2024-03-01")
+        a = sorted(map(str, h.collect()))
+        b = sorted(map(str, again.collect()))
+        assert a == b
+
+    def test_missing_key_stays_open(self, spark):
+        from etl_pipelines_spark.operators import open_rows, scd2_merge
+
+        h = self._hist(spark)
+        # cust 4 absent from day 4 snapshot -> row carries forward
+        day4 = spark.createDataFrame(
+            [(1, "premium", "DE"), (2, "premium", "FR"), (3, "basic", "ES")],
+            ["cust_id", "tier", "country"],
+        )
+        h4 = scd2_merge(h, day4, ["cust_id"], ["tier", "country"], "2024-04-01")
+        assert {r.cust_id for r in open_rows(h4).collect()} == {1, 2, 3, 4}
