@@ -2378,6 +2378,71 @@ def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "txt_hash_split",
+    oracle="""
+WITH b AS (
+  SELECT source,
+    CASE WHEN bkt < 90 THEN 'train'
+         WHEN bkt < 95 THEN 'val' ELSE 'test' END AS split
+  FROM (
+    SELECT source,
+      ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bkt
+    FROM documents
+  )
+)
+SELECT split, source, COUNT(*) AS n_docs
+FROM b GROUP BY split, source
+ORDER BY split, source
+""",
+)
+def txt_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test assignment (90/5/5) by hash-mod
+    bucketing (textops/sampling.py): md5(doc_id) mod 100 — a
+    document's split never changes with partitioning, cluster size,
+    corpus growth, or engine, which Bernoulli sample() cannot
+    guarantee. Narrow per-row expression; the only shuffle is the
+    audit rollup. The oracle reproduces the exact assignment."""
+    from .textops import with_split
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        with_split(d, "doc_id", train_pct=90, val_pct=5)
+        .groupBy("split", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "source")
+    )
+
+
+@q(
+    "txt_stratified_sample",
+    oracle="""
+SELECT doc_id, lang
+FROM (
+  SELECT doc_id, lang,
+    ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+WHERE rk <= 20
+ORDER BY lang, doc_id
+""",
+)
+def txt_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quota sampling (20 docs per lang) in hash order —
+    deterministic 'random' selection independent of storage order
+    (textops/sampling.stratified_take). One shuffle on the stratum
+    key; at 100 TB each stratum ranks independently."""
+    from .textops import stratified_take
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        stratified_take(d, "lang", "doc_id", 20)
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )
+
+
+@q(
     "mm_binary_meta",
     oracle="""
 SELECT doc_id AS media_id,

@@ -27,6 +27,12 @@ from .dedup import (
     simhash_neardup_pairs,
     neardup_components,
 )
+from .sampling import (
+    hash_bucket,
+    hash_sample,
+    stratified_take,
+    with_split,
+)
 from .similarity import (
     cosine_expr,
     brute_force_topk,
@@ -58,4 +64,8 @@ __all__ = [
     "ivf_topk",
     "lsh_neardup_pairs",
     "lsh_neardup_oracle_sql",
+    "hash_bucket",
+    "hash_sample",
+    "stratified_take",
+    "with_split",
 ]

@@ -3,6 +3,7 @@ exact consistency checks that the rows-only queries rely on."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from etl_pipelines_spark.queries import load
@@ -264,3 +265,56 @@ class TestNeardupComponents:
             for r in neardup_components(pairs, driver_max_edges=0).collect()
         )
         assert drv == dist
+
+
+class TestSampling:
+    """Deterministic hash-mod splits (textops/sampling.py)."""
+
+    def test_split_is_stable_under_growth_and_partitioning(self, spark, sf_dir):
+        """A doc's split must not change when the corpus grows or the
+        data is repartitioned — the property random sample() lacks."""
+        from etl_pipelines_spark.textops import with_split
+
+        d = load(spark, sf_dir, "documents")
+        half = {r.doc_id: r.split
+                for r in with_split(d.filter(F.col("doc_id") % 2 == 0), "doc_id")
+                .select("doc_id", "split").collect()}
+        full = {r.doc_id: r.split
+                for r in with_split(d.repartition(7), "doc_id")
+                .select("doc_id", "split").collect()}
+        assert half == {k: v for k, v in full.items() if k % 2 == 0}
+
+    def test_split_fractions_near_nominal(self, spark, sf_dir):
+        from etl_pipelines_spark.textops import with_split
+
+        d = load(spark, sf_dir, "documents")
+        counts = dict(
+            with_split(d, "doc_id").groupBy("split").count().rdd
+            .map(lambda r: (r["split"], r["count"])).collect()
+        )
+        n = sum(counts.values())
+        assert counts["train"] / n == pytest.approx(0.90, abs=0.05)
+        assert counts.get("val", 0) / n == pytest.approx(0.05, abs=0.03)
+        assert counts.get("test", 0) / n == pytest.approx(0.05, abs=0.03)
+
+    def test_hash_sample_is_subset_and_nested(self, spark, sf_dir):
+        """pct=10 sample ⊂ pct=20 sample (nested by construction)."""
+        from etl_pipelines_spark.textops import hash_sample
+
+        d = load(spark, sf_dir, "documents")
+        s10 = {r.doc_id for r in hash_sample(d, "doc_id", 10).select("doc_id").collect()}
+        s20 = {r.doc_id for r in hash_sample(d, "doc_id", 20).select("doc_id").collect()}
+        assert s10 <= s20
+        assert 0 < len(s10) < len(s20)
+
+    def test_stratified_take_respects_quota(self, spark, sf_dir):
+        from etl_pipelines_spark.textops import stratified_take
+
+        d = load(spark, sf_dir, "documents")
+        out = stratified_take(d, "lang", "doc_id", 5)
+        per = dict(out.groupBy("lang").count().rdd
+                   .map(lambda r: (r["lang"], r["count"])).collect())
+        assert per and all(v <= 5 for v in per.values())
+        # deterministic across shuffles
+        again = stratified_take(d.repartition(11), "lang", "doc_id", 5)
+        assert sorted(map(str, out.collect())) == sorted(map(str, again.collect()))
