@@ -192,3 +192,56 @@ class TestComponentsProperty:
                 for r in neardup_components(pairs, **kwargs).collect()
             }
             assert got == expected
+
+
+class TestScd2Property:
+    """Random snapshot sequences: the SCD2 history must answer every
+    as-of question exactly as the full-snapshot method would."""
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.lists(
+        st.dictionaries(
+            st.integers(1, 6),                       # key universe
+            st.sampled_from(["a", "b", "c", None]),  # attr incl NULL
+            min_size=1, max_size=6,
+        ),
+        min_size=1, max_size=5,
+    ))
+    def test_as_of_equals_snapshot(self, spark, snapshots):
+        import datetime as _dt
+
+        from etl_pipelines_spark.operators import as_of, scd2_merge
+
+        hist = None
+        run_days = []
+        carried: dict[int, str | None] = {}
+        expected_by_day = []
+        for i, snap in enumerate(snapshots):
+            day = _dt.date(2024, 1, 1) + _dt.timedelta(days=i * 7)
+            run_days.append(day)
+            # carry-forward semantics: keys absent from a snapshot
+            # keep their previous value
+            carried.update(snap)
+            expected_by_day.append(dict(carried))
+            inc = spark.createDataFrame(
+                [(k, v) for k, v in snap.items()],
+                "cust_id int, tier string",
+            )
+            hist = scd2_merge(hist, inc, ["cust_id"], ["tier"], day)
+
+        for day, want in zip(run_days, expected_by_day):
+            got = {
+                r.cust_id: r.tier
+                for r in as_of(hist, day + _dt.timedelta(days=3)).collect()
+            }
+            assert got == want
+        # interval sanity: one open row per live key; no overlaps
+        rows = hist.collect()
+        open_per_key: dict[int, int] = {}
+        for r in rows:
+            if r.valid_to is None:
+                open_per_key[r.cust_id] = open_per_key.get(r.cust_id, 0) + 1
+            else:
+                assert r.valid_from < r.valid_to or r.valid_from == r.valid_to
+        assert all(v == 1 for v in open_per_key.values())
