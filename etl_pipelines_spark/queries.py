@@ -2232,14 +2232,23 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-@q("ann_lsh_topk")
+from .textops import lsh_topk_oracle_sql  # noqa: E402
+
+
+@q(
+    "ann_lsh_topk",
+    oracle=lsh_topk_oracle_sql(k=10, dim=64, n_planes=6, n_tables=8),
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via random-hyperplane LSH (8 tables x 6
     bits — near-uniform corpora need short signatures for usable
     bucket sizes): candidates from signature-bucket matches only,
-    then exact scoring. Rows-only check (approximate by design);
-    recall vs the brute-force baseline is asserted in
-    tests/test_textops.py."""
+    then exact scoring. Value-exact despite being approximate: the
+    oracle replicates the deterministic hyperplanes as SQL literals
+    (the dd_embedding_neardup trick), and signature dots use the same
+    left-to-right fold, so candidate buckets and ranks compare
+    bit-for-bit. Recall vs the brute-force baseline is additionally
+    asserted in tests/test_textops.py."""
     e = load(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"

@@ -40,6 +40,7 @@ from .similarity import (
     ivf_topk,
     lsh_neardup_pairs,
     lsh_neardup_oracle_sql,
+    lsh_topk_oracle_sql,
 )
 
 __all__ = [
@@ -64,6 +65,7 @@ __all__ = [
     "ivf_topk",
     "lsh_neardup_pairs",
     "lsh_neardup_oracle_sql",
+    "lsh_topk_oracle_sql",
     "hash_bucket",
     "hash_sample",
     "stratified_take",

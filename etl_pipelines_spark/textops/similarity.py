@@ -259,14 +259,15 @@ def lsh_topk(
     tables = [
         _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
     ]
-    # (n_tables, n_planes, dim) — broadcast once; signatures are one
-    # numpy matmul per Arrow batch (narrow map, no shuffle). The
-    # expression-tree alternative is either interpreted (HOF) or
-    # codegen-budget-busting (flat chain) at this width — see
-    # lsh_signature docstring.
+    # (n_tables, n_planes, dim) — broadcast once; signatures are
+    # vectorized-across-rows per Arrow batch (narrow map, no shuffle),
+    # with the DOT folded left-to-right over the dim axis so sign bits
+    # are bit-identical to a SQL list_sum fold (the oracle replicates
+    # the planes as literals). The expression-tree alternative is
+    # either interpreted (HOF) or codegen-budget-busting (flat chain)
+    # at this width — see lsh_signature docstring.
     P = np.array(tables, dtype=np.float64)
     bc = corpus.sparkSession.sparkContext.broadcast(P)
-    weights = (1 << np.arange(n_planes, dtype=np.int64))
 
     def signatures(df: DataFrame, vec: str) -> DataFrame:
         fields = ", ".join(
@@ -281,7 +282,12 @@ def lsh_topk(
                 M = np.array(list(pdf[vec]), dtype=np.float64)
                 outs = []
                 for t in range(T.shape[0]):
-                    sig = ((M @ T[t].T >= 0).astype(np.int64) * weights).sum(axis=1)
+                    sig = np.zeros(len(pdf), dtype=np.int64)
+                    for b in range(T.shape[1]):
+                        acc = np.zeros(len(pdf), dtype=np.float64)
+                        for i in range(T.shape[2]):  # fold order = oracle
+                            acc += M[:, i] * T[t, b, i]
+                        sig |= (acc >= 0).astype(np.int64) << b
                     o = pdf.copy()
                     o["__table"] = np.int32(t)
                     o["__sig"] = sig
@@ -599,4 +605,70 @@ JOIN v a ON a.{id_col} = c.id_a
 JOIN v b ON b.{id_col} = c.id_b
 WHERE list_sum(list_transform(range(1, {dim + 1}), i -> a.vn[i] * b.vn[i])) >= {threshold}
 ORDER BY id_a, id_b
+"""
+
+
+def lsh_topk_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    seed: int = 42,
+    query_pred: str = "vec_id < 5",
+) -> str:
+    """DuckDB oracle for lsh_topk when the query set is a predicate
+    over the same table: replicates the deterministic hyperplanes as
+    literals, re-derives the identical candidate buckets, then exact-
+    scores and ranks — the same replication trick as
+    lsh_neardup_oracle_sql, so a previously rows-only approximate
+    query becomes value-exact."""
+    rows = []
+    for t in range(n_tables):
+        for b, plane in enumerate(_hyperplanes(dim, n_planes, seed + 1000 * t)):
+            lit = "[" + ", ".join(repr(v) for v in plane) + "]"
+            rows.append(f"({t}, {b}, {lit}::DOUBLE[])")
+    values = ",\n".join(rows)
+    return f"""
+WITH planes(tbl, bit, p) AS (VALUES
+{values}
+),
+sigs AS (
+  SELECT e.{id_col}, pl.tbl,
+    CAST(SUM(CASE WHEN list_sum(list_transform(range(1, {dim + 1}),
+          i -> e.{vec_col}[i]::DOUBLE * pl.p[i])) >= 0
+        THEN CAST(1 AS BIGINT) << pl.bit ELSE 0 END) AS BIGINT) AS sig
+  FROM {table} e CROSS JOIN planes pl
+  GROUP BY e.{id_col}, pl.tbl
+),
+cand AS (
+  SELECT DISTINCT q.{id_col} AS query_id, c.{id_col} AS {id_col}
+  FROM sigs q JOIN sigs c ON q.tbl = c.tbl AND q.sig = c.sig
+  WHERE q.{query_pred}
+),
+v AS (
+  SELECT {id_col}, {vec_col},
+    sqrt(list_sum(list_transform({vec_col}, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+  FROM {table}
+),
+scored AS (
+  SELECT cd.query_id, cd.{id_col},
+    list_sum(list_transform(range(1, {dim + 1}),
+      i -> q.{vec_col}[i]::DOUBLE * c.{vec_col}[i]::DOUBLE)) / (q.nrm * c.nrm)
+      AS cos_raw
+  FROM cand cd
+  JOIN v q ON q.{id_col} = cd.query_id
+  JOIN v c ON c.{id_col} = cd.{id_col}
+),
+ranked AS (
+  SELECT query_id, {id_col}, cos_raw,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos_raw DESC, {id_col}) AS rank
+  FROM scored
+)
+SELECT query_id, {id_col}, round(cos_raw, 6) AS cosine, rank
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
 """
