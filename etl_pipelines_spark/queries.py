@@ -2160,13 +2160,71 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("dd_simhash")
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(64-bit, 2-gram shingles) near-dup pairs at Hamming<=3
-    via pigeonhole chunk bucketing. Rows-only check (bit-level hash
-    arithmetic is not reasonably SQL-expressible in the oracle);
-    tests/test_textops.py asserts consistency against exact Jaccard
-    pairs."""
+    """SimHash(64-bit xxhash64, 2-gram shingles) near-dup pairs at
+    Hamming<=3 via pigeonhole chunk bucketing. Rows-only check
+    (xxhash64 is Spark-private, not SQL-expressible); the md5 variant
+    below is the value-exact form, and tests/test_textops.py asserts
+    consistency against exact Jaccard pairs."""
     d = load_spread(spark, sf_dir, "documents")
     return simhash_neardup_pairs(d, max_hamming=3, n=2).orderBy("id_a", "id_b")
+
+
+@q(
+    "dd_simhash_md5",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\s+'), t -> t != '') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(tk) >= 2
+         THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+         ELSE [array_to_string(tk, ' ')] END)) AS s
+  FROM toks
+),
+hs AS (
+  SELECT doc_id, ('0x' || substring(md5(s), 1, 15))::BIGINT AS h FROM sh
+),
+bits AS (SELECT unnest(range(0, 60)) AS bit),
+votes AS (
+  SELECT doc_id, bits.bit,
+    SUM(CASE WHEN (h >> bits.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hs CROSS JOIN bits GROUP BY doc_id, bits.bit
+),
+packed AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN v >= 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END)
+         AS BIGINT) AS sh
+  FROM votes GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+FROM packed a JOIN packed b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+ORDER BY id_a, id_b
+""",
+)
+def dd_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash with SQL-REPLICABLE bits: 60-bit md5-derived shingle
+    hashes (textops.md5_hash60) instead of Spark-private xxhash64, so
+    the oracle re-derives the identical per-bit votes, sign-packed
+    hash, and Hamming pairs — the approximate operator compares
+    value-exact. Same pigeonhole candidate generation (4 chunks of 15
+    bits, lossless at Hamming<=3); the oracle's all-pairs form is
+    equivalent BECAUSE the pigeonhole is lossless. The hamming column
+    is exact in both engines (integer bit ops only)."""
+    d = load_spread(spark, sf_dir, "documents")
+    from .textops import md5_hash60
+
+    return (
+        simhash_neardup_pairs(
+            d, max_hamming=3, n=2, bits=60, hash_fn=md5_hash60
+        )
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 from .textops import lsh_neardup_oracle_sql, lsh_neardup_pairs  # noqa: E402

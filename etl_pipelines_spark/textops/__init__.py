@@ -26,6 +26,7 @@ from .dedup import (
     with_simhash,
     simhash_neardup_pairs,
     neardup_components,
+    md5_hash60,
 )
 from .sampling import (
     hash_bucket,
@@ -59,6 +60,7 @@ __all__ = [
     "with_simhash",
     "simhash_neardup_pairs",
     "neardup_components",
+    "md5_hash60",
     "cosine_expr",
     "brute_force_topk",
     "lsh_topk",

@@ -379,19 +379,33 @@ def minhash_lsh_pairs(
 # SimHash (Hamming-space near-dup)
 # ---------------------------------------------------------------------------
 
-def simhash_votes(text: Column, n: int = 2, bits: int = 64) -> Column:
+def md5_hash60(s: Column) -> Column:
+    """60-bit shingle hash from md5 — SQL-REPLICABLE, unlike
+    xxhash64 (Spark-private): 15 hex chars parse exactly into a
+    signed BIGINT in every engine (('0x' || hex)::BIGINT in DuckDB,
+    conv(hex, 16, 10) here). Use with bits=60."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def simhash_votes(
+    text: Column, n: int = 2, bits: int = 64, hash_fn=None
+) -> Column:
     """Per-bit +1/-1 vote totals over the shingle set as an
     array<long> of length ``bits``. Pure fold over the shingle
     array — per-row, no shuffle. (shiftright takes a Python int, so
     the per-bit expressions are built in Python, not via a
     sequence() lambda — a lambda Column is not a valid shift amount.)
+
+    ``hash_fn``: Column -> Column shingle hash; default xxhash64
+    (fastest), md5_hash60 for cross-engine-replicable bits.
     """
+    hash_fn = hash_fn or F.xxhash64
     # Hash each shingle ONCE into a long, then fold bit-votes over
     # the hash array — the per-bit expressions only shift/mask that
     # long. (Folding over shingles directly re-hashed the string 64
     # times per shingle: 64x the work, since lambda bodies are
     # interpreted with no common-subexpression elimination.)
-    hashes = F.transform(shingles(text, n), lambda s: F.xxhash64(s))
+    hashes = F.transform(shingles(text, n), lambda s: hash_fn(s))
 
     def bit_votes(h: Column) -> Column:
         return F.array(
@@ -419,13 +433,14 @@ def with_simhash(
     out_col: str = "simhash",
     n: int = 2,
     bits: int = 64,
+    hash_fn=None,
 ) -> DataFrame:
-    """Attach a 64-bit SimHash column. Two projections: votes first
-    (one big fold), then sign-pack — packing via element_at on the
-    materialized votes column so the fold expression isn't duplicated
-    64x in the plan."""
+    """Attach a ``bits``-wide SimHash column. Two projections: votes
+    first (one big fold), then sign-pack — packing via element_at on
+    the materialized votes column so the fold expression isn't
+    duplicated 64x in the plan."""
     tmp = "__sh_votes"
-    out = df.withColumn(tmp, simhash_votes(F.col(text_col), n, bits))
+    out = df.withColumn(tmp, simhash_votes(F.col(text_col), n, bits, hash_fn))
     packed = F.lit(0).cast("long")
     for i in range(bits):
         bit_val = (1 << i) if i < 63 else -(1 << 63)
@@ -447,16 +462,24 @@ def simhash_neardup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     n: int = 2,
+    bits: int = 64,
+    hash_fn=None,
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance <= max_hamming. Candidate
-    generation: split the 64-bit hash into (max_hamming+1) chunks —
-    by pigeonhole, any pair within distance max_hamming agrees on at
-    least one chunk — bucket-join per chunk, then verify exact
-    Hamming. One shuffle on (chunk_idx, chunk_value)."""
+    generation: split the ``bits``-wide hash into (max_hamming+1)
+    chunks — by pigeonhole, any pair within distance max_hamming
+    agrees on at least one chunk (LOSSLESS recall) — bucket-join per
+    chunk, then verify exact Hamming. One shuffle on
+    (chunk_idx, chunk_value)."""
     chunks = max_hamming + 1
-    chunk_bits = 64 // chunks
+    chunk_bits = bits // chunks
     base = with_simhash(
-        df.select(F.col(id_col).alias("id"), text_col), text_col, "sh", n
+        df.select(F.col(id_col).alias("id"), text_col),
+        text_col,
+        "sh",
+        n,
+        bits,
+        hash_fn,
     ).select("id", "sh")
     def chunk_val(i: int) -> Column:
         shifted = F.shiftrightunsigned("sh", i * chunk_bits)
