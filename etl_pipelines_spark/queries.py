@@ -4501,6 +4501,161 @@ def pay_retry_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "mkt_affiliate_payout",
+    oracle="""
+WITH src AS (
+  SELECT l_suppkey, COUNT(*) AS n_lines,
+    CAST(COUNT(*) OVER () AS BIGINT) AS n_supp,
+    CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total_lines
+  FROM lineitem GROUP BY l_suppkey
+),
+qual_src AS (
+  SELECT l_suppkey FROM src WHERE n_lines * n_supp > total_lines
+),
+feed AS (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+  UNION
+  SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+),
+lines AS (
+  SELECT o.o_orderkey, o.o_custkey,
+    COALESCE(NULLIF(split_part(o.o_orderpriority, '-', 2), 'NOT SPECIFIED'),
+             'direct') AS campaign,
+    split_part(p.p_type, ' ', 1) AS category,
+    l.l_quantity, CAST(l.l_extendedprice AS DECIMAL(12,2)) AS price,
+    CASE WHEN qs.l_suppkey IS NOT NULL THEN 1 ELSE 0 END AS from_qualified_source
+  FROM feed f
+  JOIN orders o ON o.o_orderkey = f.o_orderkey
+  JOIN lineitem l ON l.l_orderkey = f.o_orderkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  LEFT JOIN qual_src qs ON qs.l_suppkey = l.l_suppkey
+),
+cat AS (
+  SELECT o_orderkey, campaign, category,
+    CAST(SUM(l_quantity) AS BIGINT) AS total_products_cat,
+    CAST(SUM(price) AS DOUBLE) AS total_price_cat,
+    CAST(MAX(from_qualified_source) AS INT) AS any_qualified_source
+  FROM lines
+  GROUP BY o_orderkey, campaign, category
+),
+shared AS (
+  SELECT *,
+    total_price_cat /
+      CAST(SUM(CAST(total_price_cat AS DECIMAL(14,2))) OVER (PARTITION BY o_orderkey)
+           AS DOUBLE) AS order_share
+  FROM cat
+)
+SELECT o_orderkey, campaign, category, total_products_cat, total_price_cat,
+  any_qualified_source, order_share,
+  total_price_cat * (CASE WHEN total_price_cat < CAST(20000 AS DOUBLE)
+                          THEN CAST(0.05 AS DOUBLE)
+                          WHEN total_price_cat < CAST(60000 AS DOUBLE)
+                          THEN CAST(0.07 AS DOUBLE)
+                          ELSE CAST(0.10 AS DOUBLE) END
+                     * any_qualified_source) AS commission
+FROM shared
+ORDER BY o_orderkey, category
+""",
+)
+def mkt_affiliate_payout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Affiliate payout mart (reference 11_marketing_reporting/
+    dm_marketing.affiliates_metrics_paid_orders.sql:1-60 shape):
+    HAVING-gated qualifying-source dimension (:1-11, made
+    scale-robust as above-average via integer cross-multiply), a
+    multi-feed UNION of qualifying orders (:17-34 costs/validated
+    feeds), COALESCE(NULLIF(...)) campaign resolution (:39-40),
+    window sums at (order, category) grain alongside the GROUP BY
+    (:58-60), and a value-banded commission (paid only for qualified
+    sources). Commission and share are emitted as raw doubles — the
+    inputs are exact decimal sums, so products/divisions are
+    bit-identical across engines, where ROUND on half-boundary values
+    is not.
+
+    Plan: the feed and source dims are tiny (broadcast); lineitem
+    shuffles once to the (order, campaign, category) rollup; the
+    share window reuses the order-grain partitioning."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+
+    wsrc = Window.partitionBy()
+    qual_src = (
+        li.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .withColumn("n_supp", F.count(F.lit(1)).over(wsrc))
+        .withColumn("total_lines", F.sum("n_lines").over(wsrc))
+        .filter(F.col("n_lines") * F.col("n_supp") > F.col("total_lines"))
+        .select("l_suppkey")
+    )
+    feed = (
+        o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_orderkey")
+        .union(o.filter(F.col("o_orderstatus") == "F").select("o_orderkey"))
+        .distinct()
+    )
+    lines = (
+        feed.join(o, "o_orderkey")
+        .join(li, li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .join(
+            F.broadcast(qual_src.withColumn("__q", F.lit(1))),
+            "l_suppkey",
+            "left",
+        )
+        .select(
+            "o_orderkey",
+            F.coalesce(
+                F.nullif(
+                    RF.split_part(F.col("o_orderpriority"), "-", 2),
+                    F.lit("NOT SPECIFIED"),
+                ),
+                F.lit("direct"),
+            ).alias("campaign"),
+            RF.split_part(F.col("p_type"), " ", 1).alias("category"),
+            "l_quantity",
+            _d(F.col("l_extendedprice")).alias("price"),
+            F.coalesce(F.col("__q"), F.lit(0)).alias("from_qualified_source"),
+        )
+    )
+    cat = (
+        lines.groupBy("o_orderkey", "campaign", "category")
+        .agg(
+            F.sum("l_quantity").cast("bigint").alias("total_products_cat"),
+            F.sum("price").cast("double").alias("total_price_cat"),
+            F.max("from_qualified_source").cast("int").alias(
+                "any_qualified_source"
+            ),
+        )
+    )
+    worder = Window.partitionBy("o_orderkey")
+    shared = cat.withColumn(
+        "order_share",
+        F.col("total_price_cat")
+        / F.sum(F.col("total_price_cat").cast("decimal(14,2)"))
+        .over(worder)
+        .cast("double"),
+    )
+    rate = (
+        F.when(F.col("total_price_cat") < 20000.0, F.lit(0.05))
+        .when(F.col("total_price_cat") < 60000.0, F.lit(0.07))
+        .otherwise(F.lit(0.10))
+    )
+    return shared.select(
+        "o_orderkey",
+        "campaign",
+        "category",
+        "total_products_cat",
+        "total_price_cat",
+        "any_qualified_source",
+        "order_share",
+        (
+            F.col("total_price_cat")
+            * (rate * F.col("any_qualified_source"))
+        ).alias("commission"),
+    ).orderBy("o_orderkey", "category")
+
+
+@q(
     "mm_audio_segments",
     oracle="""
 WITH media AS (
