@@ -2036,7 +2036,7 @@ WITH corpus AS (
   SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
 )
 SELECT md5(text) AS fingerprint, COUNT(*) AS n_docs,
-       list_sort(list(doc_id)) AS doc_ids
+       array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
 FROM corpus
 GROUP BY md5(text)
 HAVING COUNT(*) > 1
@@ -2048,12 +2048,21 @@ def dd_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-crawl corpus (the base documents plus a deterministic
     re-ingested subset under new ids — the small-sf testdata has no
     byte-identical dups of its own, and a dedup oracle over a
-    dup-free corpus proves nothing)."""
+    dup-free corpus proves nothing).
+
+    doc_ids is emitted as a comma-joined STRING, not an array: the
+    driver's pandas canonicalizer cannot sort array-typed columns
+    (r2's one red row, 'unhashable numpy.ndarray'), and a scalar
+    projection of the same sorted list carries identical evidence."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     recrawl = d.filter(F.col("doc_id") % 50 == 0).withColumn(
         "doc_id", F.col("doc_id") + 100000
     )
-    return exact_duplicate_groups(d.unionByName(recrawl)).orderBy("fingerprint")
+    return (
+        exact_duplicate_groups(d.unionByName(recrawl))
+        .withColumn("doc_ids", F.array_join("doc_ids", ","))
+        .orderBy("fingerprint")
+    )
 
 
 @q(
@@ -2317,20 +2326,31 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-@q("ann_ivf_topk")
+from .textops import ivf_topk_fixed, ivf_topk_oracle_sql  # noqa: E402
+
+
+@q(
+    "ann_ivf_topk",
+    oracle=ivf_topk_oracle_sql(k=10, dim=64, nlist=16, nprobe=6),
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via IVF coarse quantization: spherical
-    k-means partitions the corpus into 16 inverted lists (trained on
-    a deterministic sample, driver-side numpy — the standard IVF
-    recipe at any scale); each query exact-scores only its 6 nearest
-    lists (~6/16 of brute-force work). Rows-only check (approximate
-    by design); recall and score-exactness vs brute force are
-    asserted in tests/test_textops.py::TestIvf."""
+    """Approximate top-10 via IVF coarse quantization: centroids
+    partition the corpus into 16 inverted lists; each query
+    exact-scores only its 6 nearest lists (~6/16 of brute-force
+    work). VALUE-EXACT despite being approximate: this registered
+    form uses the fixed deterministic quantizer
+    (textops.fixed_ivf_centroids) whose centroids the oracle
+    replicates as SQL literals — the literal-hyperplane trick from
+    ann_lsh_topk applied to IVF, so assignment, probe set, and ranks
+    compare bit-for-bit. The k-means-trained quantizer (the quality
+    path at 100 TB: train on a bounded sample, assign narrow) is the
+    same assign→probe→score code and keeps its recall and
+    score-exactness tests in tests/test_textops.py::TestIvf."""
     e = load(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = ivf_topk(e, queries, k=10, nlist=16, nprobe=6)
+    out = ivf_topk_fixed(e, queries, k=10, dim=64, nlist=16, nprobe=6)
     return out.select(
         "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
     ).orderBy("query_id", "rank")
@@ -3060,10 +3080,15 @@ def sessions_union_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle instead of two of each. The UNION in the reference SQL is
     a logical shape; the NULL padding is a post-agg CASE."""
     e = load(spark, sf_dir, "events")
+    # Classify BOTH platforms by explicit whitelist (not else-bucket):
+    # the oracle whitelists app types, so an unknown future event_type
+    # must fall out of BOTH engines' row sets by construction.
     tagged = e.withColumn(
         "platform",
-        F.when(F.col("event_type").isin("view", "click"), "web").otherwise("app"),
-    )
+        F.when(F.col("event_type").isin("view", "click"), "web").when(
+            F.col("event_type").isin("signup", "purchase", "error"), "app"
+        ),
+    ).filter(F.col("platform").isNotNull())
     w = Window.partitionBy("platform", "user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
     is_new = F.when(

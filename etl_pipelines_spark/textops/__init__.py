@@ -39,6 +39,10 @@ from .similarity import (
     brute_force_topk,
     lsh_topk,
     ivf_topk,
+    ivf_topk_fixed,
+    ivf_topk_oracle_sql,
+    fixed_ivf_centroids,
+    ivf_assign_exact,
     lsh_neardup_pairs,
     lsh_neardup_oracle_sql,
     lsh_topk_oracle_sql,
@@ -65,6 +69,10 @@ __all__ = [
     "brute_force_topk",
     "lsh_topk",
     "ivf_topk",
+    "ivf_topk_fixed",
+    "ivf_topk_oracle_sql",
+    "fixed_ivf_centroids",
+    "ivf_assign_exact",
     "lsh_neardup_pairs",
     "lsh_neardup_oracle_sql",
     "lsh_topk_oracle_sql",

@@ -449,6 +449,187 @@ def ivf_topk(
     )
 
 
+def fixed_ivf_centroids(
+    dim: int = 64, nlist: int = 16, seed: int = 7
+) -> "list[list[float]]":
+    """Deterministic, DATA-INDEPENDENT coarse quantizer: Gaussian
+    centroids (fixed seed) unit-normalized in pure Python, so the
+    exact same float64 values feed the Spark broadcast and the DuckDB
+    oracle's literal lists. This is the literal-hyperplane trick from
+    the LSH oracles applied to IVF: with a fixed quantizer the whole
+    assign→probe→score pipeline is SQL-replicable, making an
+    approximate index value-exact against an oracle. (The k-means
+    trainer in train_ivf_centroids remains the quality path — its
+    recall is pytest-asserted; this one is the verification path.)
+
+    Normalization happens HERE (python floats) rather than in each
+    engine, so no norm-fold-order question ever arises."""
+    import math
+
+    rng = random.Random(seed)
+    cents = []
+    for _ in range(nlist):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        n = math.sqrt(acc)
+        cents.append([x / n for x in v])
+    return cents
+
+
+def ivf_assign_exact(
+    df: DataFrame,
+    centroids: "list[list[float]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF list assignment with SQL-replicable float semantics.
+
+    Differences from ivf_assign (the throughput form): similarity is
+    dot(RAW vector, unit centroid) accumulated left-to-right over the
+    dim axis — bit-identical to DuckDB's list_sum over the literal
+    centroid — and the data vector is NOT normalized (a positive
+    per-row scale cannot change which centroid wins, so the norm's
+    fold order never enters the comparison). Ties break toward the
+    lowest list id: numpy stable argsort == ORDER BY sim DESC, lid.
+    Still a narrow Arrow map over a broadcast centroid matrix — the
+    100 TB shape is unchanged."""
+    import numpy as np
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(np.array(centroids, dtype=np.float64))
+    n_out = nprobe
+
+    def assign(batches):
+        C = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.array(list(pdf[vec_col]), dtype=np.float64)
+            sims = np.zeros((len(pdf), C.shape[0]), dtype=np.float64)
+            for i in range(C.shape[1]):  # fold order = oracle list_sum
+                sims += M[:, i : i + 1] * C[None, :, i]
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :n_out]
+            out = pdf.loc[pdf.index.repeat(n_out)].reset_index(drop=True)
+            out["__list"] = order.reshape(-1).astype("int32")
+            yield out
+
+    vec_field = df.schema[vec_col].dataType.simpleString()
+    id_field = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_field}, {vec_col} {vec_field}, __list int"
+    return df.select(id_col, vec_col).mapInPandas(assign, schema=schema)
+
+
+def ivf_topk_fixed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    nlist: int = 16,
+    nprobe: int = 6,
+    seed: int = 7,
+) -> DataFrame:
+    """ivf_topk with the fixed deterministic quantizer — identical
+    probe/score code path, value-exact against ivf_topk_oracle_sql."""
+    centroids = fixed_ivf_centroids(dim=dim, nlist=nlist, seed=seed)
+    c_assigned = ivf_assign_exact(corpus, centroids, id_col, vec_col, nprobe=1)
+    q_assigned = ivf_assign_exact(
+        queries.select(F.col(query_id_col).alias("__qid"), F.col(vec_col)),
+        centroids,
+        id_col="__qid",
+        vec_col=vec_col,
+        nprobe=nprobe,
+    ).select("__qid", F.col(vec_col).alias("__qvec"), "__list")
+    scored = c_assigned.join(F.broadcast(q_assigned), "__list").select(
+        F.col("__qid").alias(query_id_col),
+        id_col,
+        cosine_expr(F.col("__qvec"), F.col(vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def ivf_topk_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    dim: int = 64,
+    nlist: int = 16,
+    nprobe: int = 6,
+    seed: int = 7,
+    query_pred: str = "vec_id < 5",
+) -> str:
+    """DuckDB oracle for ivf_topk_fixed: the fixed centroids appear
+    as literal lists; assignment similarity is the same raw-dot
+    left-to-right fold; corpus rows take ROW_NUMBER()=1, queries take
+    rank<=nprobe (ties toward the lowest list id on both engines);
+    candidates join on list id and are exact-scored/ranked with the
+    ann_brute_topk formula."""
+    cents = fixed_ivf_centroids(dim=dim, nlist=nlist, seed=seed)
+    rows = []
+    for lid, c in enumerate(cents):
+        lit = "[" + ", ".join(repr(v) for v in c) + "]"
+        rows.append(f"({lid}, {lit}::DOUBLE[])")
+    values = ",\n".join(rows)
+    return f"""
+WITH cents(lid, c) AS (VALUES
+{values}
+),
+sims AS (
+  SELECT e.{id_col}, ct.lid,
+    list_sum(list_transform(range(1, {dim + 1}),
+      i -> e.{vec_col}[i]::DOUBLE * ct.c[i])) AS sim
+  FROM {table} e CROSS JOIN cents ct
+),
+c_assign AS (
+  SELECT {id_col}, lid FROM (
+    SELECT {id_col}, lid,
+      ROW_NUMBER() OVER (PARTITION BY {id_col} ORDER BY sim DESC, lid) AS rn
+    FROM sims) WHERE rn = 1
+),
+q_assign AS (
+  SELECT {id_col} AS query_id, lid FROM (
+    SELECT {id_col}, lid,
+      ROW_NUMBER() OVER (PARTITION BY {id_col} ORDER BY sim DESC, lid) AS rn
+    FROM sims WHERE {query_pred}) WHERE rn <= {nprobe}
+),
+v AS (
+  SELECT {id_col}, {vec_col},
+    sqrt(list_sum(list_transform({vec_col}, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+  FROM {table}
+),
+scored AS (
+  SELECT q_assign.query_id, c_assign.{id_col},
+    list_sum(list_transform(range(1, {dim + 1}),
+      i -> q.{vec_col}[i]::DOUBLE * c.{vec_col}[i]::DOUBLE)) / (q.nrm * c.nrm)
+      AS cos_raw
+  FROM q_assign
+  JOIN c_assign ON c_assign.lid = q_assign.lid
+  JOIN v q ON q.{id_col} = q_assign.query_id
+  JOIN v c ON c.{id_col} = c_assign.{id_col}
+),
+ranked AS (
+  SELECT query_id, {id_col}, cos_raw,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos_raw DESC, {id_col}) AS rank
+  FROM scored
+)
+SELECT query_id, {id_col}, round(cos_raw, 6) AS cosine, rank
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 def lsh_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -47,12 +47,20 @@ qs = mod.queries()
 osql = mod.oracle_sql()
 n_pass = n_fail = n_rowsonly = 0
 fails = []
+
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from canon import pandas_canon as _pandas_canon  # noqa: E402
+
+
 for name, fn in qs.items():
     if only and name not in only:
         continue
     try:
         df = fn(spark, SF)
         cols = sorted(df.columns)
+        # Driver-faithful canonicalization probe (must not raise).
+        spdf = _pandas_canon(df.toPandas())
         srows = sorted(repr(tuple(r[c] for c in cols)) for r in df.collect())
         shash = hashlib.sha256("\n".join(srows).encode()).hexdigest()
         if name not in osql:
@@ -60,10 +68,41 @@ for name, fn in qs.items():
             print(f"MARKER rows-only {name}: {len(srows)} rows", flush=True)
             continue
         ores = con.execute(osql[name])
-        ocols = [d[0] for d in ores.description]
-        idx = {c.lower(): i for i, c in enumerate(ocols)}
+        ocols_pre = [d[0] for d in ores.description]
+        oraw = ores.fetchall()
+        # Re-execute for the pandas form (duckdb execute returns the
+        # connection; fetching .df() first would drain the cursor).
+        opdf = con.execute(osql[name]).df()
+        opdf = opdf.rename(
+            columns={c: next((s for s in cols if s.lower() == c.lower()), c)
+                     for c in opdf.columns})
+        opdf = _pandas_canon(opdf)
+        # Numeric-kind divergence (e.g. DuckDB HUGEINT -> float64 vs
+        # Spark bigint -> int64) changes the driver's hashed values even
+        # when repr-compare matches. Only NUMERIC kinds are checked:
+        # date columns legitimately arrive as object (Spark) vs
+        # datetime64 (DuckDB) and the driver normalizes those — 18
+        # driver-green queries prove it.
+        NUM = set("iufb")
+        kinds = [
+            (c, spdf[c].dtype.kind, opdf[c].dtype.kind)
+            for c in spdf.columns
+            if len(spdf) and len(opdf)
+            and spdf[c].dtype.kind != opdf[c].dtype.kind
+            and spdf[c].dtype.kind in NUM and opdf[c].dtype.kind in NUM
+            # pandas widens nullable ints to float; only flag when
+            # NEITHER side has nulls.
+            and not (spdf[c].isna().any() or opdf[c].isna().any())
+        ]
+        if kinds:
+            n_fail += 1
+            fails.append(name)
+            print(f"MARKER FAIL {name}: pandas dtype-kind mismatch {kinds} "
+                  f"(driver hashes pandas values — cast the oracle)", flush=True)
+            continue
+        idx = {c.lower(): i for i, c in enumerate(ocols_pre)}
         orows = sorted(
-            repr(tuple(r[idx[c.lower()]] for c in cols)) for r in ores.fetchall())
+            repr(tuple(r[idx[c.lower()]] for c in cols)) for r in oraw)
         ohash = hashlib.sha256("\n".join(orows).encode()).hexdigest()
         if shash == ohash and len(srows) > 0:
             n_pass += 1
