@@ -13,6 +13,14 @@ from .trees import (
     score_trees_pandas,
     score_trees_reference,
 )
+from .mlp import (
+    MLPModel,
+    load_mlp,
+    make_demo_mlp,
+    mlp_sql,
+    score_mlp_pandas,
+    score_mlp_reference,
+)
 
 __all__ = [
     "LinearModel",
@@ -26,4 +34,10 @@ __all__ = [
     "make_demo_pricing_model",
     "score_trees_pandas",
     "score_trees_reference",
+    "MLPModel",
+    "load_mlp",
+    "make_demo_mlp",
+    "mlp_sql",
+    "score_mlp_pandas",
+    "score_mlp_reference",
 ]

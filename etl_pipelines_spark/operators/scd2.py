@@ -16,9 +16,11 @@ Pure DataFrame composition, one merge per run:
   rows close with valid_to = run_date;
 - unchanged open rows and already-closed history pass through
   untouched;
-- re-running the same run_date is idempotent (the new row's
-  valid_from equals the replaced row's valid_to, and a second pass
-  detects no further change).
+- re-running the same run_date is idempotent, and a same-day re-run
+  with DIFFERENT attribute values replaces the day's open row IN
+  PLACE (last-write-wins per day) — closing it instead would mint a
+  zero-length (valid_from == valid_to] interval that as_of() can
+  never see.
 
 Scale: one shuffle on the business key joins open rows to the
 incoming snapshot; closed history is filtered out before the join
@@ -99,8 +101,11 @@ def scd2_merge(
     keep_open = joined.filter(
         has_open & (F.col("__in_inc").isNull() | unchanged)
     ).select(*keys, *attrs, VALID_FROM, VALID_TO)
-    # close the replaced versions
-    close_old = joined.filter(is_change).select(
+    # close the replaced versions — EXCEPT rows opened this same
+    # run_date: those are replaced in place (last-write-wins per day);
+    # closing them would create a zero-length interval invisible to
+    # as_of() for every date.
+    close_old = joined.filter(is_change & (F.col(VALID_FROM) < d)).select(
         *keys, *attrs, VALID_FROM, d.alias(VALID_TO)
     )
     # open the new versions (changed keys + brand-new keys)

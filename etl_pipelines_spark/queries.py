@@ -2751,6 +2751,74 @@ def ml_price_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_partkey")
 
 
+_MLP_FEATURES = ["n_events", "n_purchases", "n_views", "active_days"]
+
+
+def _mlp_model():
+    from .ml import make_demo_mlp
+
+    return make_demo_mlp(_MLP_FEATURES, hidden=6, seed=11)
+
+
+def _mlp_oracle() -> str:
+    from .ml import mlp_sql
+
+    hidden, out = mlp_sql(_mlp_model(), score_col="engagement_score")
+    return f"""
+WITH feat AS (
+  SELECT user_id,
+    CAST(COUNT(*) AS DOUBLE) AS n_events,
+    CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE)
+      AS n_purchases,
+    CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS DOUBLE) AS n_views,
+    CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS DOUBLE) AS active_days
+  FROM events GROUP BY user_id
+),
+h AS (
+  SELECT user_id,
+    {hidden}
+  FROM feat
+)
+SELECT user_id, {out}
+FROM h
+ORDER BY user_id
+"""
+
+
+@q("ml_mlp_score", oracle=_mlp_oracle())
+def ml_mlp_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEURAL (matmul-MLP) model through the batch-scoring plumbing —
+    the last ML shape after linear (ml_churn_score) and tree-ensemble
+    (ml_price_score); reference ds-airflow-prod/business_logic/
+    tft_pricing_inference/inference_model.py batch-applies a torch
+    net the same way. Per-user engagement features (all COUNTs — ints
+    are exact in double) -> relu(x·W1+b1)·w2+b2 scored vectorized in
+    mapInPandas (ml/mlp.py). The oracle renders the identical weights
+    as literal-DOUBLE SQL with one CTE column per hidden neuron; the
+    dim-axis folds are left-to-right on both sides and ReLU is exact,
+    so the score is bit-identical — a value-exact row, not rows-only.
+    Scalar agreement is additionally tested in tests/test_ml.py.
+
+    Scale: one shuffle to user grain, then a narrow Arrow map with
+    the KB-sized model in the closure — no further exchange."""
+    from .ml import score_mlp_pandas
+
+    e = load(spark, sf_dir, "events")
+    feat = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("double")
+        .alias("n_purchases"),
+        F.count(F.when(F.col("event_type") == "view", 1))
+        .cast("double")
+        .alias("n_views"),
+        F.countDistinct(F.to_date("ts")).cast("double").alias("active_days"),
+    )
+    return score_mlp_pandas(
+        feat, _mlp_model(), id_cols=["user_id"], score_col="engagement_score"
+    ).orderBy("user_id")
+
+
 # ===========================================================================
 # Warehouse-pipeline shape (SURVEY §3.1/§7 P3; plans/warehouse.py)
 # ===========================================================================
@@ -4678,6 +4746,83 @@ def mkt_affiliate_payout(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (rate * F.col("any_qualified_source"))
         ).alias("commission"),
     ).orderBy("o_orderkey", "category")
+
+
+from .operators.scd2 import scd2_merge  # noqa: E402
+
+# Fixed snapshot boundaries: the events feed spans 2024-01-01..01-30
+# at EVERY scale factor (driver-generated window), so weekly literals
+# split the data at sf0.001/0.01/0.1 alike (memory rule: thresholds
+# must bite at all SFs).
+_SCD2_SNAPSHOT_DATES = ["2024-01-07", "2024-01-14", "2024-01-21", "2024-01-28"]
+
+
+@q(
+    "scd2_history",
+    oracle="""
+WITH dates(d) AS (VALUES (DATE '2024-01-07'), (DATE '2024-01-14'),
+                         (DATE '2024-01-21'), (DATE '2024-01-28')),
+snap AS (
+  SELECT dates.d, e.user_id,
+    COUNT(*) AS n_events,
+    CAST(COUNT(CASE WHEN e.event_type = 'purchase' THEN 1 END) AS BIGINT)
+      AS n_purchases
+  FROM dates JOIN events e ON CAST(e.ts AS DATE) <= dates.d
+  GROUP BY dates.d, e.user_id
+),
+flagged AS (
+  SELECT *,
+    CASE WHEN lag(n_events) OVER w IS NULL
+         OR lag(n_events) OVER w <> n_events
+         OR lag(n_purchases) OVER w <> n_purchases THEN 1 ELSE 0 END AS is_change
+  FROM snap
+  WINDOW w AS (PARTITION BY user_id ORDER BY d)
+)
+SELECT user_id, n_events, n_purchases, d AS valid_from,
+  LEAD(d) OVER (PARTITION BY user_id ORDER BY d) AS valid_to
+FROM flagged WHERE is_change = 1
+ORDER BY user_id, valid_from
+""",
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 interval history built by the operators/scd2.scd2_merge
+    primitive itself: four weekly activity snapshots (per-user
+    cumulative event / purchase counts — integer attrs, so change
+    detection is exact) merged sequentially, reproducing the
+    reference's snapshot-history semantics
+    (5_master_historical/subscription_historical.sql:2-110) in
+    interval form. The oracle derives the SAME intervals relationally
+    (change rows via LAG, valid_to via LEAD over snapshot dates), so
+    the merge operator's output — not a reimplementation — is
+    hash-compared.
+
+    Scale: each merge shuffles once on the business key and touches
+    only OPEN rows (closed history is filtered before the join). In
+    production each run consumes one increment and writes through the
+    upsert writer (checkpointing lineage); replaying 4 snapshots in
+    one plan here keeps the query self-contained."""
+    e = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "user_id", "event_type"
+    )
+    hist = None
+    for ds in _SCD2_SNAPSHOT_DATES:
+        snap = (
+            e.filter(F.col("d") <= F.lit(ds).cast("date"))
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+                    "n_purchases"
+                ),
+            )
+        )
+        hist = scd2_merge(
+            hist, snap, keys=["user_id"],
+            attrs=["n_events", "n_purchases"], run_date=ds,
+        )
+    return hist.select(
+        "user_id", "n_events", "n_purchases", "valid_from", "valid_to"
+    ).orderBy("user_id", "valid_from")
 
 
 @q(

@@ -155,3 +155,69 @@ class TestTreeEnsemble:
             .count()
         )
         assert n > 10
+
+
+class TestMlp:
+    """Matmul-MLP artifact (ml/mlp.py) — the neural shape."""
+
+    def _feat(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return e.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("double").alias("n_events"),
+            F.count(F.when(F.col("event_type") == "purchase", 1))
+            .cast("double").alias("n_purchases"),
+            F.count(F.when(F.col("event_type") == "view", 1))
+            .cast("double").alias("n_views"),
+            F.countDistinct(F.to_date("ts")).cast("double").alias("active_days"),
+        )
+
+    def test_roundtrip_artifact(self):
+        from etl_pipelines_spark.ml import MLPModel, make_demo_mlp
+
+        m = make_demo_mlp(["a", "b"], hidden=3, seed=5)
+        assert MLPModel.from_json(m.to_json()) == m
+
+    def test_mapinpandas_matches_scalar_reference(self, spark, sf_dir):
+        """Vectorized fold-order scoring must agree bit-for-bit with
+        the pure-python scalar evaluation."""
+        from etl_pipelines_spark.ml import (
+            make_demo_mlp,
+            score_mlp_pandas,
+            score_mlp_reference,
+        )
+
+        feats = ["n_events", "n_purchases", "n_views", "active_days"]
+        model = make_demo_mlp(feats, hidden=6, seed=11)
+        feat = self._feat(spark, sf_dir)
+        got = {
+            r.user_id: r.score
+            for r in score_mlp_pandas(
+                feat, model, id_cols=["user_id"], score_col="score"
+            ).collect()
+        }
+        rows = [r.asDict() for r in feat.collect()]
+        want = score_mlp_reference(model, rows)
+        assert len(got) == len(rows)
+        for r, w in zip(rows, want):
+            assert got[r["user_id"]] == w  # bit-identical
+
+    def test_relu_actually_fires(self, spark, sf_dir):
+        """Non-degenerate: some hidden units must be clipped for some
+        rows and active for others (otherwise the net is affine and
+        the test proves nothing beyond the linear path)."""
+        import numpy as np
+
+        from etl_pipelines_spark.ml import make_demo_mlp
+
+        feats = ["n_events", "n_purchases", "n_views", "active_days"]
+        model = make_demo_mlp(feats, hidden=6, seed=11)
+        X = np.array(
+            [[r.n_events, r.n_purchases, r.n_views, r.active_days]
+             for r in self._feat(spark, sf_dir).collect()]
+        )
+        Z = X @ np.array(model.w1) + np.array(model.b1)
+        clipped = (Z < 0).any(axis=0)
+        active = (Z > 0).any(axis=0)
+        assert (clipped & active).any()

@@ -277,6 +277,30 @@ class TestScd2:
         b = sorted(map(str, again.collect()))
         assert a == b
 
+    def test_same_day_rerun_replaces_in_place(self, spark):
+        """A same-run_date re-merge with different values must NOT
+        mint a zero-length (valid_from == valid_to] interval — the
+        day's open row is replaced in place (last-write-wins)."""
+        from etl_pipelines_spark.operators import as_of, scd2_merge
+
+        h = self._hist(spark)
+        corrected = spark.createDataFrame(
+            [(1, "premium", "DE"), (2, "premium", "FR"), (3, "basic", "PT"),
+             (4, "basic", "US")],
+            ["cust_id", "tier", "country"],
+        )
+        h2 = scd2_merge(h, corrected, ["cust_id"], ["tier", "country"],
+                        "2024-03-01")
+        rows = h2.collect()
+        assert not any(r.valid_from == r.valid_to for r in rows)
+        # cust 3 has exactly one row effective 2024-03-01 — the
+        # corrected one — and as_of sees it
+        c3 = [r for r in rows
+              if r.cust_id == 3 and str(r.valid_from) == "2024-03-01"]
+        assert [(r.country, r.valid_to) for r in c3] == [("PT", None)]
+        assert {r.cust_id: r.country
+                for r in as_of(h2, "2024-03-01").collect()}[3] == "PT"
+
     def test_missing_key_stays_open(self, spark):
         from etl_pipelines_spark.operators import open_rows, scd2_merge
 
