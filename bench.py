@@ -45,6 +45,11 @@ HEADLINE = [
     "sessions_union_stitch",
     "ml_price_score",
     "dd_embedding_neardup",
+    # round 3 additions: SCD2 merge (relational), MLP + fixed-centroid
+    # IVF (Arrow tail).
+    "scd2_history",
+    "ml_mlp_score",
+    "ann_ivf_topk",
 ]
 
 
@@ -69,6 +74,13 @@ def main() -> None:
 
     # Warm-up: trivial scan to absorb JVM/codegen/first-stage cost.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # Warm-up 2: prime the Python worker pool + Arrow serialization
+    # path, so the first python-tail query (dd_*/ml_*/ann_*) doesn't
+    # bill worker spawn to its own timing — the main source of the
+    # ~1 s cross-round noise documented in r2.
+    spark.range(100_000).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.mode("overwrite").format("noop").save()
 
     # Best-of-3 per query: the first run pays codegen/JIT and any GC
     # debt from the previous query; the min is the stable warm figure.
@@ -77,8 +89,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spark._jvm.System.gc()
+        # Python-tail queries (Arrow batches, numpy sketching) carry
+        # worker-pool and allocator noise that best-of-3 does not
+        # drown; give them 5 reps.
+        reps = 5 if name.split("_")[0] in ("dd", "ann", "ml", "scd2") else 3
         best = float("inf")
-        for _ in range(3):
+        for _ in range(reps):
             df = REGISTRY[name].spark(spark, sf_dir)
             t0 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()
@@ -96,6 +112,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "n": 3,
+        "n_python_tail": 5,
     }
     print(json.dumps(out))
     spark.stop()

@@ -19,6 +19,7 @@ from .dedup import (
     shingles,
     exact_duplicate_groups,
     exact_dedup,
+    contamination_check,
     ngram_jaccard_pairs,
     minhash_signature,
     minhash_lsh_pairs,
@@ -57,6 +58,7 @@ __all__ = [
     "shingles",
     "exact_duplicate_groups",
     "exact_dedup",
+    "contamination_check",
     "ngram_jaccard_pairs",
     "minhash_signature",
     "minhash_lsh_pairs",

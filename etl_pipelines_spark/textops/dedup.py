@@ -83,6 +83,40 @@ def exact_dedup(
     )
 
 
+def contamination_check(
+    corpus: DataFrame,
+    batch: DataFrame,
+    corpus_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Decontamination probe: flag batch (eval-set) documents whose
+    exact text already exists in the training corpus — the standard
+    train/test-overlap check an LLM data pipeline runs before
+    accepting an eval set.
+
+    Returns the batch with ``contaminated`` (boolean) and
+    ``matched_corpus_doc`` (lowest matching corpus id, NULL when
+    clean). Scale shape: the corpus side collapses to DISTINCT
+    fingerprints (min id) BEFORE the join — one shuffle each side on
+    the 16-byte fingerprint, never on document text; at 100 TB the
+    corpus fingerprint table is buildable once and reusable across
+    batches."""
+    fps = (
+        corpus.select(
+            F.md5(F.col(text_col)).alias("__fp"),
+            F.col(corpus_id_col).alias("matched_corpus_doc"),
+        )
+        .groupBy("__fp")
+        .agg(F.min("matched_corpus_doc").alias("matched_corpus_doc"))
+    )
+    b = batch.withColumn("__fp", F.md5(F.col(text_col)))
+    return (
+        b.join(fps, "__fp", "left")
+        .withColumn("contaminated", F.col("matched_corpus_doc").isNotNull())
+        .drop("__fp")
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact near-dup — the oracle-checkable baseline)
 # ---------------------------------------------------------------------------

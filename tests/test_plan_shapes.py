@@ -89,6 +89,37 @@ class TestPlanShapes:
             assert "shingle" not in m.group(1).lower(), m.group(0)
         assert nodes.count("Exchange") <= 6, plan
 
+    def test_embedding_neardup_vectors_never_ride_a_shuffle(self, spark, sf_dir):
+        """Lock for the r2 scale fix (VERDICT r2 'Next round' #8):
+        the sign-LSH candidate self-join must shuffle only
+        (id, table, sig); 64-dim vectors may cross an exchange ONLY
+        as the deliberate round-robin input spread (a local-testdata
+        shim — no-op at scale), never a hash/range repartition, which
+        would mean vectors riding a join or aggregation shuffle."""
+        _, plan = formatted_plan(spark, "dd_embedding_neardup", sf_dir)
+        vec_cols = ("embedding", "__va", "__vb", "__qvec")
+        for m in re.finditer(
+            r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\nArguments: (\w+)",
+            plan,
+        ):
+            cols, partitioning = m.group(1).lower(), m.group(2)
+            if any(v in cols for v in vec_cols):
+                assert partitioning == "RoundRobinPartitioning", m.group(0)
+
+    def test_ivf_vectors_never_cross_any_exchange(self, spark, sf_dir):
+        """IVF: corpus assignment is a narrow map, the probe join
+        broadcasts the tiny query fan-out, and ranking shuffles only
+        (query_id, vec_id, cosine) — no exchange input may carry an
+        embedding column at all."""
+        nodes, plan = formatted_plan(spark, "ann_ivf_topk", sf_dir)
+        for m in re.finditer(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan):
+            cols = m.group(1).lower()
+            assert "embedding" not in cols and "vec" not in cols.replace(
+                "vec_id", ""
+            ), m.group(0)
+        assert nodes.count("BroadcastHashJoin") >= 1, plan
+        assert nodes.count("SortMergeJoin") == 0, plan
+
     def test_master_subscription_broadcasts_all_dims(self, spark, sf_dir):
         """All four dimension attaches must broadcast; the only real
         shuffles are the rollup and the customer-grain join (+ final

@@ -31,6 +31,24 @@ class TestExactDedup:
         assert sorted(r.doc_id for r in out) == [1, 3]
 
 
+class TestContamination:
+    def test_flags_exact_overlap_only(self, spark):
+        from etl_pipelines_spark.textops import contamination_check
+
+        corpus = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")],
+            ["doc_id", "text"],
+        )
+        batch = spark.createDataFrame(
+            [(10, "alpha beta"), (11, "epsilon zeta"), (12, "gamma delta")],
+            ["batch_id", "text"],
+        )
+        out = {r.batch_id: (r.contaminated, r.matched_corpus_doc)
+               for r in contamination_check(corpus, batch).collect()}
+        # matched id is the LOWEST corpus doc carrying the text
+        assert out == {10: (True, 1), 11: (False, None), 12: (True, 2)}
+
+
 class TestMinhashVsExact:
     def test_lsh_recall_is_total_on_corpus(self, spark, sf_dir):
         """128 hashes / 32 bands at j>=0.8 -> miss prob ~5e-8; with
