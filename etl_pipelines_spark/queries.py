@@ -2530,6 +2530,116 @@ def txt_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "txt_repetition",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN len(toks) >= 2
+    THEN CAST(1.0 AS DOUBLE)
+      - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+          i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE)
+        / CAST(len(toks) - 1 AS DOUBLE)
+    ELSE CAST(0.0 AS DOUBLE) END AS dup_2gram_frac,
+  CASE WHEN len(toks) >= 5
+    THEN CAST(1.0 AS DOUBLE)
+      - CAST(len(list_distinct(list_transform(range(1, len(toks) - 3),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+               || toks[i+3] || ' ' || toks[i+4]))) AS DOUBLE)
+        / CAST(len(toks) - 4 AS DOUBLE)
+    ELSE CAST(0.0 AS DOUBLE) END AS dup_5gram_frac
+FROM t
+ORDER BY doc_id
+""",
+)
+def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition scoring (textops/analysis.
+    with_repetition) — the Gopher-rule quality family (Rae et al.
+    2021, §A1.1.2): duplicate 2-gram and 5-gram fractions per doc.
+    Repetitive documents (boilerplate, keyword stuffing) score high
+    and are filtered before training. Pure array expressions, no
+    shuffle; distinct counts reuse the dedup shingle machinery so no
+    non-distinct gram list materializes."""
+    from .textops import with_repetition
+
+    d = load(spark, sf_dir, "documents")
+    return with_repetition(d).select(
+        "doc_id", "dup_2gram_frac", "dup_5gram_frac"
+    ).orderBy("doc_id")
+
+
+@q(
+    "txt_chunk_plan",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tok,
+    GREATEST(CAST(CEIL(CAST(n_tok AS DOUBLE) / 32) AS INT), 1) AS n_chunks
+  FROM t
+)
+SELECT doc_id,
+  CAST(u.idx AS INT) AS chunk_idx,
+  CAST(u.idx * 32 AS BIGINT) AS tok_start,
+  LEAST(CAST(n_tok AS BIGINT), u.idx * 32 + 32) AS tok_end,
+  LEAST(CAST(n_tok AS BIGINT), u.idx * 32 + 32) - u.idx * 32
+    AS n_chunk_tokens
+FROM c, LATERAL (SELECT unnest(range(0, n_chunks)) AS idx) u
+ORDER BY doc_id, chunk_idx
+""",
+)
+def txt_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing plan (textops/analysis.chunk_plan): one row
+    per 32-token training chunk per document (the testdata docs run
+    10-100 tokens, so the budget provably SPLITS — and leaves partial
+    final chunks — at every scale factor; production budgets are
+    1k-8k) — the tokenize-and-pack step every pretraining pipeline
+    runs. The plan carries offsets, not text (the tokenizer joins
+    back by id), so the explode stays narrow — the mm_frame_plan
+    shape applied to text."""
+    from .textops import chunk_plan
+
+    d = load(spark, sf_dir, "documents")
+    return chunk_plan(d, chunk_tokens=32).orderBy("doc_id", "chunk_idx")
+
+
+@q(
+    "txt_vocab_topk",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents
+),
+cnt AS (
+  SELECT token, COUNT(*) AS n_occurrences FROM tok GROUP BY token
+  ORDER BY n_occurrences DESC, token LIMIT 100
+)
+SELECT token, n_occurrences,
+  CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token) AS INT) AS rank
+FROM cnt
+ORDER BY rank
+""",
+)
+def txt_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head (textops/analysis.vocab_topk): top-100
+    tokens by frequency, deterministic (count desc, token) order —
+    the corpus-stats rollup behind tokenizer training and stopword
+    audits. Explode shuffles (token, partial count) with map-side
+    combine; ranking windows only the post-LIMIT head, so no
+    single-partition pass ever sees the full vocabulary."""
+    from .textops import vocab_topk
+
+    d = load(spark, sf_dir, "documents")
+    return vocab_topk(d, k=100).orderBy("rank")
+
+
+@q(
     "txt_contamination",
     oracle="""
 WITH corpus AS (
@@ -5173,9 +5283,10 @@ def w_percentile_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window; when rotating one out, its driver row must already exist in
 # a committed CORRECTNESS_r*.json.
 #
-# Round-3 window: the 9 queries with no prior driver row (6 dark
-# round-2 entries + scd2_history + ml_mlp_score + txt_contamination),
-# the 3 rows VERDICT
+# Round-3 window: the 12 queries with no prior driver row (6 dark
+# round-2 entries + the 6 new round-3 queries: scd2_history,
+# ml_mlp_score, txt_contamination, txt_repetition, txt_chunk_plan,
+# txt_vocab_topk), the 3 rows VERDICT
 # r2 demanded re-proof for (dd_exact_dup_groups array->string fix,
 # ann_ivf_topk now value-exact via fixed literal centroids,
 # dd_simhash_md5 swapped in for the rows-only xxhash64 form),
@@ -5183,7 +5294,8 @@ def w_percentile_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # anchors, and the r2-green LLM-data/composite set. Rotated out:
 # s_sessionize_gap, m_date_spine, m_explode_split, m_posexplode,
 # mon_freshness, m_scalar_subquery, s_page_view_end, dd_simhash,
-# w_percentile_window —
+# w_percentile_window, top_products, braze_order_attribution,
+# luxco_multigrain_union —
 # each has a green driver row in r1 and/or r2 and stays in the
 # registry, the local gate, and pytest.
 # ===========================================================================
@@ -5199,6 +5311,9 @@ _DRIVER_WINDOW = [
     "scd2_history",
     "ml_mlp_score",
     "txt_contamination",
+    "txt_repetition",
+    "txt_chunk_plan",
+    "txt_vocab_topk",
     # re-proof rows (changed or upgraded this round)
     "dd_exact_dup_groups",
     "ann_ivf_topk",
@@ -5239,9 +5354,6 @@ _DRIVER_WINDOW = [
     "dm_rfm_segmentation",
     "spv_price_outliers",
     "master_subscription",
-    "top_products",
-    "braze_order_attribution",
-    "luxco_multigrain_union",
     "fin_collection_curves",
     "gc_wallet_expansion",
     "gc_account_balance",

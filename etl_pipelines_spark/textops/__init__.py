@@ -14,6 +14,9 @@ from .analysis import (
     with_quality_score,
     with_language_id,
     with_fingerprint,
+    with_repetition,
+    chunk_plan,
+    vocab_topk,
 )
 from .dedup import (
     shingles,
@@ -55,6 +58,9 @@ __all__ = [
     "with_quality_score",
     "with_language_id",
     "with_fingerprint",
+    "with_repetition",
+    "chunk_plan",
+    "vocab_topk",
     "shingles",
     "exact_duplicate_groups",
     "exact_dedup",

@@ -149,3 +149,97 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
     )
     return df.withColumn("fingerprint", F.md5(normalized))
+
+
+def with_repetition(
+    df: DataFrame, text_col: str = "text", ns: tuple[int, ...] = (2, 5)
+) -> DataFrame:
+    """Intra-document repetition signals (the Gopher-rule family,
+    Rae et al. 2021 'Scaling Language Models' §A1.1.2 — public
+    heuristics every LLM corpus filter applies): for each n in ``ns``
+    the fraction of duplicate n-grams, 1 - distinct/total. Highly
+    repetitive documents (boilerplate, keyword stuffing, decode
+    loops) score near 1 and get filtered before training.
+
+    Pure array expressions — total n-gram count is arithmetic on the
+    token count (size - n + 1), distinct count reuses dedup.shingles
+    (already a distinct set), so no non-distinct gram list is ever
+    materialized. Narrow per-row map, no shuffle, safe at 100 TB."""
+    from .dedup import shingles
+
+    t = F.col(text_col)
+    toks = tokenize(t)
+    n_tok = F.size(toks)
+    out = df
+    for n in ns:
+        total = F.when(n_tok >= n, n_tok - (n - 1)).otherwise(
+            F.when(n_tok > 0, F.lit(1)).otherwise(F.lit(0))
+        )
+        distinct = F.when(n_tok > 0, F.size(shingles(t, n))).otherwise(F.lit(0))
+        out = out.withColumn(
+            f"dup_{n}gram_frac",
+            F.when(
+                total > 0,
+                F.lit(1.0) - distinct.cast("double") / total.cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+    return out
+
+
+def chunk_plan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+) -> DataFrame:
+    """Sequence-packing plan: one row per fixed-budget training chunk
+    — (id, chunk_idx, tok_start, tok_end, n_chunk_tokens) for
+    non-overlapping windows of ``chunk_tokens`` whitespace tokens.
+    The text itself is not carried; the downstream tokenizer joins
+    the plan back by id and slices, so the exploded plan stays
+    narrow. Per-row posexplode over a sequence — the mm_frame_plan
+    shape applied to text; no shuffle, safe at 100 TB."""
+    toks = tokenize(F.col(text_col))
+    n_tok = F.size(toks)
+    n_chunks = F.ceil(n_tok.cast("double") / chunk_tokens).cast("int")
+    base = df.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("__n_tok"),
+        F.greatest(n_chunks, F.lit(1)).alias("__n_chunks"),
+    )
+    seq = F.sequence(F.lit(0), F.col("__n_chunks") - 1)
+    ex = base.select(
+        id_col, "__n_tok", F.posexplode(seq).alias("chunk_idx", "__i")
+    )
+    start = F.col("chunk_idx").cast("long") * chunk_tokens
+    end = F.least(F.col("__n_tok"), start + chunk_tokens)
+    return ex.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        start.alias("tok_start"),
+        end.alias("tok_end"),
+        (end - start).alias("n_chunk_tokens"),
+    )
+
+
+def vocab_topk(
+    df: DataFrame, text_col: str = "text", k: int = 100
+) -> DataFrame:
+    """Corpus vocabulary head: top-k tokens by frequency with a
+    deterministic (count desc, token) order and dense rank. The
+    explode shuffles (token, partial count) with map-side combine —
+    the aggregated vocabulary is orders of magnitude smaller than
+    the corpus; ranking happens after LIMIT on the tiny head, so no
+    single-partition window ever sees the full vocab."""
+    toks = tokenize(F.col(text_col))
+    counts = (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("token"))
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+    return counts.withColumn("rank", F.row_number().over(w).cast("int"))
