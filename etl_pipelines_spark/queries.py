@@ -3304,15 +3304,17 @@ def sessions_union_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle instead of two of each. The UNION in the reference SQL is
     a logical shape; the NULL padding is a post-agg CASE."""
     e = load(spark, sf_dir, "events")
-    # Classify BOTH platforms by explicit whitelist (not else-bucket):
-    # the oracle whitelists app types, so an unknown future event_type
-    # must fall out of BOTH engines' row sets by construction.
-    tagged = e.withColumn(
+    # Whitelist BOTH platforms' event types with a pushable filter on
+    # the SOURCE column (a filter on the computed platform tag would
+    # not reach the parquet scan): the oracle whitelists app types,
+    # so an unknown future event_type must fall out of BOTH engines'
+    # row sets by construction.
+    tagged = e.filter(
+        F.col("event_type").isin("view", "click", "signup", "purchase", "error")
+    ).withColumn(
         "platform",
-        F.when(F.col("event_type").isin("view", "click"), "web").when(
-            F.col("event_type").isin("signup", "purchase", "error"), "app"
-        ),
-    ).filter(F.col("platform").isNotNull())
+        F.when(F.col("event_type").isin("view", "click"), "web").otherwise("app"),
+    )
     w = Window.partitionBy("platform", "user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
     is_new = F.when(
@@ -4954,9 +4956,14 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: each merge shuffles once on the business key and touches
     only OPEN rows (closed history is filtered before the join). In
-    production each run consumes one increment and writes through the
-    upsert writer (checkpointing lineage); replaying 4 snapshots in
-    one plan here keeps the query self-contained."""
+    production each run consumes one increment and WRITES history to
+    storage — the next run reads a materialized table, not a lazy
+    plan. Replaying 4 snapshots in one query reproduces that with
+    the SURVEY §4 materialize-if-reused rule: each intermediate
+    history is cached (its rows feed 3 branches of the next merge —
+    left lazy, the plan re-derives every prior round per branch and
+    balloons to ~41 exchanges; cached it is one InMemoryTableScan
+    per branch)."""
     e = load(spark, sf_dir, "events").select(
         F.to_date("ts").alias("d"), "user_id", "event_type"
     )
@@ -4972,10 +4979,13 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )
+        prev = hist
         hist = scd2_merge(
-            hist, snap, keys=["user_id"],
+            prev, snap, keys=["user_id"],
             attrs=["n_events", "n_purchases"], run_date=ds,
         )
+        if prev is not None:
+            hist = hist.cache()  # stand-in for the per-run history write
     return hist.select(
         "user_id", "n_events", "n_purchases", "valid_from", "valid_to"
     ).orderBy("user_id", "valid_from")
