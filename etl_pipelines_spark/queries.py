@@ -2530,6 +2530,73 @@ def txt_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "corpus_curation",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+),
+tok AS (
+  SELECT doc_id, text,
+    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+  FROM corpus
+),
+filt AS (SELECT * FROM tok WHERE n_tokens >= 20),
+surv AS (
+  SELECT * FROM filt
+  WHERE doc_id IN (SELECT min(doc_id) FROM filt GROUP BY md5(text))
+),
+spl AS (
+  SELECT n_tokens,
+    CASE WHEN bkt < 90 THEN 'train'
+         WHEN bkt < 95 THEN 'val' ELSE 'test' END AS split
+  FROM (
+    SELECT n_tokens,
+      ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+        AS bkt
+    FROM surv
+  )
+)
+SELECT split, COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM spl GROUP BY split
+ORDER BY split
+""",
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END corpus-curation pipeline in one DAG — the shape
+    every pretraining data run takes: raw corpus (with a re-crawl
+    overlap so dedup provably fires) → token stats → length filter
+    (n_tokens >= 20 bites at every SF: docs run 10-100 tokens) →
+    exact-dedup survivors (min-id per text) → deterministic hash
+    split → per-split token accounting. Composes with_text_stats,
+    exact_dedup and with_split; each stage keeps its audited plan
+    shape (narrow stats, one fingerprint shuffle, narrow split, one
+    rollup shuffle). The oracle re-derives the identical pipeline
+    relationally; SUM is cast BIGINT (DuckDB HUGEINT rule)."""
+    from .textops import exact_dedup, with_split, with_text_stats
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    recrawl = d.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    stats = with_text_stats(d.unionByName(recrawl)).select(
+        "doc_id", "text", "n_tokens"
+    )
+    survivors = exact_dedup(stats.filter(F.col("n_tokens") >= 20))
+    return (
+        with_split(survivors, "doc_id", train_pct=90, val_pct=5)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
+@q(
     "txt_repetition",
     oracle=r"""
 WITH t AS (
@@ -5293,10 +5360,10 @@ def w_percentile_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window; when rotating one out, its driver row must already exist in
 # a committed CORRECTNESS_r*.json.
 #
-# Round-3 window: the 12 queries with no prior driver row (6 dark
-# round-2 entries + the 6 new round-3 queries: scd2_history,
+# Round-3 window: the 13 queries with no prior driver row (6 dark
+# round-2 entries + the 7 new round-3 queries: scd2_history,
 # ml_mlp_score, txt_contamination, txt_repetition, txt_chunk_plan,
-# txt_vocab_topk), the 3 rows VERDICT
+# txt_vocab_topk, corpus_curation), the 3 rows VERDICT
 # r2 demanded re-proof for (dd_exact_dup_groups array->string fix,
 # ann_ivf_topk now value-exact via fixed literal centroids,
 # dd_simhash_md5 swapped in for the rows-only xxhash64 form),
@@ -5305,7 +5372,7 @@ def w_percentile_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # s_sessionize_gap, m_date_spine, m_explode_split, m_posexplode,
 # mon_freshness, m_scalar_subquery, s_page_view_end, dd_simhash,
 # w_percentile_window, top_products, braze_order_attribution,
-# luxco_multigrain_union —
+# luxco_multigrain_union, dm_rfm_segmentation —
 # each has a green driver row in r1 and/or r2 and stays in the
 # registry, the local gate, and pytest.
 # ===========================================================================
@@ -5324,6 +5391,7 @@ _DRIVER_WINDOW = [
     "txt_repetition",
     "txt_chunk_plan",
     "txt_vocab_topk",
+    "corpus_curation",
     # re-proof rows (changed or upgraded this round)
     "dd_exact_dup_groups",
     "ann_ivf_topk",
@@ -5361,7 +5429,6 @@ _DRIVER_WINDOW = [
     "wh_sessions_mart",
     "wh_page_views",
     "wh_track_events",
-    "dm_rfm_segmentation",
     "spv_price_outliers",
     "master_subscription",
     "fin_collection_curves",
