@@ -46,10 +46,11 @@ HEADLINE = [
     "ml_price_score",
     "dd_embedding_neardup",
     # round 3 additions: SCD2 merge (relational), MLP + fixed-centroid
-    # IVF (Arrow tail).
+    # IVF (Arrow tail), end-to-end corpus curation (relational).
     "scd2_history",
     "ml_mlp_score",
     "ann_ivf_topk",
+    "corpus_curation",
 ]
 
 
