@@ -3,6 +3,7 @@ from .incremental import (
     deduped,
     read_events_stream,
     run_incremental_upsert,
+    run_streaming_scd2,
     run_streaming_sessions,
     running_user_stats,
     streaming_session_rollup,
@@ -23,6 +24,7 @@ __all__ = [
     "read_events_stream",
     "read_kafka_shaped_stream",
     "run_incremental_upsert",
+    "run_streaming_scd2",
     "run_streaming_sessions",
     "running_user_stats",
     "streaming_session_rollup",

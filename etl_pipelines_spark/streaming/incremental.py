@@ -249,3 +249,58 @@ def run_running_user_stats(
         .start()
     )
     q.awaitTermination(timeout_sec)
+
+
+def run_streaming_scd2(
+    spark: SparkSession,
+    landing_dir: str,
+    history_path: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    attrs: list[str],
+    schema: "StructType",
+    date_col: str = "snapshot_date",
+    timeout_sec: int = 300,
+) -> None:
+    """St3 applied to dimension history: snapshot drops land as
+    files; each micro-batch's snapshots merge into the stored SCD2
+    interval history through operators/scd2.scd2_merge, in
+    snapshot-date order, and the history table full-refreshes
+    atomically (read-old-then-swap, so the lazy read of the previous
+    history never races the overwrite). The checkpoint processes
+    each snapshot file exactly once across restarts; scd2_merge's
+    idempotent re-merge (and same-day last-write-wins) makes
+    replayed snapshots safe.
+
+    Scale: the history table is change-proportional (small next to
+    facts); each merge shuffles once on the business key and only
+    open rows join the incoming snapshot."""
+    from ..operators.scd2 import scd2_merge
+
+    stream = (
+        spark.readStream.format("parquet").schema(schema).load(landing_dir)
+    )
+
+    def merge(batch: DataFrame, _batch_id: int) -> None:
+        import os
+
+        dates = [r[0] for r in batch.select(date_col).distinct().collect()]
+        if not dates:
+            return
+        hist = (
+            spark.read.parquet(history_path)
+            if os.path.exists(history_path)
+            else None
+        )
+        for d in sorted(dates):
+            snap = batch.filter(F.col(date_col) == F.lit(d)).drop(date_col)
+            hist = scd2_merge(hist, snap, keys, attrs, d)
+        writers.full_refresh(hist, history_path)
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)

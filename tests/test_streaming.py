@@ -223,3 +223,72 @@ class TestKafkaShaped:
         )
         for n in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
             assert n not in plan
+
+
+class TestStreamingScd2:
+    """St3 + SCD2: snapshot drops merged incrementally through
+    foreachBatch must equal the batch-merged history."""
+
+    SNAP_DATES = ["2024-01-07", "2024-01-14", "2024-01-21", "2024-01-28"]
+
+    def _snapshots(self, spark, events):
+        out = []
+        e = events.select(F.to_date("ts").alias("d"), "user_id", "event_type")
+        for ds in self.SNAP_DATES:
+            out.append(
+                e.filter(F.col("d") <= F.lit(ds).cast("date"))
+                .groupBy("user_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.count(F.when(F.col("event_type") == "purchase", 1))
+                    .alias("n_purchases"),
+                )
+                .withColumn("snapshot_date", F.lit(ds).cast("date"))
+            )
+        return out
+
+    def test_incremental_equals_batch(self, spark, events, tmp_path):
+        from pyspark.sql.types import (
+            DateType, LongType, StructField, StructType,
+        )
+
+        from etl_pipelines_spark.operators import scd2_merge
+        from etl_pipelines_spark.streaming import run_streaming_scd2
+
+        landing = str(tmp_path / "snaps")
+        history = str(tmp_path / "scd2_history")
+        ckpt = str(tmp_path / "ckpt")
+        snaps = self._snapshots(spark, events)
+        schema = StructType([
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("n_purchases", LongType()),
+            StructField("snapshot_date", DateType()),
+        ])
+
+        # drop 1: first two snapshots in one drain; drop 2: the rest
+        _write_landing(snaps[0].unionByName(snaps[1]), landing)
+        run_streaming_scd2(
+            spark, landing, history, ckpt,
+            keys=["user_id"], attrs=["n_events", "n_purchases"],
+            schema=schema,
+        )
+        mid = spark.read.parquet(history)
+        assert mid.filter(F.col("valid_to").isNull()).count() > 0
+
+        _write_landing(snaps[2].unionByName(snaps[3]), landing)
+        run_streaming_scd2(
+            spark, landing, history, ckpt,
+            keys=["user_id"], attrs=["n_events", "n_purchases"],
+            schema=schema,
+        )
+        got = sorted(map(str, spark.read.parquet(history).collect()))
+
+        want_hist = None
+        for ds, snap in zip(self.SNAP_DATES, snaps):
+            want_hist = scd2_merge(
+                want_hist, snap.drop("snapshot_date"),
+                ["user_id"], ["n_events", "n_purchases"], ds,
+            )
+        want = sorted(map(str, want_hist.collect()))
+        assert got == want
