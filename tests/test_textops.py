@@ -336,3 +336,54 @@ class TestSampling:
         # deterministic across shuffles
         again = stratified_take(d.repartition(11), "lang", "doc_id", 5)
         assert sorted(map(str, out.collect())) == sorted(map(str, again.collect()))
+
+
+class TestAnalysisOpsEdges:
+    """Edge inputs the synthetic corpus never hits: empty text,
+    single-token docs, docs shorter than the n-gram/chunk size."""
+
+    def test_repetition_short_docs_score_zero(self, spark):
+        from etl_pipelines_spark.textops import with_repetition
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, "one"), (3, "a b c"), (4, "x x x x x x")],
+            ["doc_id", "text"],
+        )
+        got = {r.doc_id: (r.dup_2gram_frac, r.dup_5gram_frac)
+               for r in with_repetition(df).collect()}
+        assert got[1] == (0.0, 0.0)   # empty
+        assert got[2] == (0.0, 0.0)   # below both n
+        assert got[3][1] == 0.0       # 3 tokens: no 5-grams
+        assert got[3][0] == 0.0       # 'a b','b c' distinct
+        # 'x x' x5 -> 1 distinct of 5 2-grams; 'x x x x x' x2 -> 1 of 2
+        assert got[4] == (0.8, 0.5)
+
+    def test_chunk_plan_edges(self, spark):
+        from etl_pipelines_spark.textops import chunk_plan
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, "a b c"), (3, " ".join(["t"] * 65))],
+            ["doc_id", "text"],
+        )
+        rows = chunk_plan(df, chunk_tokens=32).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        # empty doc still yields one (empty) chunk row
+        assert [(r.tok_start, r.tok_end, r.n_chunk_tokens)
+                for r in by_doc[1]] == [(0, 0, 0)]
+        assert [(r.tok_start, r.tok_end) for r in by_doc[2]] == [(0, 3)]
+        # 65 tokens / 32 -> 3 chunks, last one partial
+        assert [(r.chunk_idx, r.n_chunk_tokens) for r in sorted(
+            by_doc[3], key=lambda r: r.chunk_idx)] == [(0, 32), (1, 32), (2, 1)]
+
+    def test_vocab_topk_deterministic_tiebreak(self, spark):
+        from etl_pipelines_spark.textops import vocab_topk
+
+        df = spark.createDataFrame(
+            [(1, "b a"), (2, "a b"), (3, "c")], ["doc_id", "text"]
+        )
+        got = [(r.token, r.n_occurrences, r.rank)
+               for r in vocab_topk(df, k=2).orderBy("rank").collect()]
+        # a and b tie at 2; 'a' wins the tie alphabetically
+        assert got == [("a", 2, 1), ("b", 2, 2)]
