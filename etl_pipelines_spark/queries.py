@@ -5347,6 +5347,285 @@ def w_percentile_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Round-3 additions: multi-grain aggregation (ROLLUP/GROUPING SETS),
+# and the second wave of LLM-data-pipeline operators — PII redaction,
+# n-gram decontamination, C4-style line-level corpus dedup, unigram
+# LM quality scoring, SemDeDup, source mixing.
+# ===========================================================================
+
+
+@q(
+    "a_rollup_multigrain",
+    oracle="""
+SELECT
+  CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS grain,
+  o_orderstatus, o_orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY grain, o_orderstatus, o_orderpriority
+""",
+)
+def a_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain aggregation in ONE pass: GROUP BY ROLLUP
+    (status, priority) with GROUPING_ID — detail, per-status subtotal
+    and grand total from a single scan, the idiom behind the
+    reference's stacked-subtotal finance reports (e.g.
+    4_dwh_finance/commercial_drill_down.sql's repeated UNIONed
+    grains). Spark expands the rollup grains BEFORE the hash
+    aggregate (Expand -> partial agg -> one shuffle), so the input is
+    read once instead of once per grain — at 100 TB a 3-grain UNION
+    ALL rewrite is 3 scans, this is 1. Money sums ride the exact-
+    decimal path (order-independent)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("grain"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "total_price"),
+        )
+        .select(
+            "grain",
+            "o_orderstatus",
+            "o_orderpriority",
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("grain", "o_orderstatus", "o_orderpriority")
+    )
+
+
+@q(
+    "txt_pii_redact",
+    oracle=r"""
+WITH injected AS (
+  SELECT doc_id,
+    text ||
+    CASE WHEN doc_id % 3 = 0
+      THEN ' Contact user' || CAST(doc_id AS VARCHAR)
+           || '@mail.example.com now.' ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0
+      THEN ' Call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           || ' or ping 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7.'
+      ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+  CAST(len(regexp_extract_all(text,
+    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}')) AS INT) AS n_phones,
+  CAST(len(regexp_extract_all(text,
+    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ips,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}', '<PHONE>', 'g'),
+    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')
+    AS redacted
+FROM injected
+ORDER BY doc_id
+""",
+)
+def txt_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass (textops/filters.redact_pii): emails, phone
+    numbers and IPv4 literals counted then replaced by typed
+    placeholder tokens — the redaction step a training corpus goes
+    through before release. The corpus here is the documents table
+    with DETERMINISTIC synthetic PII appended (doc_id-derived, so
+    every scale factor has docs with 0/1/2 PII hits of each class —
+    the vacuous-oracle rule). All JVM regexp expressions inside
+    codegen: a narrow map that runs at scan speed; the patterns are
+    dialect-portable so the oracle replicates them verbatim (DuckDB
+    needs the 'g' flag — Java regexp_replace is global by default)."""
+    from .textops import redact_pii
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" Contact user"),
+                    did.cast("string"),
+                    F.lit("@mail.example.com now."),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" Call +1-555-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                    F.lit(" or ping 10.0."),
+                    (did % 256).cast("string"),
+                    F.lit(".7."),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return (
+        redact_pii(injected)
+        .select("doc_id", "n_emails", "n_phones", "n_ips", "redacted")
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "dd_line_dedup",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+    text || ' extra recrawl tail x' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 40 = 0
+  UNION ALL
+  SELECT doc_id + 200000,
+    text || ' extra recrawl tail x' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 80 = 0
+),
+tok AS (
+  SELECT doc_id,
+    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM corpus
+),
+lines AS (
+  SELECT doc_id, CAST(u.i AS INT) AS line_no,
+    array_to_string(list_slice(toks, u.i * 8 + 1, u.i * 8 + 8), ' ') AS line
+  FROM tok, LATERAL (SELECT unnest(range(0,
+    GREATEST(CAST(CEIL(len(toks) / 8.0) AS INT), 1))) AS i) u
+),
+win AS (
+  SELECT doc_id, line_no,
+    ROW_NUMBER() OVER (PARTITION BY md5(line)
+                       ORDER BY doc_id, line_no) AS rn
+  FROM lines
+),
+keep AS (SELECT doc_id, line_no FROM win WHERE rn = 1)
+SELECT l.doc_id,
+  CAST(COUNT(*) AS INT) AS n_lines,
+  CAST(COUNT(k.line_no) AS INT) AS n_kept,
+  COALESCE(string_agg(CASE WHEN k.line_no IS NOT NULL THEN l.line END,
+                      ' ' ORDER BY l.line_no), '') AS new_text
+FROM lines l LEFT JOIN keep k ON k.doc_id = l.doc_id AND k.line_no = l.line_no
+GROUP BY l.doc_id
+ORDER BY l.doc_id
+""",
+)
+def dd_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide LINE-level dedup, first occurrence wins — C4's
+    third dedup granularity (Raffel et al. 2020 §2.2: discard
+    repeated three-sentence spans corpus-wide) next to the existing
+    document-exact and near-dup families. The corpus is documents
+    plus two deterministic re-crawl generations (full-text overlap
+    with a fresh tail), so every outcome exists at every scale
+    factor: docs keeping all lines, partial keeps, and second-gen
+    re-crawls keeping nothing.
+
+    Scale (textops/filters.line_dedup): dedup decisions ride on
+    16-byte line hashes + ids only; document text crosses exactly one
+    exchange — the final doc-grain join that rebuilds surviving text
+    with array expressions. A window-over-hash formulation would
+    shuffle full line text twice instead."""
+    from .textops import line_dedup
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    tail = F.concat(
+        F.col("text"),
+        F.lit(" extra recrawl tail x"),
+        did.cast("string"),
+    )
+    r1 = d.filter(did % 40 == 0).select(
+        (did + 100000).alias("doc_id"), tail.alias("text")
+    )
+    r2 = d.filter(did % 80 == 0).select(
+        (did + 200000).alias("doc_id"), tail.alias("text")
+    )
+    corpus = d.unionByName(r1).unionByName(r2)
+    return line_dedup(corpus, line_tokens=8).orderBy("doc_id")
+
+
+@q(
+    "txt_ngram_decontam",
+    oracle="""
+WITH batch AS (
+  SELECT doc_id + 200000 AS batch_id,
+    CASE WHEN doc_id % 50 = 0
+      THEN array_to_string(list_reverse(
+             list_filter(string_split(text, ' '), x -> x <> '')), ' ')
+      ELSE text || ' trailing eval marker' END AS text
+  FROM documents WHERE doc_id % 25 = 0
+),
+bg AS (
+  SELECT batch_id,
+    list_distinct(list_transform(range(1, GREATEST(len(toks) - 11, 1)),
+      i -> array_to_string(list_slice(toks, i, i + 12), ' '))) AS grams
+  FROM (SELECT batch_id,
+          list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM batch)
+),
+pd AS (SELECT batch_id, CAST(len(grams) AS INT) AS n_ngrams FROM bg),
+bfp AS (
+  SELECT DISTINCT batch_id, md5(g.gram) AS fp
+  FROM bg, LATERAL (SELECT unnest(grams) AS gram) g
+),
+cg AS (
+  SELECT md5(gr.gram) AS fp
+  FROM (SELECT list_distinct(list_transform(
+          range(1, GREATEST(len(toks) - 11, 1)),
+          i -> array_to_string(list_slice(toks, i, i + 12), ' '))) AS grams
+        FROM (SELECT list_filter(string_split(text, ' '), x -> x <> '')
+                AS toks FROM documents)) t,
+       LATERAL (SELECT unnest(grams) AS gram) gr
+),
+m AS (
+  SELECT b.batch_id, COUNT(DISTINCT b.fp) AS n_overlap
+  FROM bfp b JOIN cg ON cg.fp = b.fp GROUP BY b.batch_id
+)
+SELECT pd.batch_id, pd.n_ngrams,
+  CAST(COALESCE(m.n_overlap, 0) AS INT) AS n_overlap,
+  COALESCE(m.n_overlap, 0) > 0 AS contaminated
+FROM pd LEFT JOIN m USING (batch_id)
+ORDER BY batch_id
+""",
+)
+def txt_ngram_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """13-gram train/test decontamination (textops/dedup.
+    ngram_contamination) — the GPT-3 appendix-C rule next to
+    txt_contamination's exact-text rule: an eval doc is contaminated
+    if ANY 13-gram overlaps the training corpus, which catches the
+    quoted-with-edits overlap that exact matching misses. The eval
+    batch is a deterministic mix: revised re-ingests (share 13-grams
+    → caught here, missed by exact match), token-reversed docs
+    (clean), and sub-13-token docs (exempt by rule) — all outcomes at
+    every scale factor.
+
+    Scale: the batch's distinct gram fingerprints BROADCAST; the
+    corpus explodes grams narrowly and map-joins — the corpus never
+    crosses an exchange and no corpus-wide distinct exists. Only
+    matched (batch_id, fp) pairs shuffle."""
+    from .textops import ngram_contamination
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    batch = d.filter(did % 25 == 0).select(
+        (did + 200000).alias("batch_id"),
+        F.when(
+            did % 50 == 0, F.array_join(F.reverse(toks), " ")
+        )
+        .otherwise(F.concat("text", F.lit(" trailing eval marker")))
+        .alias("text"),
+    )
+    return ngram_contamination(d, batch, n=13).orderBy("batch_id")
+
+
+# ===========================================================================
 # Registry ordering: the driver's correctness gate evaluates the FIRST
 # 50 registry entries (registration order); _DRIVER_WINDOW pins that
 # prefix each round.

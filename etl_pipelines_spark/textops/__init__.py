@@ -23,6 +23,8 @@ from .dedup import (
     exact_duplicate_groups,
     exact_dedup,
     contamination_check,
+    ngrams_exact,
+    ngram_contamination,
     ngram_jaccard_pairs,
     minhash_signature,
     minhash_lsh_pairs,
@@ -31,6 +33,13 @@ from .dedup import (
     simhash_neardup_pairs,
     neardup_components,
     md5_hash60,
+)
+from .filters import (
+    redact_pii,
+    line_dedup,
+    EMAIL_RE,
+    PHONE_RE,
+    IPV4_RE,
 )
 from .sampling import (
     hash_bucket,
@@ -65,6 +74,8 @@ __all__ = [
     "exact_duplicate_groups",
     "exact_dedup",
     "contamination_check",
+    "ngrams_exact",
+    "ngram_contamination",
     "ngram_jaccard_pairs",
     "minhash_signature",
     "minhash_lsh_pairs",
@@ -84,6 +95,11 @@ __all__ = [
     "lsh_neardup_pairs",
     "lsh_neardup_oracle_sql",
     "lsh_topk_oracle_sql",
+    "redact_pii",
+    "line_dedup",
+    "EMAIL_RE",
+    "PHONE_RE",
+    "IPV4_RE",
     "hash_bucket",
     "hash_sample",
     "stratified_take",

@@ -83,6 +83,86 @@ def exact_dedup(
     )
 
 
+def ngrams_exact(text: Column, n: int = 13) -> Column:
+    """Distinct word n-gram strings; EMPTY for docs shorter than n
+    tokens (unlike shingles(), which falls back to whole-text — for
+    decontamination a short doc must simply produce no n-grams).
+    Same zip_with-shifted-slice construction as shingles(): every
+    input array is evaluated once per ROW, never once per element."""
+    toks = tokenize(text)
+    joined = toks
+    for k in range(1, n):
+        joined = F.zip_with(
+            toks if k == 1 else joined,
+            F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    grams = F.filter(joined, lambda g: g.isNotNull())
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    batch: DataFrame,
+    n: int = 13,
+    corpus_text_col: str = "text",
+    batch_id_col: str = "batch_id",
+    batch_text_col: str = "text",
+) -> DataFrame:
+    """n-gram train/test decontamination (the GPT-3 appendix-C rule,
+    Brown et al. 2020: an eval doc is contaminated if any 13-gram
+    overlaps the training corpus; docs shorter than n are exempt).
+
+    Scale shape — the part that makes this viable at 100 TB: the
+    eval batch is always small, so its distinct gram fingerprints
+    BROADCAST; the corpus side explodes grams narrowly, hashes them
+    in the same projection, and map-joins against the broadcast set —
+    the corpus never crosses an exchange at all (no corpus-wide
+    distinct!). Only the matched (batch_id, fp) pairs — bounded by
+    |batch grams| — shuffle into the final count.
+
+    Returns one row per batch doc: n_ngrams, n_overlap (distinct
+    grams found in the corpus), contaminated."""
+    b = batch.select(
+        F.col(batch_id_col),
+        ngrams_exact(F.col(batch_text_col), n).alias("__grams"),
+    )
+    per_doc = b.select(batch_id_col, F.size("__grams").alias("n_ngrams"))
+    b_fps = b.select(
+        batch_id_col,
+        F.explode(F.transform("__grams", lambda g: F.md5(g))).alias("__fp"),
+    ).distinct()
+    c_grams = corpus.select(
+        F.explode(
+            F.transform(
+                ngrams_exact(F.col(corpus_text_col), n), lambda g: F.md5(g)
+            )
+        ).alias("__fp")
+    )
+    matched = (
+        c_grams.join(F.broadcast(b_fps), "__fp")
+        .groupBy(batch_id_col)
+        .agg(F.count_distinct("__fp").alias("n_overlap"))
+    )
+    return (
+        per_doc.join(matched, batch_id_col, "left")
+        .select(
+            batch_id_col,
+            "n_ngrams",
+            F.coalesce(F.col("n_overlap"), F.lit(0))
+            .cast("int")
+            .alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
 def contamination_check(
     corpus: DataFrame,
     batch: DataFrame,
