@@ -5625,6 +5625,138 @@ def txt_ngram_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(d, batch, n=13).orderBy("batch_id")
 
 
+@q(
+    "txt_unigram_logprob",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, t.token
+  FROM (SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents) d,
+       LATERAL (SELECT unnest(toks) AS token) t
+),
+freq AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM freq),
+lp AS (
+  SELECT token,
+    CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+         AS DECIMAL(18,6)) AS lp
+  FROM freq, tot
+)
+SELECT doc_id,
+  COUNT(*) AS n_tokens,
+  CAST(SUM(lp.lp) AS DOUBLE) / COUNT(*) AS avg_logprob
+FROM tok JOIN lp USING (token)
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def txt_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score (textops/analysis.unigram_logprob):
+    per-doc mean log-probability under the corpus's own unigram
+    distribution — the CCNet LM-filter family's SQL-expressible
+    member. Per-token log-probs round to 6dp then ride the exact
+    DECIMAL(18,6) sum, so the result is bit-identical regardless of
+    aggregation order (the money-sum discipline in log space).
+    Shuffles carry tokens + 8-byte decimals only."""
+    from .textops import unigram_logprob
+
+    d = load(spark, sf_dir, "documents")
+    return unigram_logprob(d).orderBy("doc_id")
+
+
+@q(
+    "txt_source_mix",
+    oracle="""
+WITH stats AS (
+  SELECT source, doc_id,
+    len(list_filter(string_split(text, ' '), x -> x <> '')) AS ntok
+  FROM documents
+),
+per_src AS (
+  SELECT source, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens
+  FROM stats GROUP BY source
+),
+pw AS (
+  SELECT source, n_docs, n_tokens,
+    CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.7), 6) AS DECIMAL(28,6))
+      AS pw
+  FROM per_src
+),
+tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total, SUM(pw) AS z FROM pw
+),
+mix AS (
+  SELECT source, n_docs, n_tokens,
+    CAST(pw AS DOUBLE) / CAST(z AS DOUBLE) AS weight,
+    CAST(FLOOR(LEAST(1.0,
+      (CAST(FLOOR((total * 3) / 10) AS DOUBLE)
+        * (CAST(pw AS DOUBLE) / CAST(z AS DOUBLE)))
+      / CAST(n_tokens AS DOUBLE)) * 10000) AS INT) AS keep_bp
+  FROM pw, tot
+),
+kept AS (
+  SELECT s.source, COUNT(*) AS n_docs_kept,
+    CAST(SUM(s.ntok) AS BIGINT) AS n_tokens_kept
+  FROM stats s JOIN mix m USING (source)
+  WHERE ('0x' || substring(md5(CAST(s.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        % 10000 < m.keep_bp
+  GROUP BY s.source
+)
+SELECT m.source, m.n_docs, m.n_tokens,
+  round(m.weight, 6) AS weight, m.keep_bp,
+  CAST(COALESCE(k.n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
+  CAST(COALESCE(k.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept
+FROM mix m LEFT JOIN kept k ON k.source = m.source
+ORDER BY m.source
+""",
+)
+def txt_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing (textops/sampling.
+    source_mix): per-source sampling weights w_s = n_s^0.7 / Σ n_s^0.7
+    over token counts (the α<1 reweighting rule that up-weights small
+    sources in multi-source pretraining mixes), turned into integer
+    basis-point keep fractions against a 30% corpus token budget and
+    realized with the deterministic md5 hash-mod sampler. Weights
+    ride a rounded-DECIMAL sum (order-independent); the budget is
+    integer math; the selected subset is reproducible across engines
+    and partitionings. The per-source mix table broadcasts; text
+    never shuffles."""
+    from .textops import source_mix
+
+    d = load(spark, sf_dir, "documents")
+    return source_mix(d).orderBy("source")
+
+
+from .textops import semantic_dedup_oracle_sql  # noqa: E402
+
+
+@q(
+    "dd_semantic_dedup",
+    oracle=semantic_dedup_oracle_sql(threshold=0.4, dim=64, nlist=16, seed=7),
+)
+def dd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (textops/similarity.semantic_dedup_pairs): embedding
+    near-dup pairs found by clustering first and comparing only
+    within a cluster — Σ n_c² ≈ n²/k comparisons instead of n². The
+    quantizer is the fixed deterministic one, so the oracle
+    replicates centroids as SQL literals and the full
+    assign→pair→verify pipeline is value-exact (the ivf_topk_fixed
+    trick); the k-means trainer remains the data-adaptive quality
+    path. Complements dd_embedding_neardup (sign-LSH buckets): same
+    verify math, different candidate structure — clusters give
+    deterministic recall within a cell, LSH gives probabilistic
+    recall across all cells. Vectors cross no exchange for
+    assignment; candidate pairs self-join on the int list id only."""
+    from .textops import semantic_dedup_pairs
+
+    e = load_spread(spark, sf_dir, "embeddings")
+    pairs = semantic_dedup_pairs(e, threshold=0.4, dim=64, nlist=16, seed=7)
+    return pairs.select(
+        "list_id", "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    ).orderBy("id_a", "id_b")
+
+
 # ===========================================================================
 # Registry ordering: the driver's correctness gate evaluates the FIRST
 # 50 registry entries (registration order); _DRIVER_WINDOW pins that

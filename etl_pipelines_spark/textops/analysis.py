@@ -222,6 +222,55 @@ def chunk_plan(
     )
 
 
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean unigram log-probability under an in-corpus
+    unigram LM — the CCNet-style LM quality signal (Wenzek et al.
+    2020): documents whose tokens are improbable under the corpus
+    distribution (gibberish, boilerplate codes) score low and are
+    filtered or down-weighted before training. (CCNet uses a 5-gram
+    KenLM; the unigram model is the SQL-expressible member of the
+    family and the standard cheap first pass.)
+
+    Cross-engine exactness: per-token log-probs are rounded to 6
+    decimals and cast DECIMAL(18,6), so the per-document SUM is exact
+    and order-independent — float addition order never enters (the
+    engine's exact-decimal money-sum discipline applied to log
+    space).
+
+    Scale: two hash aggs (token frequencies; per-doc rollup) and one
+    token-keyed join — tokens and 8-byte decimals shuffle, text does
+    not. The frequency table is vocabulary-sized (≪ corpus);
+    broadcast it explicitly when the vocab is known small."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    lp = freq.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.round(
+            F.log(
+                F.col("cnt").cast("double") / F.col("total").cast("double")
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("lp"),
+    )
+    return (
+        toks.join(lp, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("lp").cast("double") / F.count(F.lit(1))).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
 def vocab_topk(
     df: DataFrame, text_col: str = "text", k: int = 100
 ) -> DataFrame:

@@ -57,6 +57,105 @@ def hash_sample(df: DataFrame, key: str, pct: int) -> DataFrame:
     return df.filter(hash_bucket(F.col(key)) < pct)
 
 
+def source_mix(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.7,
+    budget_num: int = 3,
+    budget_den: int = 10,
+) -> DataFrame:
+    """Temperature-weighted source mixing — the corpus-reweighting
+    step behind multi-source pretraining mixes (the n_s^α sampling
+    rule of GPT-3 / multilingual data balancing, α<1 up-weights small
+    sources): compute per-source sampling weights w_s = n_s^α / Σ
+    n_s^α over token counts, turn a token budget (budget_num/
+    budget_den of the corpus) into a per-source keep fraction, and
+    realize it with the engine's deterministic md5 hash-mod sampler —
+    so the selected subset is reproducible across runs, engines and
+    partitionings.
+
+    Cross-engine exactness: n_s^α is rounded to 6dp and summed as
+    DECIMAL (order-independent); the budget is integer arithmetic;
+    keep fractions become integer basis points before the bucket
+    comparison.
+
+    Scale: doc-grain work is two narrow projections + two hash aggs
+    keyed by source; the per-source mix table (|sources| rows)
+    broadcasts back onto the corpus for the keep filter. Text never
+    shuffles.
+
+    Returns one row per source: n_docs, n_tokens, weight, keep_bp,
+    n_docs_kept, n_tokens_kept."""
+    from .analysis import tokenize
+
+    stats = df.select(
+        F.col(source_col),
+        F.col(id_col),
+        F.size(tokenize(F.col(text_col))).cast("long").alias("__ntok"),
+    )
+    per_src = stats.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__ntok").alias("n_tokens"),
+    )
+    pw = per_src.withColumn(
+        "__pw",
+        F.round(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)), 6)
+        .cast("decimal(28,6)"),
+    )
+    tot = pw.agg(
+        F.sum("n_tokens").alias("__total"), F.sum("__pw").alias("__z")
+    )
+    target = (F.col("__total") * budget_num).cast("bigint") / F.lit(
+        budget_den
+    )
+    mix = pw.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        (F.col("__pw").cast("double") / F.col("__z").cast("double")).alias(
+            "weight"
+        ),
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                (
+                    F.floor(target).cast("double")
+                    * (
+                        F.col("__pw").cast("double")
+                        / F.col("__z").cast("double")
+                    )
+                )
+                / F.col("n_tokens").cast("double"),
+            )
+            * 10000
+        )
+        .cast("int")
+        .alias("keep_bp"),
+    )
+    kept = (
+        stats.join(
+            F.broadcast(mix.select(source_col, "keep_bp")), source_col
+        )
+        .filter(hash_bucket(F.col(id_col), 10000) < F.col("keep_bp"))
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("__ntok").alias("n_tokens_kept"),
+        )
+    )
+    return mix.join(kept, source_col, "left").select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        F.round("weight", 6).alias("weight"),
+        "keep_bp",
+        F.coalesce("n_docs_kept", F.lit(0)).alias("n_docs_kept"),
+        F.coalesce("n_tokens_kept", F.lit(0)).alias("n_tokens_kept"),
+    )
+
+
 def stratified_take(
     df: DataFrame,
     group_col: str,

@@ -734,6 +734,135 @@ def lsh_neardup_pairs(
     return withv.mapInPandas(score, schema="id_a long, id_b long, cosine double")
 
 
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    dim: int = 64,
+    nlist: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs
+    found by CLUSTERING embeddings first and comparing only within a
+    cluster — the third member of the embedding-dedup family next to
+    the sign-LSH candidate path (lsh_neardup_pairs) and the lossless
+    n² verifier (all_pairs_cosine).
+
+    Why it scales: all-pairs is O(n²·d); with k clusters the
+    comparison volume drops to Σ n_c² ≈ n²/k — at the paper's scale
+    (k ~ 10⁴-10⁵ over billions of embeddings) that is the difference
+    between impossible and routine. Here the quantizer is the fixed
+    deterministic one (fixed_ivf_centroids), so the whole
+    assign→pair→verify pipeline is SQL-replicable and value-exact —
+    the same verification trick as ivf_topk_fixed; swap in
+    train_ivf_centroids for the data-adaptive quality path.
+
+    Plan shape: assignment is a narrow Arrow map over broadcast
+    centroids (vectors cross NO exchange for it); candidate pairs
+    self-join on the int list id ONLY (ids shuffle, vectors don't);
+    vectors re-join onto the candidate set and are exact-scored with
+    the strict left-to-right fold the oracle replicates. Within-
+    cluster skew is the known failure mode at scale — cap cluster
+    population or split hot lists (the nlist knob) before pairing.
+
+    Output: list_id, id_a, id_b, cosine (pairs with cosine >=
+    threshold)."""
+    import numpy as np
+    import pandas as pd
+
+    centroids = fixed_ivf_centroids(dim=dim, nlist=nlist, seed=seed)
+    assigned = ivf_assign_exact(df, centroids, id_col, vec_col, nprobe=1)
+    ids = assigned.select(F.col(id_col), F.col("__list"))
+    left = ids.select(F.col(id_col).alias("id_a"), "__list")
+    right = ids.select(F.col(id_col).alias("id_b"), "__list")
+    cand = left.join(right, "__list").filter(F.col("id_a") < F.col("id_b"))
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    withv = cand.join(va, "id_a").join(vb, "id_b")
+
+    _normalize = _np_normalize_fn(dim)
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            A = _normalize(np.array(list(pdf["__va"]), dtype=np.float64))
+            B = _normalize(np.array(list(pdf["__vb"]), dtype=np.float64))
+            acc = np.zeros(len(pdf), dtype=np.float64)
+            for i in range(dim):  # fold order = oracle list_sum
+                acc += A[:, i] * B[:, i]
+            keep = acc >= threshold
+            yield pd.DataFrame(
+                {
+                    "list_id": pdf["__list"].to_numpy()[keep],
+                    "id_a": pdf["id_a"].to_numpy()[keep],
+                    "id_b": pdf["id_b"].to_numpy()[keep],
+                    "cosine": acc[keep],
+                }
+            )
+
+    return withv.mapInPandas(
+        score, schema="list_id int, id_a long, id_b long, cosine double"
+    )
+
+
+def semantic_dedup_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    dim: int = 64,
+    nlist: int = 16,
+    seed: int = 7,
+) -> str:
+    """DuckDB oracle for semantic_dedup_pairs: fixed centroids as
+    literal lists, the same raw-dot assignment fold with lowest-list
+    tie-break, within-cluster pairs, and the identical normalized
+    exact-cosine verification."""
+    cents = fixed_ivf_centroids(dim=dim, nlist=nlist, seed=seed)
+    rows = []
+    for lid, c in enumerate(cents):
+        lit = "[" + ", ".join(repr(v) for v in c) + "]"
+        rows.append(f"({lid}, {lit}::DOUBLE[])")
+    values = ",\n".join(rows)
+    return f"""
+WITH cents(lid, c) AS (VALUES
+{values}
+),
+sims AS (
+  SELECT e.{id_col}, ct.lid,
+    list_sum(list_transform(range(1, {dim + 1}),
+      i -> e.{vec_col}[i]::DOUBLE * ct.c[i])) AS sim
+  FROM {table} e CROSS JOIN cents ct
+),
+assign AS (
+  SELECT {id_col}, lid FROM (
+    SELECT {id_col}, lid,
+      ROW_NUMBER() OVER (PARTITION BY {id_col} ORDER BY sim DESC, lid) AS rn
+    FROM sims) WHERE rn = 1
+),
+cand AS (
+  SELECT a.lid AS list_id, a.{id_col} AS id_a, b.{id_col} AS id_b
+  FROM assign a JOIN assign b
+    ON a.lid = b.lid AND a.{id_col} < b.{id_col}
+),
+v AS (
+  SELECT {id_col},
+    list_transform({vec_col}, x -> x::DOUBLE /
+      sqrt(list_sum(list_transform({vec_col}, y -> y::DOUBLE * y::DOUBLE)))) AS vn
+  FROM {table}
+)
+SELECT CAST(c.list_id AS INT) AS list_id, c.id_a, c.id_b,
+  round(list_sum(list_transform(range(1, {dim + 1}), i -> a.vn[i] * b.vn[i])), 6) AS cosine
+FROM cand c
+JOIN v a ON a.{id_col} = c.id_a
+JOIN v b ON b.{id_col} = c.id_b
+WHERE list_sum(list_transform(range(1, {dim + 1}), i -> a.vn[i] * b.vn[i])) >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
 def lsh_neardup_oracle_sql(
     table: str = "embeddings",
     id_col: str = "vec_id",
