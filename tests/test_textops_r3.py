@@ -1,0 +1,202 @@
+"""Round-3 operator tests: PII redaction, line-level dedup, n-gram
+decontamination, unigram LM scoring, source mixing, SemDeDup, and
+the ROLLUP multi-grain query."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from etl_pipelines_spark.queries import REGISTRY, load
+from etl_pipelines_spark.textops import (
+    line_dedup,
+    ngram_contamination,
+    ngrams_exact,
+    redact_pii,
+    semantic_dedup_pairs,
+    source_mix,
+    unigram_logprob,
+)
+
+
+def _bucket(key: int, n: int = 10000) -> int:
+    return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) % n
+
+
+class TestRedactPii:
+    def test_counts_and_placeholders(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "mail me at a.b@x.io or c@y.org thanks"),
+                (2, "call +1-555-0042 from 10.0.0.7 today"),
+                (3, "nothing sensitive here"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r.doc_id: r for r in redact_pii(df).collect()}
+        assert (out[1].n_emails, out[1].n_phones, out[1].n_ips) == (2, 0, 0)
+        assert out[1].redacted == "mail me at <EMAIL> or <EMAIL> thanks"
+        assert (out[2].n_emails, out[2].n_phones, out[2].n_ips) == (0, 1, 1)
+        assert out[2].redacted == "call <PHONE> from <IP> today"
+        assert out[3].redacted == "nothing sensitive here"
+
+    def test_counts_on_original_not_redacted(self, spark):
+        # the placeholder itself must not be re-counted or re-matched
+        df = spark.createDataFrame([(1, "x@y.io x@y.io")], ["doc_id", "text"])
+        r = redact_pii(df).collect()[0]
+        assert r.n_emails == 2
+        assert r.redacted == "<EMAIL> <EMAIL>"
+
+
+class TestLineDedup:
+    def test_first_occurrence_wins(self, spark):
+        # 2-token lines; doc 1 defines both lines, doc 2 repeats them
+        # exactly (keeps nothing), doc 3 shares line one only.
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d"),
+                (2, "a b c d"),
+                (3, "a b x y"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r.doc_id: r for r in line_dedup(df, line_tokens=2).collect()}
+        assert (out[1].n_lines, out[1].n_kept) == (2, 2)
+        assert out[1].new_text == "a b c d"
+        assert (out[2].n_kept, out[2].new_text) == (0, "")
+        assert (out[3].n_lines, out[3].n_kept) == (2, 1)
+        assert out[3].new_text == "x y"
+
+    def test_intra_doc_duplicate_lines_collapse(self, spark):
+        df = spark.createDataFrame([(1, "a b a b")], ["doc_id", "text"])
+        r = line_dedup(df, line_tokens=2).collect()[0]
+        assert (r.n_lines, r.n_kept, r.new_text) == (2, 1, "a b")
+
+    def test_partial_final_line(self, spark):
+        df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+        r = line_dedup(df, line_tokens=2).collect()[0]
+        assert (r.n_lines, r.n_kept, r.new_text) == (2, 2, "a b c")
+
+
+class TestNgramDecontamination:
+    def test_short_docs_have_no_ngrams(self, spark):
+        df = spark.createDataFrame([(1, "only four tokens here")], ["i", "t"])
+        assert df.select(
+            F.size(ngrams_exact(F.col("t"), 13)).alias("n")
+        ).collect()[0].n == 0
+
+    def test_overlap_detection(self, spark):
+        base = " ".join(f"w{i}" for i in range(20))
+        corpus = spark.createDataFrame([(1, base)], ["doc_id", "text"])
+        batch = spark.createDataFrame(
+            [
+                (10, base + " trailing extra"),  # shares 13-grams
+                (11, " ".join(f"w{i}" for i in reversed(range(20)))),  # clean
+                (12, "too short for grams"),  # exempt
+            ],
+            ["batch_id", "text"],
+        )
+        out = {
+            r.batch_id: r
+            for r in ngram_contamination(corpus, batch, n=13).collect()
+        }
+        assert out[10].contaminated and out[10].n_overlap == 8  # 20-12 grams
+        assert not out[11].contaminated and out[11].n_ngrams == 8
+        assert not out[12].contaminated and out[12].n_ngrams == 0
+
+
+class TestUnigramLogprob:
+    def test_hand_computed(self, spark):
+        # corpus tokens: a a b  -> p(a)=2/3, p(b)=1/3
+        df = spark.createDataFrame([(1, "a a"), (2, "b")], ["doc_id", "text"])
+        out = {r.doc_id: r for r in unigram_logprob(df).collect()}
+        lp_a = round(math.log(2 / 3), 6)
+        lp_b = round(math.log(1 / 3), 6)
+        assert out[1].n_tokens == 2
+        assert abs(out[1].avg_logprob - lp_a) < 1e-9
+        assert abs(out[2].avg_logprob - lp_b) < 1e-9
+
+
+class TestSourceMix:
+    def test_weights_and_budget(self, spark, sf_dir):
+        d = load(spark, sf_dir, "documents")
+        rows = source_mix(d).collect()
+        assert rows, "source mix must produce per-source rows"
+        total_w = sum(r.weight for r in rows)
+        assert abs(total_w - 1.0) < 1e-4
+        for r in rows:
+            assert 0 <= r.keep_bp <= 10000
+            assert r.n_docs_kept <= r.n_docs
+            assert r.n_tokens_kept <= r.n_tokens
+        # the 30% budget must actually bite somewhere (not keep all)
+        assert any(r.n_docs_kept < r.n_docs for r in rows)
+
+    def test_alpha_upweights_small_sources(self, spark):
+        # one big + one small source; alpha<1 must give the small
+        # source a keep fraction strictly larger than its token share
+        big = [(i, "s_big", "tok " * 50) for i in range(40)]
+        small = [(100 + i, "s_small", "tok " * 50) for i in range(4)]
+        df = spark.createDataFrame(
+            big + small, ["doc_id", "source", "text"]
+        )
+        out = {r.source: r for r in source_mix(df).collect()}
+        share_small = out["s_small"].n_tokens / (
+            out["s_small"].n_tokens + out["s_big"].n_tokens
+        )
+        assert out["s_small"].weight > share_small
+        # deterministic md5 sampling: recompute one source by hand
+        kept = [
+            i
+            for i in range(40)
+            if _bucket(i) < out["s_big"].keep_bp
+        ]
+        assert out["s_big"].n_docs_kept == len(kept)
+
+
+class TestSemanticDedup:
+    def test_pairs_subset_of_all_pairs_with_exact_cosine(
+        self, spark, sf_dir
+    ):
+        from etl_pipelines_spark.textops.similarity import all_pairs_cosine
+
+        e = load(spark, sf_dir, "embeddings")
+        exact = {
+            (r.id_a, r.id_b): r.cosine
+            for r in all_pairs_cosine(e, threshold=0.4).collect()
+        }
+        sem = semantic_dedup_pairs(e, threshold=0.4).collect()
+        assert sem, "semantic dedup must find pairs on the corpus"
+        for r in sem:
+            assert (r.id_a, r.id_b) in exact
+            assert abs(r.cosine - exact[(r.id_a, r.id_b)]) < 1e-12
+
+    def test_pairs_share_a_cluster(self, spark, sf_dir):
+        from etl_pipelines_spark.textops import (
+            fixed_ivf_centroids,
+            ivf_assign_exact,
+        )
+
+        e = load(spark, sf_dir, "embeddings")
+        cents = fixed_ivf_centroids(dim=64, nlist=16, seed=7)
+        assign = {
+            r.vec_id: r.lid
+            for r in ivf_assign_exact(e, cents, nprobe=1)
+            .select("vec_id", F.col("__list").alias("lid"))
+            .collect()
+        }
+        for r in semantic_dedup_pairs(e, threshold=0.4).collect():
+            assert assign[r.id_a] == assign[r.id_b] == r.list_id
+
+
+class TestRollupQuery:
+    def test_grand_total_row(self, spark, sf_dir):
+        rows = REGISTRY["a_rollup_multigrain"].spark(spark, sf_dir).collect()
+        grand = [r for r in rows if r.grain == 3]
+        assert len(grand) == 1
+        n_orders = load(spark, sf_dir, "orders").count()
+        assert grand[0].n_orders == n_orders
+        # subtotals per status must sum to the grand total
+        st = [r for r in rows if r.grain == 1]
+        assert sum(r.n_orders for r in st) == n_orders
