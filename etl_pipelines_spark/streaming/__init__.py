@@ -8,6 +8,10 @@ from .incremental import (
     running_user_stats,
     streaming_session_rollup,
 )
+from .joins import (
+    run_view_purchase_attribution,
+    view_purchase_attribution,
+)
 from .kafka_shaped import (
     KAFKA_WIRE_SCHEMA,
     decode_events,
@@ -24,6 +28,8 @@ __all__ = [
     "read_events_stream",
     "read_kafka_shaped_stream",
     "run_incremental_upsert",
+    "run_view_purchase_attribution",
+    "view_purchase_attribution",
     "run_streaming_scd2",
     "run_streaming_sessions",
     "running_user_stats",

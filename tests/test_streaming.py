@@ -292,3 +292,56 @@ class TestStreamingScd2:
             )
         want = sorted(map(str, want_hist.collect()))
         assert got == want
+
+
+class TestStreamStreamJoin:
+    def test_attribution_matches_batch_join(self, spark, events, tmp_path):
+        """Stream-stream interval join (views x purchases within 1h,
+        same user) over two drains must equal the batch join on the
+        full event set — append-mode rows are emitted exactly once
+        even though the two sides arrive in different drains."""
+        from etl_pipelines_spark.streaming import (
+            run_view_purchase_attribution,
+        )
+
+        landing = str(tmp_path / "landing")
+        target = str(tmp_path / "attrib")
+        ckpt = str(tmp_path / "ckpt")
+
+        sample = events.filter(F.col("user_id") < 100)
+        # drain 1: views only; drain 2: purchases (join must still
+        # pair them — the view side waits in the state store)
+        _write_landing(sample.filter(F.col("event_type") == "view"), landing)
+        run_view_purchase_attribution(spark, landing, target, ckpt)
+        _write_landing(
+            sample.filter(F.col("event_type") != "view"), landing
+        )
+        run_view_purchase_attribution(spark, landing, target, ckpt)
+
+        got = {
+            (r.purchase_event_id, r.view_event_id)
+            for r in spark.read.parquet(target).collect()
+        }
+
+        v = sample.filter(F.col("event_type") == "view").select(
+            "user_id",
+            F.col("event_id").alias("view_event_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        p = sample.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        want = {
+            (r.purchase_event_id, r.view_event_id)
+            for r in p.join(
+                v,
+                F.expr(
+                    "p_user_id = user_id AND view_ts <= purchase_ts "
+                    "AND view_ts >= purchase_ts - INTERVAL 1 HOUR"
+                ),
+            ).collect()
+        }
+        assert want, "fixture must produce at least one attribution"
+        assert got == want
