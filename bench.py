@@ -51,6 +51,10 @@ HEADLINE = [
     "ml_mlp_score",
     "ann_ivf_topk",
     "corpus_curation",
+    # round 3 second wave: line-level corpus dedup (hash-only
+    # shuffles) and SemDeDup (cluster-then-verify, Arrow tail).
+    "dd_line_dedup",
+    "dd_semantic_dedup",
 ]
 
 

@@ -5771,21 +5771,25 @@ def dd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window; when rotating one out, its driver row must already exist in
 # a committed CORRECTNESS_r*.json.
 #
-# Round-3 window: the 13 queries with no prior driver row (6 dark
-# round-2 entries + the 7 new round-3 queries: scd2_history,
-# ml_mlp_score, txt_contamination, txt_repetition, txt_chunk_plan,
-# txt_vocab_topk, corpus_curation), the 3 rows VERDICT
-# r2 demanded re-proof for (dd_exact_dup_groups array->string fix,
-# ann_ivf_topk now value-exact via fixed literal centroids,
-# dd_simhash_md5 swapped in for the rows-only xxhash64 form),
-# sessions_union_stitch (whitelist change this round), the two bench
-# anchors, and the r2-green LLM-data/composite set. Rotated out:
-# s_sessionize_gap, m_date_spine, m_explode_split, m_posexplode,
-# mon_freshness, m_scalar_subquery, s_page_view_end, dd_simhash,
-# w_percentile_window, top_products, braze_order_attribution,
-# luxco_multigrain_union, dm_rfm_segmentation —
-# each has a green driver row in r1 and/or r2 and stays in the
-# registry, the local gate, and pytest.
+# Round-3 window: the 20 queries with no prior driver row (6 dark
+# round-2 entries + scd2_history, ml_mlp_score, txt_contamination,
+# txt_repetition, txt_chunk_plan, txt_vocab_topk, corpus_curation,
+# and the 7 second-wave round-3 queries: a_rollup_multigrain,
+# txt_pii_redact, dd_line_dedup, txt_ngram_decontam,
+# txt_unigram_logprob, txt_source_mix, dd_semantic_dedup), the 3
+# rows VERDICT r2 demanded re-proof for (dd_exact_dup_groups
+# array->string fix, ann_ivf_topk now value-exact via fixed literal
+# centroids, dd_simhash_md5 swapped in for the rows-only xxhash64
+# form), sessions_union_stitch (whitelist change this round), the
+# two bench anchors, and the r2-green LLM-data/composite set.
+# Rotated out (every one r1/r2-green and still in the registry, the
+# local gate, and pytest): s_sessionize_gap, m_date_spine,
+# m_explode_split, m_posexplode, mon_freshness, m_scalar_subquery,
+# s_page_view_end, dd_simhash, w_percentile_window, top_products,
+# braze_order_attribution, luxco_multigrain_union,
+# dm_rfm_segmentation, wh_page_views, spv_price_outliers,
+# master_subscription, fin_collection_curves, gc_wallet_expansion,
+# ops_shipment_funnel, pay_retry_payments.
 # ===========================================================================
 
 _DRIVER_WINDOW = [
@@ -5803,6 +5807,13 @@ _DRIVER_WINDOW = [
     "txt_chunk_plan",
     "txt_vocab_topk",
     "corpus_curation",
+    "a_rollup_multigrain",
+    "txt_pii_redact",
+    "dd_line_dedup",
+    "txt_ngram_decontam",
+    "txt_unigram_logprob",
+    "txt_source_mix",
+    "dd_semantic_dedup",
     # re-proof rows (changed or upgraded this round)
     "dd_exact_dup_groups",
     "ann_ivf_topk",
@@ -5838,17 +5849,10 @@ _DRIVER_WINDOW = [
     # composite warehouse queries
     "wh_daily_kpi",
     "wh_sessions_mart",
-    "wh_page_views",
     "wh_track_events",
-    "spv_price_outliers",
-    "master_subscription",
-    "fin_collection_curves",
-    "gc_wallet_expansion",
     "gc_account_balance",
     "ops_allocation",
-    "ops_shipment_funnel",
     "sust_seasonality",
-    "pay_retry_payments",
 ]
 
 

@@ -149,7 +149,7 @@ def ngram_contamination(
         .agg(F.count_distinct("__fp").alias("n_overlap"))
     )
     return (
-        per_doc.join(matched, batch_id_col, "left")
+        per_doc.join(F.broadcast(matched), batch_id_col, "left")
         .select(
             batch_id_col,
             "n_ngrams",

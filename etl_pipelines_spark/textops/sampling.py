@@ -145,7 +145,7 @@ def source_mix(
             F.sum("__ntok").alias("n_tokens_kept"),
         )
     )
-    return mix.join(kept, source_col, "left").select(
+    return mix.join(F.broadcast(kept), source_col, "left").select(
         source_col,
         "n_docs",
         "n_tokens",
