@@ -149,3 +149,62 @@ class TestPlanShapes:
         nodes, plan = formatted_plan(spark, "ops_allocation", sf_dir)
         assert "InMemoryTableScan" in nodes, plan
         assert nodes.count("Exchange") <= 4, plan
+
+    # ---- round-3 second-wave locks -------------------------------------
+
+    def test_rollup_is_one_scan_with_partial_agg(self, spark, sf_dir):
+        """ROLLUP must expand grains BEFORE one hash aggregate (one
+        scan, map-side partials) — never a per-grain UNION of scans."""
+        nodes, plan = formatted_plan(spark, "a_rollup_multigrain", sf_dir)
+        assert nodes.count("Expand") == 1, plan
+        assert nodes.count("HashAggregate") >= 2, plan
+        assert nodes.count("Exchange") <= 2, plan
+        assert nodes.count("Scan") == 1, plan  # ONE scan, not per-grain
+
+    def test_pii_redact_is_a_narrow_codegen_map(self, spark, sf_dir):
+        """Redaction runs at scan speed: no Python nodes, no joins,
+        only the final sort exchange."""
+        nodes, plan = formatted_plan(spark, "txt_pii_redact", sf_dir)
+        assert not any(n in PY_NODES for n in nodes), plan
+        assert nodes.count("Exchange") <= 1, plan
+        assert not any("Join" in n for n in nodes), plan
+
+    def test_line_dedup_text_never_rides_a_hash_shuffle(self, spark, sf_dir):
+        """Dedup decisions ride 16-byte hashes + ids; document text
+        may cross only the final sort's range exchange — any hash
+        exchange carrying text/line means the winner agg or the
+        rebuild join regressed to shuffling payload."""
+        _, plan = formatted_plan(spark, "dd_line_dedup", sf_dir)
+        for m in re.finditer(
+            r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\nArguments: (\w+)",
+            plan,
+        ):
+            cols, partitioning = m.group(1).lower(), m.group(2).lower()
+            if "text" in cols or "line#" in cols:
+                assert partitioning == "rangepartitioning", m.group(0)
+
+    def test_semantic_dedup_vectors_never_ride_a_hash_shuffle(
+        self, spark, sf_dir
+    ):
+        """SemDeDup: assignment is a narrow Arrow map; the candidate
+        self-join shuffles (id, list) only; vectors may cross an
+        exchange only as the local round-robin input spread."""
+        _, plan = formatted_plan(spark, "dd_semantic_dedup", sf_dir)
+        vec_cols = ("embedding", "__va", "__vb")
+        for m in re.finditer(
+            r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\nArguments: (\w+)",
+            plan,
+        ):
+            cols, partitioning = m.group(1).lower(), m.group(2)
+            if any(v in cols for v in vec_cols):
+                assert partitioning == "RoundRobinPartitioning", m.group(0)
+
+    def test_ngram_decontam_corpus_map_joins_broadcast_batch(
+        self, spark, sf_dir
+    ):
+        """The corpus gram stream must map-join against the broadcast
+        batch fingerprints — a SortMergeJoin would mean the corpus
+        grams shuffle (the thing the design exists to avoid)."""
+        nodes, plan = formatted_plan(spark, "txt_ngram_decontam", sf_dir)
+        assert nodes.count("BroadcastHashJoin") >= 1, plan
+        assert nodes.count("SortMergeJoin") == 0, plan
