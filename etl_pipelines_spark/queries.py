@@ -5757,6 +5757,126 @@ def dd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@q(
+    "w_time_range_rolling",
+    oracle="""
+SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+  COUNT(*) OVER w AS n_7d,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_7d
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+""",
+)
+def w_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-range rolling window: per event, count + exact sum of the
+    same user's events in the preceding 7 DAYS of EVENT TIME (RANGE
+    BETWEEN INTERVAL ... PRECEDING) — the event-time complement of
+    the row-count frames in Wn9/gc_account_balance: row frames break
+    when events are irregularly spaced; the reference's trailing-
+    window metrics are time-based. Spark expresses the interval frame
+    as rangeBetween over unix_micros (microsecond-exact, matching
+    the oracle's INTERVAL frame on micros-truncated timestamps; RANGE
+    peers — equal timestamps — aggregate identically in both
+    engines). One user_id exchange serves the window; money rides
+    the exact-decimal frame sum."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-7 * 86400 * 1000000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_7d"),
+    ).orderBy("event_id")
+
+
+@q(
+    "txt_gopher_filter",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    len(toks) AS n_tokens,
+    CASE WHEN len(toks) > 0
+      THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+           / len(toks) END AS avg_token_len,
+    CASE WHEN len(toks) > 0
+      THEN len(list_filter(toks,
+             x -> x IN ('the','a','of','and','to','is')))::DOUBLE
+           / len(toks) ELSE 0.0 END AS stopword_ratio,
+    CASE WHEN len(toks) >= 2
+      THEN CAST(1.0 AS DOUBLE)
+        - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+            i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE)
+          / CAST(len(toks) - 1 AS DOUBLE)
+      ELSE 0.0 END AS dup_2gram_frac
+  FROM t
+)
+SELECT doc_id, n_tokens,
+  (n_tokens >= 15 AND n_tokens <= 5000) AS pass_length,
+  (avg_token_len >= 2.0 AND avg_token_len <= 4.8) AS pass_word_shape,
+  (stopword_ratio >= 0.01) AS pass_stopwords,
+  (dup_2gram_frac <= 0.06) AS pass_repetition,
+  ((n_tokens >= 15 AND n_tokens <= 5000)
+   AND (avg_token_len >= 2.0 AND avg_token_len <= 4.8)
+   AND (stopword_ratio >= 0.01)
+   AND (dup_2gram_frac <= 0.06)) AS keep
+FROM s
+ORDER BY doc_id
+""",
+)
+def txt_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-filter DECISION pass (Gopher §A1.1 / C4 rule
+    style): every doc gets per-rule pass flags — length bounds, mean
+    word length, stopword floor, duplicate-2-gram ceiling — and the
+    conjunction `keep`. This is the op a corpus pipeline actually
+    runs (the component signals are txt_quality / txt_repetition);
+    emitting per-rule flags rather than a bare filter is what makes
+    filter-rate audits by rule possible. Pure array expressions
+    composed from with_text_stats + with_repetition — no shuffle but
+    the output sort; runs at scan speed at any corpus size."""
+    from .textops import with_repetition, with_text_stats
+
+    d = load(spark, sf_dir, "documents")
+    s = with_repetition(
+        with_text_stats(d).select(
+            "doc_id",
+            "text",
+            "n_tokens",
+            "avg_token_len",
+            "stopword_ratio",
+        )
+    )
+    pass_length = (F.col("n_tokens") >= 15) & (F.col("n_tokens") <= 5000)
+    pass_shape = (F.col("avg_token_len") >= 2.0) & (
+        F.col("avg_token_len") <= 4.8
+    )
+    pass_stop = F.col("stopword_ratio") >= 0.01
+    pass_rep = F.col("dup_2gram_frac") <= 0.06
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        pass_length.alias("pass_length"),
+        pass_shape.alias("pass_word_shape"),
+        pass_stop.alias("pass_stopwords"),
+        pass_rep.alias("pass_repetition"),
+        (pass_length & pass_shape & pass_stop & pass_rep).alias("keep"),
+    ).orderBy("doc_id")
+
+
 # ===========================================================================
 # Registry ordering: the driver's correctness gate evaluates the FIRST
 # 50 registry entries (registration order); _DRIVER_WINDOW pins that
@@ -5789,7 +5909,8 @@ def dd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # braze_order_attribution, luxco_multigrain_union,
 # dm_rfm_segmentation, wh_page_views, spv_price_outliers,
 # master_subscription, fin_collection_curves, gc_wallet_expansion,
-# ops_shipment_funnel, pay_retry_payments.
+# ops_shipment_funnel, pay_retry_payments, wh_sessions_mart,
+# ops_allocation.
 # ===========================================================================
 
 _DRIVER_WINDOW = [
@@ -5814,6 +5935,8 @@ _DRIVER_WINDOW = [
     "txt_unigram_logprob",
     "txt_source_mix",
     "dd_semantic_dedup",
+    "w_time_range_rolling",
+    "txt_gopher_filter",
     # re-proof rows (changed or upgraded this round)
     "dd_exact_dup_groups",
     "ann_ivf_topk",
@@ -5848,10 +5971,8 @@ _DRIVER_WINDOW = [
     "mon_missing_dates",
     # composite warehouse queries
     "wh_daily_kpi",
-    "wh_sessions_mart",
     "wh_track_events",
     "gc_account_balance",
-    "ops_allocation",
     "sust_seasonality",
 ]
 
