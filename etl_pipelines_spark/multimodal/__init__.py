@@ -21,6 +21,7 @@ from .binary import (
     extract_binary_meta,
     fake_feature_extract,
     frame_sample_plan,
+    image_patch_plan,
     resize_image,
     resize_ppm_image,
     synth_ppm_payload,
@@ -39,6 +40,7 @@ __all__ = [
     "extract_binary_meta",
     "fake_feature_extract",
     "frame_sample_plan",
+    "image_patch_plan",
     "resize_image",
     "resize_ppm_image",
     "synth_ppm_payload",

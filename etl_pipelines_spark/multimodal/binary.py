@@ -152,6 +152,53 @@ def frame_sample_plan(
     )
 
 
+def image_patch_plan(df: DataFrame, patch: int = 32) -> DataFrame:
+    """ViT-style image patch-grid *plan*: one output row per patch
+    (row-major patch_idx, grid coords, pixel bounds) derived from
+    meta width/height — the tokenize-an-image step of a multimodal
+    training pipeline (images become n_px × n_py patch sequences).
+    Edge patches clip to the image bounds (x1/y1 = LEAST(dim, ...)),
+    so non-multiple dimensions are handled exactly. Like
+    frame_sample_plan, the plan carries offsets only — the pixel
+    gather joins this plan to the decoder — and the explode is a
+    narrow per-row expression: no shuffle at any corpus size."""
+    npx = F.ceil(F.col("meta.width") / F.lit(patch)).cast("int")
+    npy = F.ceil(F.col("meta.height") / F.lit(patch)).cast("int")
+    g = df.filter(
+        F.col("meta.width").isNotNull() & F.col("meta.height").isNotNull()
+    ).select(
+        "media_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        npx.alias("n_px"),
+        npy.alias("n_py"),
+    )
+    idx = F.col("patch_idx")
+    px = (idx % F.col("n_px")).cast("int")
+    py = F.floor(idx / F.col("n_px")).cast("int")
+    return (
+        g.select(
+            "media_id",
+            "width",
+            "height",
+            "n_px",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_px") * F.col("n_py") - 1)
+            ).alias("patch_idx"),
+        )
+        .select(
+            "media_id",
+            idx.cast("int").alias("patch_idx"),
+            px.alias("px"),
+            py.alias("py"),
+            (px * patch).alias("x0"),
+            (py * patch).alias("y0"),
+            F.least(F.col("width"), px * patch + patch).alias("x1"),
+            F.least(F.col("height"), py * patch + patch).alias("y1"),
+        )
+    )
+
+
 def audio_segment_plan(
     df: DataFrame, window_ms: int = 1000, hop_ms: int = 500
 ) -> DataFrame:

@@ -5877,6 +5877,50 @@ def txt_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@q(
+    "mm_patch_plan",
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id,
+    CAST(doc_id % 640 + 64 AS INT) AS width,
+    CAST(doc_id % 480 + 48 AS INT) AS height
+  FROM documents WHERE doc_id % 5 = 0
+),
+g AS (
+  SELECT *, CAST(CEIL(width / 32.0) AS INT) AS n_px,
+    CAST(CEIL(height / 32.0) AS INT) AS n_py
+  FROM media
+)
+SELECT media_id, CAST(u.i AS INT) AS patch_idx,
+  CAST(u.i % n_px AS INT) AS px,
+  CAST(u.i // n_px AS INT) AS py,
+  CAST((u.i % n_px) * 32 AS INT) AS x0,
+  CAST((u.i // n_px) * 32 AS INT) AS y0,
+  CAST(LEAST(width, (u.i % n_px) * 32 + 32) AS INT) AS x1,
+  CAST(LEAST(height, (u.i // n_px) * 32 + 32) AS INT) AS y1
+FROM g, LATERAL (SELECT unnest(range(0, n_px * n_py)) AS i) u
+ORDER BY media_id, patch_idx
+""",
+)
+def mm_patch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch tokenization plan (multimodal/binary.
+    image_patch_plan): every image becomes its row-major 32×32 patch
+    grid — (patch_idx, grid coords, clipped pixel bounds) — the
+    image analogue of txt_chunk_plan's sequence packing. The plan
+    carries offsets only (the pixel gather joins back to the
+    decoder); the explode is a narrow per-row expression, so the op
+    is shuffle-free at any corpus size. Widths/heights are the
+    deterministic fake-payload meta (non-multiples of 32 everywhere,
+    so edge-clipping is exercised at every scale factor)."""
+    from .multimodal import attach_fake_payload, image_patch_plan
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    media = attach_fake_payload(d, "doc_id", "text")
+    return image_patch_plan(media, patch=32).orderBy(
+        "media_id", "patch_idx"
+    )
+
+
 # ===========================================================================
 # Registry ordering: the driver's correctness gate evaluates the FIRST
 # 50 registry entries (registration order); _DRIVER_WINDOW pins that
@@ -5910,7 +5954,7 @@ def txt_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dm_rfm_segmentation, wh_page_views, spv_price_outliers,
 # master_subscription, fin_collection_curves, gc_wallet_expansion,
 # ops_shipment_funnel, pay_retry_payments, wh_sessions_mart,
-# ops_allocation.
+# ops_allocation, mon_duplicate_keys.
 # ===========================================================================
 
 _DRIVER_WINDOW = [
@@ -5937,6 +5981,7 @@ _DRIVER_WINDOW = [
     "dd_semantic_dedup",
     "w_time_range_rolling",
     "txt_gopher_filter",
+    "mm_patch_plan",
     # re-proof rows (changed or upgraded this round)
     "dd_exact_dup_groups",
     "ann_ivf_topk",
@@ -5967,7 +6012,6 @@ _DRIVER_WINDOW = [
     "ml_price_score",
     # §2 long tail
     "s_event_dedup_incremental",
-    "mon_duplicate_keys",
     "mon_missing_dates",
     # composite warehouse queries
     "wh_daily_kpi",

@@ -200,3 +200,86 @@ class TestRollupQuery:
         # subtotals per status must sum to the grand total
         st = [r for r in rows if r.grain == 1]
         assert sum(r.n_orders for r in st) == n_orders
+
+
+class TestTimeRangeRolling:
+    def test_seven_day_boundary_inclusive(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 10, 12, 0, 0)
+        rows = [
+            (1, base - dt.timedelta(days=7), 1, 10.0),
+            (2, base - dt.timedelta(days=7, microseconds=1), 1, 5.0),
+            (3, base, 1, 2.0),
+            (4, base, 2, 9.0),
+        ]
+        df = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "value"]
+        )
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy(F.unix_micros("ts"))
+            .rangeBetween(-7 * 86400 * 1000000, 0)
+        )
+        out = {
+            r.event_id: (r.n, r.s)
+            for r in df.select(
+                "event_id",
+                F.count(F.lit(1)).over(w).alias("n"),
+                F.sum(F.col("value").cast("decimal(12,2)"))
+                .over(w)
+                .cast("double")
+                .alias("s"),
+            ).collect()
+        }
+        # event 3's frame includes event 1 (exactly 7 days old,
+        # inclusive) but NOT event 2 (1 microsecond beyond)
+        assert out[3] == (2, 12.0)
+        assert out[4] == (1, 9.0)
+
+
+class TestGopherFilter:
+    def test_rules_and_conjunction(self, spark, sf_dir):
+        rows = REGISTRY["txt_gopher_filter"].spark(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r.keep == (
+                r.pass_length
+                and r.pass_word_shape
+                and r.pass_stopwords
+                and r.pass_repetition
+            )
+        # every rule must fire somewhere on the corpus
+        for flag in ("pass_length", "pass_word_shape",
+                     "pass_stopwords", "pass_repetition"):
+            vals = {getattr(r, flag) for r in rows}
+            assert vals == {True, False}, flag
+
+
+class TestImagePatchPlan:
+    def test_grid_and_edge_clipping(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_pipelines_spark.multimodal import image_patch_plan
+
+        df = spark.createDataFrame(
+            [(1, 70, 33)], ["media_id", "w", "h"]
+        ).select(
+            "media_id",
+            F.struct(
+                F.col("w").alias("width"), F.col("h").alias("height")
+            ).alias("meta"),
+        )
+        out = image_patch_plan(df, patch=32).collect()
+        # 70x33 -> 3x2 grid
+        assert len(out) == 6
+        by_idx = {r.patch_idx: r for r in out}
+        assert (by_idx[0].x0, by_idx[0].y0, by_idx[0].x1, by_idx[0].y1) == (
+            0, 0, 32, 32)
+        # right-edge patch clips to width 70
+        assert (by_idx[2].x0, by_idx[2].x1) == (64, 70)
+        # bottom-right clips both dims
+        assert (by_idx[5].x0, by_idx[5].y0, by_idx[5].x1, by_idx[5].y1) == (
+            64, 32, 70, 33)
