@@ -354,6 +354,73 @@ def train_ivf_centroids(
     return C.tolist()
 
 
+def kmeans_lloyd_distributed(
+    df: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 7,
+) -> "tuple[list[list[float]], list[float]]":
+    """Fully DISTRIBUTED spherical k-means (Lloyd iterations) over
+    the whole corpus — the companion to train_ivf_centroids (which
+    trains on a bounded driver-side sample, the standard IVF recipe).
+    Use this form when the quantizer must see every vector (e.g.
+    SemDeDup at the paper's scale clusters the full embedding set).
+
+    Per iteration: (1) assignment is the narrow Arrow map over the
+    broadcast k×dim centroid matrix — no shuffle; (2) new centroids
+    are per-cluster per-dimension means via ONE hash aggregation
+    whose shuffle carries k × dim partial sums, not vectors; (3)
+    only the k×dim centroid matrix (plus inertia) returns to the
+    driver — the model, not the data. At 100 TB each iteration is
+    one scan + one tiny agg, the canonical Spark iterative-ML shape.
+
+    Returns (centroids, per-iteration mean cosine to the assigned
+    centroid — non-decreasing, the convergence witness)."""
+    centroids = fixed_ivf_centroids(dim=dim, nlist=k, seed=seed)
+    history: "list[float]" = []
+    for _ in range(iters):
+        assigned = ivf_assign(df, centroids, id_col, vec_col, nprobe=1)
+        stats = assigned.select(
+            "__list", normalize_expr(F.col(vec_col)).alias("__vn")
+        )
+        agg = (
+            stats.groupBy("__list")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.col("__vn")[i]).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        import math
+
+        new_c = [list(c) for c in centroids]
+        for row in agg:
+            lid, n = row["__list"], row["n"]
+            mean = [row[f"s{i}"] / n for i in range(dim)]
+            nrm = math.sqrt(sum(x * x for x in mean))
+            if nrm > 0:
+                new_c[lid] = [x / nrm for x in mean]
+        centroids = new_c
+        # inertia witness: mean cosine of members to their (new)
+        # assigned centroid, computed from the same sums
+        num = 0.0
+        tot = 0
+        for row in agg:
+            lid, n = row["__list"], row["n"]
+            num += sum(
+                row[f"s{i}"] * centroids[lid][i] for i in range(dim)
+            )
+            tot += n
+        history.append(num / tot if tot else 0.0)
+    return centroids, history
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: "list[list[float]]",

@@ -283,3 +283,21 @@ class TestImagePatchPlan:
         # bottom-right clips both dims
         assert (by_idx[5].x0, by_idx[5].y0, by_idx[5].x1, by_idx[5].y1) == (
             64, 32, 70, 33)
+
+
+class TestDistributedKmeans:
+    def test_convergence_and_agreement_with_assignment(self, spark, sf_dir):
+        """Lloyd iterations over the full corpus: the mean cosine of
+        members to their assigned centroid must be non-decreasing
+        (spherical k-means monotonicity), and the returned centroids
+        must be unit-norm."""
+        from etl_pipelines_spark.textops import kmeans_lloyd_distributed
+
+        e = load(spark, sf_dir, "embeddings")
+        cents, hist = kmeans_lloyd_distributed(e, k=8, iters=4)
+        assert len(cents) == 8 and len(hist) == 4
+        for a, b in zip(hist, hist[1:]):
+            assert b >= a - 1e-9, hist
+        for c in cents:
+            n = sum(x * x for x in c) ** 0.5
+            assert abs(n - 1.0) < 1e-9
