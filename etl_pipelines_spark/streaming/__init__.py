@@ -3,9 +3,11 @@ from .incremental import (
     deduped,
     read_events_stream,
     run_incremental_upsert,
+    run_streaming_daily_counts,
     run_streaming_scd2,
     run_streaming_sessions,
     running_user_stats,
+    streaming_daily_counts,
     streaming_session_rollup,
 )
 from .joins import (
@@ -30,8 +32,10 @@ __all__ = [
     "run_incremental_upsert",
     "run_view_purchase_attribution",
     "view_purchase_attribution",
+    "run_streaming_daily_counts",
     "run_streaming_scd2",
     "run_streaming_sessions",
     "running_user_stats",
+    "streaming_daily_counts",
     "streaming_session_rollup",
 ]

@@ -158,6 +158,58 @@ def run_streaming_sessions(
     q.awaitTermination(timeout_sec)
 
 
+def streaming_daily_counts(
+    stream: DataFrame, watermark: str = "1 day"
+) -> DataFrame:
+    """St5 as a REAL stream: watermarked tumbling calendar windows
+    (the batch engine computes the same grain via date_trunc in
+    wh_daily_kpi). Append mode emits each day exactly once — when the
+    watermark passes the window end — and events arriving later than
+    the watermark are DROPPED deterministically (the late-data
+    contract; tested in test_streaming.py). State is one row per
+    (day, event_type) inside the watermark horizon — bounded
+    regardless of stream length. Money rides the exact-decimal sum."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("day"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_streaming_daily_counts(
+    spark: SparkSession,
+    landing_dir: str,
+    target_path: str,
+    checkpoint_dir: str,
+    watermark: str = "1 day",
+    timeout_sec: int = 300,
+) -> None:
+    """Drain new files through the windowed aggregation; closed days
+    append to parquet exactly once per (day, event_type)."""
+    stream = read_events_stream(spark, landing_dir)
+    counts = streaming_daily_counts(stream, watermark)
+    q = (
+        counts.writeStream.format("parquet")
+        .option("path", target_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+
+
 RUNNING_STATS_OUTPUT = StructType(
     [
         StructField("user_id", LongType()),

@@ -300,3 +300,32 @@ class TestFileExchange:
         )
         assert back.count() == 5
         assert set(back.columns) == {"order_id", "status"}
+
+
+class TestFormatParity:
+    """UNLOAD format surface: the same frame must roundtrip through
+    every Spark-native export format the reference's UNLOAD/COPY
+    family touches (parquet, csv, json) plus ORC (the columnar
+    alternative some warehouses land)."""
+
+    def test_unload_roundtrips_all_formats(self, spark, tmp_path):
+        from etl_pipelines_spark.sources.copy_unload import unload
+
+        src = spark.createDataFrame(
+            [(1, "alpha", 1.5), (2, "beta", -2.25), (3, None, 0.0)],
+            ["id", "name", "score"],
+        )
+        want = sorted(map(str, src.collect()))
+
+        for fmt in ("parquet", "orc", "json", "csv"):
+            path = str(tmp_path / f"out_{fmt}")
+            opts = {"header": True} if fmt == "csv" else {}
+            unload(src, path, fmt=fmt, parallel=True, **opts)
+            r = spark.read
+            if fmt == "csv":
+                got_df = r.schema(src.schema).option("header", True).csv(path)
+            elif fmt == "json":
+                got_df = r.schema(src.schema).json(path)
+            else:
+                got_df = getattr(r, fmt)(path)
+            assert sorted(map(str, got_df.collect())) == want, fmt

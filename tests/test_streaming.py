@@ -345,3 +345,58 @@ class TestStreamStreamJoin:
         }
         assert want, "fixture must produce at least one attribution"
         assert got == want
+
+
+class TestStreamingDailyCounts:
+    def test_late_data_beyond_watermark_is_dropped(self, spark, tmp_path):
+        """The watermark contract: a day's window, once emitted, is
+        final — an event arriving after the watermark passed its
+        window must not re-emit or change the day."""
+        import datetime as dt
+
+        from etl_pipelines_spark.streaming import (
+            run_streaming_daily_counts,
+        )
+
+        landing = str(tmp_path / "landing")
+        target = str(tmp_path / "daily")
+        ckpt = str(tmp_path / "ckpt")
+
+        def mk(rows):
+            return spark.createDataFrame(
+                [
+                    (i, ts, uid, et, val, None)
+                    for i, (ts, uid, et, val) in enumerate(rows)
+                ],
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string",
+            )
+
+        d = lambda day, h=12: dt.datetime(2024, 3, day, h, 0, 0)
+        # drain 1: days 1-5; watermark (1 day) closes days 1-3
+        batch1 = mk(
+            [(d(1), 1, "view", 1.0), (d(1), 2, "view", 2.0),
+             (d(2), 1, "click", 4.0), (d(5), 1, "view", 8.0)]
+        )
+        _write_landing(batch1, landing)
+        run_streaming_daily_counts(spark, landing, target, ckpt)
+        got1 = {
+            (str(r.day), r.event_type): (r.n_events, r.total_value)
+            for r in spark.read.parquet(target).collect()
+        }
+        assert got1[("2024-03-01", "view")] == (2, 3.0)
+        assert got1[("2024-03-02", "click")] == (1, 4.0)
+        assert ("2024-03-05", "view") not in got1  # still open
+
+        # drain 2: a LATE day-1 event (beyond the watermark) plus a
+        # day-9 event that closes day 5
+        batch2 = mk([(d(1, 13), 3, "view", 100.0), (d(9), 1, "view", 1.0)])
+        _write_landing(batch2, landing)
+        run_streaming_daily_counts(spark, landing, target, ckpt)
+        got2 = {
+            (str(r.day), r.event_type): (r.n_events, r.total_value)
+            for r in spark.read.parquet(target).collect()
+        }
+        # day 1 unchanged — the late event was dropped, not re-emitted
+        assert got2[("2024-03-01", "view")] == (2, 3.0)
+        assert got2[("2024-03-05", "view")] == (1, 8.0)
