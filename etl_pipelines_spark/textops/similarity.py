@@ -840,7 +840,12 @@ def semantic_dedup_pairs(
 
     centroids = fixed_ivf_centroids(dim=dim, nlist=nlist, seed=seed)
     assigned = ivf_assign_exact(df, centroids, id_col, vec_col, nprobe=1)
-    ids = assigned.select(F.col(id_col), F.col("__list"))
+    # cache the 12-byte/row (id, list) table: both sides of the
+    # candidate self-join read it, and without the cache Spark
+    # re-runs the Arrow assignment pass once per branch (plans have
+    # no cross-branch CSE — the ops_allocation materialize-if-reused
+    # rule applied to vectors)
+    ids = assigned.select(F.col(id_col), F.col("__list")).cache()
     left = ids.select(F.col(id_col).alias("id_a"), "__list")
     right = ids.select(F.col(id_col).alias("id_b"), "__list")
     cand = left.join(right, "__list").filter(F.col("id_a") < F.col("id_b"))
