@@ -9,7 +9,8 @@ patterns every model ends with.
 """
 
 from .catalog import Catalog
-from .writers import full_refresh, upsert, snapshot, append, compact
+from .writers import (full_refresh, upsert, snapshot, append, compact,
+                      backup_table, restore_missing_snapshots)
 from .jsonl import compact_json_hour_partition
 
 __all__ = [

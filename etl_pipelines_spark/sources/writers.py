@@ -141,6 +141,52 @@ def schema_evolving_append(existing: DataFrame, incoming: DataFrame) -> DataFram
     return existing.unionByName(incoming, allowMissingColumns=True)
 
 
+def backup_table(spark: SparkSession, path: str, backup_path: str) -> None:
+    """Pre-maintenance backup (the reference's on-failure prelude:
+    `CREATE TABLE backup AS SELECT * FROM history` —
+    5_master_historical/on_failure/subscription_historical_on_failure
+    .sql:1-5). A read-then-write copy via the atomic swap, so a
+    half-written backup can never be mistaken for a complete one."""
+    df = spark.read.parquet(path)
+    tmp = backup_path + "." + uuid.uuid4().hex[:8] + ".tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    _atomic_swap(tmp, backup_path)
+
+
+def restore_missing_snapshots(
+    spark: SparkSession,
+    history_path: str,
+    backup_path: str,
+    snapshot_col: str = "snapshot_date",
+) -> int:
+    """On-failure snapshot-history recovery (the reference's
+    subscription_historical_on_failure.sql:7-23): after a rebuild
+    wiped or truncated the history table, re-attach every snapshot
+    date present in the backup but absent from the rebuilt history —
+    via schema-evolving append (ALTER TABLE APPEND ... FILLTARGET),
+    so a schema-drifted rebuild still accepts the old rows with NULL
+    fill. Returns the number of restored rows.
+
+    Scale: the missing-date set is found with an aggregate on the
+    8-byte snapshot column and broadcast back as a semi-join filter —
+    the backup is scanned once, only missing partitions' rows move."""
+    hist = spark.read.parquet(history_path)
+    back = spark.read.parquet(backup_path)
+    missing = (
+        back.select(snapshot_col)
+        .distinct()
+        .join(hist.select(snapshot_col).distinct(), snapshot_col, "left_anti")
+    )
+    to_restore = back.join(F.broadcast(missing), snapshot_col, "left_semi")
+    n = to_restore.count()
+    if n:
+        merged = schema_evolving_append(hist, to_restore)
+        tmp = history_path + "." + uuid.uuid4().hex[:8] + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        _atomic_swap(tmp, history_path)
+    return n
+
+
 def _dir_bytes(path: str) -> int:
     total = 0
     for root, _dirs, files in os.walk(path):

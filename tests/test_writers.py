@@ -128,3 +128,50 @@ def test_compact_sizes_by_bytes_and_stays_parallel(spark, tmp_table):
     assert n_before == 16
     assert n > 1 and n_after == n
     assert spark.read.parquet(tmp_table).count() == 5000
+
+
+class TestOnFailureRecovery:
+    def test_backup_then_restore_missing_snapshots(self, spark, tmp_path):
+        """The reference's on-failure flow: backup history, rebuild
+        loses some snapshot dates (and a column), restore re-attaches
+        exactly the missing dates via schema-evolving append."""
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from etl_pipelines_spark.sources.writers import (
+            backup_table,
+            restore_missing_snapshots,
+        )
+
+        hist_path = str(tmp_path / "history")
+        backup_path = str(tmp_path / "backup")
+
+        rows = [
+            (uid, dt.date(2024, 1, d), float(uid * d))
+            for uid in (1, 2, 3)
+            for d in (1, 2, 3, 4)
+        ]
+        full = spark.createDataFrame(
+            rows, "user_id long, snapshot_date date, balance double"
+        )
+        full.write.mode("overwrite").parquet(hist_path)
+        backup_table(spark, hist_path, backup_path)
+
+        # disaster: rebuild keeps only days 3-4 and drops a column
+        rebuilt = full.filter(F.col("snapshot_date") >= dt.date(2024, 1, 3))
+        rebuilt = rebuilt.withColumn("new_flag", F.lit(True))
+        rebuilt.write.mode("overwrite").parquet(hist_path)
+
+        n = restore_missing_snapshots(spark, hist_path, backup_path)
+        assert n == 6  # 3 users x 2 missing days
+
+        got = spark.read.parquet(hist_path)
+        assert got.count() == 12
+        dates = {r.snapshot_date for r in got.select("snapshot_date").distinct().collect()}
+        assert dates == {dt.date(2024, 1, d) for d in (1, 2, 3, 4)}
+        # restored rows carry NULL for the drifted column
+        assert got.filter(F.col("new_flag").isNull()).count() == 6
+
+        # idempotent: nothing left to restore
+        assert restore_missing_snapshots(spark, hist_path, backup_path) == 0
