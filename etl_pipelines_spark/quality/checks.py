@@ -54,6 +54,65 @@ def missing_dates(df: DataFrame, date_expr: Column | str) -> DataFrame:
     return spine.join(present, "date", "left_anti")
 
 
+def volume_anomaly(
+    df: DataFrame,
+    date_expr: Column | str,
+    group_cols: list[str],
+    trailing: int = 28,
+    min_history: int = 7,
+    z_thresh: float = 3.0,
+) -> DataFrame:
+    """Daily-volume anomaly monitor: per group, z-score each day's
+    row count against the TRAILING window's mean/stddev — the
+    pipeline-health family of the reference's monitors
+    (8_monitoring/system_issues/snowplow_monitoring.sql: lag and
+    volume drift) made statistical.
+
+    Deterministic to the bit across engines: the trailing window
+    keeps only integer sums (n, Σx, Σx²) — all BIGINT-exact — and
+    derives mean/std via the same closed-form double expressions, so
+    no float accumulation order exists anywhere (the exact-decimal
+    discipline applied to second moments). Days with < min_history
+    trailing days or zero variance emit NULL z.
+
+    One narrow day-grain rollup, then a per-group ordered window —
+    the window input is |groups| × |days| rows regardless of table
+    size."""
+    d = F.to_date(date_expr) if isinstance(date_expr, str) else date_expr
+    daily = (
+        df.select(*group_cols, d.alias("day"))
+        .groupBy(*group_cols, "day")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("day")
+        .rowsBetween(-trailing, -1)
+    )
+    x = F.col("n_rows")
+    cnt = F.count(F.lit(1)).over(w)
+    s1 = F.sum(x).over(w)
+    s2 = F.sum(x * x).over(w)
+    mean = s1.cast("double") / cnt
+    var_num = (cnt * s2 - s1 * s1).cast("double")
+    var_den = (cnt * (cnt - F.lit(1))).cast("double")
+    std = F.sqrt(var_num / var_den)
+    z = F.when(
+        (cnt >= min_history) & (var_num > 0),
+        F.round((x.cast("double") - mean) / std, 6),
+    )
+    return daily.select(
+        *group_cols,
+        "day",
+        "n_rows",
+        cnt.alias("n_history"),
+        z.alias("z"),
+        (F.abs(z) > z_thresh).alias("is_anomaly"),
+    )
+
+
 @dataclass
 class Check:
     kind: str  # freshness | row_count | no_duplicates | no_missing_dates | expression

@@ -5921,6 +5921,58 @@ def mm_patch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "mon_volume_anomaly",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+    COUNT(*) AS n_rows
+  FROM events GROUP BY 1, 2
+),
+win AS (
+  SELECT event_type, day, n_rows,
+    COUNT(*) OVER w AS n_history,
+    SUM(n_rows) OVER w AS s1,
+    SUM(n_rows * n_rows) OVER w AS s2
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING)
+),
+z AS (
+  SELECT event_type, day, n_rows, n_history,
+    CASE WHEN n_history >= 7 AND (n_history * s2 - s1 * s1) > 0
+      THEN round((CAST(n_rows AS DOUBLE) - CAST(s1 AS DOUBLE) / n_history)
+        / sqrt(CAST(n_history * s2 - s1 * s1 AS DOUBLE)
+               / CAST(n_history * (n_history - 1) AS DOUBLE)), 6)
+    END AS z
+  FROM win
+)
+SELECT event_type, day, n_rows, n_history, z,
+  (abs(z) > 2.0) AS is_anomaly
+FROM z
+ORDER BY event_type, day
+""",
+)
+def mon_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly monitor (quality/checks.volume_anomaly):
+    z-score of each day's event count per type against its trailing
+    28-day window — the statistical member of the §5 monitor family
+    (the reference watches volume drift operationally in
+    snowplow_monitoring.sql). BIT-exact across engines without any
+    tolerance: the window carries only integer moments (n, Σx, Σx²),
+    and mean/stddev derive from them via identical closed-form double
+    expressions — no float accumulation anywhere. Days with <7
+    trailing days or zero variance emit NULL z (both outcomes and
+    both anomaly polarities exist at every scale factor)."""
+    from .quality.checks import volume_anomaly
+
+    e = load(spark, sf_dir, "events")
+    return volume_anomaly(
+        e, F.to_date("ts"), ["event_type"], trailing=28,
+        min_history=7, z_thresh=2.0,
+    ).orderBy("event_type", "day")
+
+
 # ===========================================================================
 # Registry ordering: the driver's correctness gate evaluates the FIRST
 # 50 registry entries (registration order); _DRIVER_WINDOW pins that
@@ -5954,7 +6006,7 @@ def mm_patch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dm_rfm_segmentation, wh_page_views, spv_price_outliers,
 # master_subscription, fin_collection_curves, gc_wallet_expansion,
 # ops_shipment_funnel, pay_retry_payments, wh_sessions_mart,
-# ops_allocation, mon_duplicate_keys.
+# ops_allocation, mon_duplicate_keys, s_event_dedup_incremental.
 # ===========================================================================
 
 _DRIVER_WINDOW = [
@@ -5982,6 +6034,7 @@ _DRIVER_WINDOW = [
     "w_time_range_rolling",
     "txt_gopher_filter",
     "mm_patch_plan",
+    "mon_volume_anomaly",
     # re-proof rows (changed or upgraded this round)
     "dd_exact_dup_groups",
     "ann_ivf_topk",
@@ -6011,7 +6064,6 @@ _DRIVER_WINDOW = [
     "ml_churn_score",
     "ml_price_score",
     # §2 long tail
-    "s_event_dedup_incremental",
     "mon_missing_dates",
     # composite warehouse queries
     "wh_daily_kpi",
