@@ -35,6 +35,10 @@ from .dedup import (
     neardup_components,
     md5_hash60,
 )
+from .bpe import (
+    bpe_train,
+    bpe_encode_word,
+)
 from .filters import (
     redact_pii,
     line_dedup,
@@ -104,6 +108,8 @@ __all__ = [
     "lsh_topk_oracle_sql",
     "semantic_dedup_pairs",
     "semantic_dedup_oracle_sql",
+    "bpe_train",
+    "bpe_encode_word",
     "redact_pii",
     "line_dedup",
     "EMAIL_RE",

@@ -301,3 +301,64 @@ class TestDistributedKmeans:
         for c in cents:
             n = sum(x * x for x in c) ** 0.5
             assert abs(n - 1.0) < 1e-9
+
+
+class TestBpeTrain:
+    @staticmethod
+    def _py_reference(word_counts, n_merges):
+        """Pure-python BPE trainer with the same deterministic
+        tie-break — the oracle for the distributed implementation."""
+        vocab = {tuple(list(w) + ["</w>"]): n for w, n in word_counts.items()}
+        merges = []
+        for _ in range(n_merges):
+            counts = {}
+            for syms, n in vocab.items():
+                for i in range(len(syms) - 1):
+                    counts[(syms[i], syms[i + 1])] = (
+                        counts.get((syms[i], syms[i + 1]), 0) + n
+                    )
+            if not counts:
+                break
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            if best[1] < 2:
+                break
+            (a, b) = best[0]
+            merges.append((a, b))
+            new_vocab = {}
+            for syms, n in vocab.items():
+                res, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                new_vocab[tuple(res)] = new_vocab.get(tuple(res), 0) + n
+            vocab = new_vocab
+        return merges
+
+    def test_matches_python_reference_on_classic_corpus(self, spark):
+        from collections import Counter
+
+        from etl_pipelines_spark.textops import bpe_train
+
+        text = "low low low low low lower lower newest newest newest " \
+               "newest newest newest widest widest widest"
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        got = bpe_train(df, n_merges=8)
+        want = self._py_reference(Counter(text.split()), 8)
+        assert got == want
+        assert len(got) == 8
+
+    def test_encode_roundtrip(self, spark):
+        from etl_pipelines_spark.textops import bpe_encode_word, bpe_train
+
+        df = spark.createDataFrame(
+            [(1, "banana banana banana bandana")], ["doc_id", "text"]
+        )
+        merges = bpe_train(df, n_merges=5)
+        toks = bpe_encode_word("banana", merges)
+        # merges applied in order must reassemble the original word
+        assert "".join(toks).replace("</w>", "") == "banana"
+        assert len(toks) < len("banana") + 1  # something actually merged
