@@ -766,12 +766,30 @@ def lsh_neardup_pairs(
     sig = ids.mapInPandas(
         gen_sigs, schema=f"{id_col} long, __table int, __sig long"
     )
-    left = sig.select(F.col(id_col).alias("id_a"), "__table", "__sig")
-    right = sig.select(F.col(id_col).alias("id_b"), "__table", "__sig")
+    # Candidate generation: groupBy bucket -> sorted id array ->
+    # in-array pair expansion (the minhash_lsh_pairs pattern). The
+    # equivalent self-join would run the Arrow signature pass TWICE
+    # (Spark has no cross-branch CSE) and shuffle the sig table
+    # twice; this form sketches once and shuffles (id, table, sig)
+    # once. Bucket fan-out is pairs² in bucket size — identical to
+    # the join's output, bounded by the corpus's similarity
+    # structure (buckets are 2^n_planes-grained per table).
+    bucket_ids = F.array_sort(F.collect_list(id_col))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     cand = (
-        left.join(right, ["__table", "__sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        sig.groupBy("__table", "__sig")
+        .agg(bucket_ids.alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
