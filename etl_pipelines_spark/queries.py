@@ -5973,6 +5973,57 @@ def mon_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "day")
 
 
+@q(
+    "skew_salted_rollup",
+    oracle="""
+SELECT event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+  CAST(MAX(length(event_type)) AS INT) AS weight
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-mitigation path as a driver-checked query: events
+    grouped by event_type — 5 values over the whole table, the
+    textbook hot-key aggregation — through salted_join (small dim
+    replicated across 8 scatter buckets) and two-phase salted_agg
+    (partial agg on (key, salt), merge on key). Salting is a PHYSICAL
+    rewrite only, so the oracle is the plain rollup: the driver's
+    hash compare proves the salted plan is value-identical while the
+    hot key's rows spread over 32 reducers instead of one. Exact
+    decimal partials keep the two-phase money sum order-independent
+    by construction (operators/skew.py; pytest covers determinism
+    under task retry semantics)."""
+    from .operators.skew import salted_agg, salted_join
+
+    e = load(spark, sf_dir, "events").select("event_type", "value")
+    dim = (
+        e.select("event_type")
+        .distinct()
+        .withColumn("weight", F.length("event_type"))
+    )
+    j = salted_join(e, F.broadcast(dim), ["event_type"], "left", salt=8)
+    agg = salted_agg(
+        j,
+        ["event_type"],
+        {
+            "n_events": "count(1)",
+            "total_value": "sum(cast(value as decimal(12,2)))",
+            "weight": "max(weight)",
+        },
+        salt=32,
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+        "weight",
+    ).orderBy("event_type")
+
+
 # ===========================================================================
 # Registry ordering: the driver's correctness gate evaluates the FIRST
 # 50 registry entries (registration order); _DRIVER_WINDOW pins that
@@ -6006,7 +6057,8 @@ def mon_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dm_rfm_segmentation, wh_page_views, spv_price_outliers,
 # master_subscription, fin_collection_curves, gc_wallet_expansion,
 # ops_shipment_funnel, pay_retry_payments, wh_sessions_mart,
-# ops_allocation, mon_duplicate_keys, s_event_dedup_incremental.
+# ops_allocation, mon_duplicate_keys, s_event_dedup_incremental,
+# mon_missing_dates.
 # ===========================================================================
 
 _DRIVER_WINDOW = [
@@ -6035,6 +6087,7 @@ _DRIVER_WINDOW = [
     "txt_gopher_filter",
     "mm_patch_plan",
     "mon_volume_anomaly",
+    "skew_salted_rollup",
     # re-proof rows (changed or upgraded this round)
     "dd_exact_dup_groups",
     "ann_ivf_topk",
@@ -6063,8 +6116,6 @@ _DRIVER_WINDOW = [
     # ML scoring
     "ml_churn_score",
     "ml_price_score",
-    # §2 long tail
-    "mon_missing_dates",
     # composite warehouse queries
     "wh_daily_kpi",
     "wh_track_events",
