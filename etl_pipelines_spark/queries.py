@@ -2356,6 +2356,81 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+from .textops import (  # noqa: E402
+    pq_adc_oracle_sql,
+    pq_adc_topk,
+    pq_codebooks,
+    pq_encode_exact,
+    pq_encode_oracle_sql,
+)
+
+
+@q("emb_pq_encode", oracle=pq_encode_oracle_sql(dim=64, m=8, ksub=16))
+def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization compression of the embedding corpus:
+    each 64-float vector (256 B) becomes 8 one-byte codes + a
+    reconstruction error — the 32x compression that keeps a
+    billion-vector ANN candidate side in memory at 100 TB. One
+    narrow Arrow map over a broadcast codebook, no shuffle; vectors
+    never leave their scan partitions. Value-exact via the fixed
+    deterministic codebook replicated as SQL literals (the
+    ann_ivf_topk trick): squared-L2 folds left-to-right, argmin
+    ties break to the lowest code on both engines
+    (textops/pq.py)."""
+    e = load(spark, sf_dir, "embeddings")
+    out = pq_encode_exact(e, pq_codebooks(dim=64, m=8, ksub=16))
+    return out.select(
+        "vec_id",
+        *[f"code_{j}" for j in range(8)],
+        F.round("recon_err", 6).alias("recon_err"),
+    ).orderBy("vec_id")
+
+
+@q("ann_pq_adc", oracle=pq_adc_oracle_sql(k=10, dim=64, m=8, ksub=16))
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 by PQ asymmetric distance (ADC): the
+    corpus is scanned as CODES (emb_pq_encode's output shape), each
+    query broadcasts its 8x16 subvector-distance lookup table, and
+    per-candidate distance is 8 element_at lookups + 7 adds in
+    whole-stage-codegen JVM expressions — the float vectors are
+    touched exactly once, at encode time. Ranked ascending (ADC is
+    a distance). Value-exact: the oracle derives each query's LUT
+    from the same literal codebook and sums via the left-associated
+    pivot, matching the JVM fold (textops/pq.py)."""
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_adc_topk(e, queries, pq_codebooks(dim=64, m=8, ksub=16), k=10)
+    return out.select(
+        "query_id", "vec_id", F.round("adist", 6).alias("adist"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+from .textops import (  # noqa: E402
+    FIXED_MERGES,
+    bpe_corpus_token_stats,
+    bpe_token_stats_oracle_sql,
+)
+
+
+@q("txt_bpe_encode", oracle=bpe_token_stats_oracle_sql(FIXED_MERGES))
+def txt_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION at corpus scale: apply a 16-rule
+    merge table (rank order, with second-order and end-of-word
+    merges) to every document and count the resulting tokens —
+    the token-accounting step between tokenizer training
+    (textops/bpe.bpe_train) and sequence packing (txt_chunk_plan).
+    Spark-first: with symbols spelled ~sym~ in a flat string, one
+    merge rule is one literal string replace, so the whole encoder
+    is a chain of JVM string expressions — no Python workers, no
+    shuffle, scan-speed. replace()'s left-to-right non-overlapping
+    scan IS greedy BPE merge application (property-tested against
+    the per-word reference encoder in tests/test_textops_r3.py)."""
+    d = load(spark, sf_dir, "documents")
+    return bpe_corpus_token_stats(d, FIXED_MERGES).orderBy("doc_id")
+
+
 @q(
     "txt_quality",
     oracle="""
@@ -6058,7 +6133,7 @@ def skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # master_subscription, fin_collection_curves, gc_wallet_expansion,
 # ops_shipment_funnel, pay_retry_payments, wh_sessions_mart,
 # ops_allocation, mon_duplicate_keys, s_event_dedup_incremental,
-# mon_missing_dates.
+# mon_missing_dates, dd_ngram_jaccard, txt_fingerprint, mm_frame_plan.
 # ===========================================================================
 
 _DRIVER_WINDOW = [
@@ -6088,6 +6163,9 @@ _DRIVER_WINDOW = [
     "mm_patch_plan",
     "mon_volume_anomaly",
     "skew_salted_rollup",
+    "emb_pq_encode",
+    "ann_pq_adc",
+    "txt_bpe_encode",
     # re-proof rows (changed or upgraded this round)
     "dd_exact_dup_groups",
     "ann_ivf_topk",
@@ -6097,7 +6175,6 @@ _DRIVER_WINDOW = [
     "master_customer",
     # LLM-data: dedup family
     "dd_exact_dedup_survivors",
-    "dd_ngram_jaccard",
     "dd_minhash_lsh",
     "dd_embedding_neardup",
     "dd_neardup_components",
@@ -6107,11 +6184,9 @@ _DRIVER_WINDOW = [
     # LLM-data: text analysis
     "txt_quality",
     "txt_langid",
-    "txt_fingerprint",
     # LLM-data: multimodal
     "mm_binary_meta",
     "mm_resize_dims",
-    "mm_frame_plan",
     "mm_audio_segments",
     # ML scoring
     "ml_churn_score",

@@ -139,6 +139,142 @@ def bpe_train(
     return merges
 
 
+SEP = "~"
+EOW = "#"
+WBOUND = "|"
+
+#: A fixed, data-independent merge table for the oracle-checked
+#: corpus encoder (same swap-the-model relationship as
+#: similarity.fixed_ivf_centroids vs the k-means trainer): common
+#: English merges, in rank order, including second-order merges
+#: (t+h, then th+e) and end-of-word merges (the+#) so the ordered
+#: application and the word-final mechanics are both exercised.
+FIXED_MERGES: "list[tuple[str, str]]" = [
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("a", "n"),
+    ("e", "r"),
+    ("o", "n"),
+    ("r", "e"),
+    ("a", "t"),
+    ("e", "n"),
+    ("o", "r"),
+    ("an", "d"),
+    ("in", "g"),
+    ("the", EOW),
+    ("and", EOW),
+    ("er", EOW),
+    ("ing", EOW),
+]
+
+
+def bpe_corpus_token_stats(
+    df: DataFrame,
+    merges: "list[tuple[str, str]]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained merge table to the WHOLE corpus and count the
+    resulting BPE tokens per document — the tokenizer-APPLICATION
+    step (bpe_train learns the model; this runs it at corpus scale
+    for token accounting / sequence budgeting).
+
+    Spark-first trick: BPE encoding is "apply each merge rule, in
+    rank order, to every adjacent symbol pair" — and with symbols
+    spelled as ``~sym~`` in a flat string, one merge rule IS one
+    literal string replace (``~a~~b~`` → ``~ab~``). Both engines'
+    replace() scans left-to-right non-overlapping and resumes after
+    the replacement, which is exactly the greedy adjacent-merge
+    semantics of bpe_encode_word (property-tested). Each symbol
+    keeps its own delimiters, so a replace can never match across a
+    symbol boundary (``~ab~~c~`` does not contain ``~b~~c~``), and
+    the unwrapped word boundary ``|`` stops cross-word merges.
+
+    The whole encoder is therefore a chain of JVM string expressions
+    — no Python workers, no shuffle, scan-speed at 100 TB — and the
+    oracle is the same chain in DuckDB. Pipeline per document:
+    lowercase → strip to [a-z ] → squeeze/trim → mark word ends with
+    the end-of-word symbol ``#`` → wrap chars → apply merges →
+    count: n_tokens = wrapped-symbol count, n_words = boundary
+    count.
+    """
+    s = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z ]", ""),
+            " +",
+            " ",
+        )
+    )
+    s = F.when(F.length(s) > 0, F.concat(s, F.lit(" "))).otherwise(F.lit(""))
+    s = F.regexp_replace(s, "(.)", f"{SEP}$1{SEP}")
+    s = F.replace(
+        s, F.lit(f"{SEP} {SEP}"), F.lit(f"{SEP}{EOW}{SEP}{WBOUND}")
+    )
+    for a, b in merges:
+        s = F.replace(
+            s,
+            F.lit(f"{SEP}{a}{SEP}{SEP}{b}{SEP}"),
+            F.lit(f"{SEP}{a}{b}{SEP}"),
+        )
+    n_sep = F.length(s) - F.length(F.replace(s, F.lit(SEP), F.lit("")))
+    n_words = (
+        F.length(s) - F.length(F.replace(s, F.lit(WBOUND), F.lit("")))
+    ).cast("int")
+    n_tokens = (n_sep / F.lit(2)).cast("long")
+    avg = F.when(
+        n_words > 0,
+        F.round(n_tokens.cast("double") / n_words.cast("double"), 6),
+    )
+    return df.select(
+        id_col,
+        n_words.alias("n_words"),
+        n_tokens.alias("n_tokens"),
+        avg.alias("tokens_per_word"),
+    )
+
+
+def bpe_token_stats_oracle_sql(
+    merges: "list[tuple[str, str]]",
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for bpe_corpus_token_stats: the identical
+    wrap-then-replace chain (replace() semantics match), with the
+    merge table inlined as nested replace calls in rank order."""
+    enc = (
+        f"replace(regexp_replace(CASE WHEN length(s) > 0 "
+        f"THEN s || ' ' ELSE '' END, '(.)', '{SEP}\\1{SEP}', 'g'), "
+        f"'{SEP} {SEP}', '{SEP}{EOW}{SEP}{WBOUND}')"
+    )
+    for a, b in merges:
+        enc = (
+            f"replace({enc}, '{SEP}{a}{SEP}{SEP}{b}{SEP}', "
+            f"'{SEP}{a}{b}{SEP}')"
+        )
+    return f"""
+WITH s0 AS (
+  SELECT {id_col},
+    trim(regexp_replace(regexp_replace(lower({text_col}),
+      '[^a-z ]', '', 'g'), ' +', ' ', 'g')) AS s
+  FROM {table}
+),
+enc AS (
+  SELECT {id_col}, {enc} AS s FROM s0
+)
+SELECT {id_col},
+  CAST(length(s) - length(replace(s, '{WBOUND}', '')) AS INT) AS n_words,
+  CAST((length(s) - length(replace(s, '{SEP}', ''))) // 2 AS BIGINT) AS n_tokens,
+  CASE WHEN length(s) - length(replace(s, '{WBOUND}', '')) > 0 THEN
+    round(CAST((length(s) - length(replace(s, '{SEP}', ''))) // 2 AS DOUBLE)
+      / (length(s) - length(replace(s, '{WBOUND}', ''))), 6)
+  END AS tokens_per_word
+FROM enc
+ORDER BY {id_col}
+"""
+
+
 def bpe_encode_word(word: str, merges: "list[tuple[str, str]]") -> "list[str]":
     """Driver-side reference encoder: apply the learned merges in
     order to one word (test oracle for the distributed trainer)."""

@@ -208,3 +208,33 @@ class TestPlanShapes:
         nodes, plan = formatted_plan(spark, "txt_ngram_decontam", sf_dir)
         assert nodes.count("BroadcastHashJoin") >= 1, plan
         assert nodes.count("SortMergeJoin") == 0, plan
+
+    def test_pq_encode_is_narrow_and_vectors_never_shuffle(self, spark, sf_dir):
+        """PQ encode is one Arrow map over the scan: no exchange may
+        carry the embedding column (hash/range would mean vectors
+        riding a shuffle; the compressed codes are the only thing
+        allowed to move)."""
+        _, plan = formatted_plan(spark, "emb_pq_encode", sf_dir)
+        for m in re.finditer(
+            r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\nArguments: (\w+)",
+            plan,
+        ):
+            cols, partitioning = m.group(1).lower(), m.group(2)
+            if "embedding" in cols:
+                assert partitioning == "RoundRobinPartitioning", m.group(0)
+
+    def test_pq_adc_scores_codes_not_vectors(self, spark, sf_dir):
+        """ADC scoring joins the broadcast query LUT against the
+        CODES frame: corpus float vectors must not cross any
+        hash/range exchange, and the candidate join must be the
+        broadcast cross join (tiny LUT side), never a sort-merge."""
+        nodes, plan = formatted_plan(spark, "ann_pq_adc", sf_dir)
+        for m in re.finditer(
+            r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\nArguments: (\w+)",
+            plan,
+        ):
+            cols, partitioning = m.group(1).lower(), m.group(2)
+            if "embedding" in cols or "__lut" in cols:
+                assert partitioning == "RoundRobinPartitioning", m.group(0)
+        assert "BroadcastNestedLoopJoin" in plan, plan
+        assert nodes.count("SortMergeJoin") == 0, plan

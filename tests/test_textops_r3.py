@@ -362,3 +362,151 @@ class TestBpeTrain:
         # merges applied in order must reassemble the original word
         assert "".join(toks).replace("</w>", "") == "banana"
         assert len(toks) < len("banana") + 1  # something actually merged
+
+
+class TestBpeCorpusEncode:
+    """The corpus-scale replace-chain encoder must agree with the
+    per-word reference encoder (bpe_encode_word) — including the
+    no-cross-symbol-boundary and no-cross-word-boundary rules."""
+
+    def _reference_doc_tokens(self, text, merges):
+        from etl_pipelines_spark.textops import bpe_encode_word
+        import re
+
+        clean = re.sub(r" +", " ", re.sub(r"[^a-z ]", "", text.lower())).strip()
+        words = [w for w in clean.split(" ") if w]
+        # map the reference's </w> marker onto the encoder's '#'
+        mapped = [
+            tuple(s.replace("</w>", "#") for s in m) if "</w>" in m else m
+            for m in merges
+        ]
+        total = 0
+        for w in words:
+            syms = [c for c in w] + ["#"]
+            for a, b in mapped:
+                res, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                syms = res
+            total += len(syms)
+        return len(words), total
+
+    def test_matches_reference_encoder(self, spark):
+        from etl_pipelines_spark.textops import (
+            FIXED_MERGES,
+            bpe_corpus_token_stats,
+        )
+
+        docs = [
+            (1, "The theater then thinned.  Another anthem!"),
+            (2, "abc abab the the the in inning ing"),
+            (3, "Numbers 123 and punctuation -- gone; the rest remains."),
+            (4, ""),
+            (5, "!!! 42 ???"),
+            (6, "a"),
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {
+            r["doc_id"]: (r["n_words"], r["n_tokens"])
+            for r in bpe_corpus_token_stats(df, FIXED_MERGES).collect()
+        }
+        for doc_id, text in docs:
+            assert got[doc_id] == self._reference_doc_tokens(
+                text, FIXED_MERGES
+            ), (doc_id, text)
+
+    def test_boundaries_block_merges(self, spark):
+        """'b'+'c' must not merge inside the symbol 'ab'+'c', and
+        't'+'h' must not merge across a word boundary ('at home')."""
+        from etl_pipelines_spark.textops import bpe_corpus_token_stats
+
+        df = spark.createDataFrame(
+            [(1, "abc"), (2, "at home")], ["doc_id", "text"]
+        )
+        out = {
+            r["doc_id"]: r["n_tokens"]
+            for r in bpe_corpus_token_stats(
+                df, [("a", "b"), ("b", "c")]
+            ).collect()
+        }
+        # abc -> [ab, c, #]: the (b,c) rule sees no adjacent b,c
+        assert out[1] == 3
+        # at home -> a t # h o m e # : 't h' split by the boundary
+        assert out[2] == 8
+
+    def test_empty_and_stripped_docs(self, spark):
+        from etl_pipelines_spark.textops import (
+            FIXED_MERGES,
+            bpe_corpus_token_stats,
+        )
+
+        df = spark.createDataFrame([(1, ""), (2, "123 !?")], ["doc_id", "text"])
+        rows = {r["doc_id"]: r for r in bpe_corpus_token_stats(df, FIXED_MERGES).collect()}
+        for i in (1, 2):
+            assert rows[i]["n_words"] == 0
+            assert rows[i]["n_tokens"] == 0
+            assert rows[i]["tokens_per_word"] is None
+
+
+class TestProductQuantization:
+    def test_codes_in_range_and_one_row_per_vector(self, spark, sf_dir):
+        from etl_pipelines_spark.textops import pq_codebooks, pq_encode_exact
+
+        e = load(spark, sf_dir, "embeddings")
+        out = pq_encode_exact(e, pq_codebooks()).collect()
+        assert len(out) == e.count()
+        for r in out:
+            for j in range(8):
+                assert 0 <= r[f"code_{j}"] < 16
+            assert r["recon_err"] >= 0.0
+
+    def test_adc_self_distance_equals_recon_err(self, spark, sf_dir):
+        """ADC(q, q) = sum_j d(q_j, centroid[code_j(q)]) — exactly
+        the reconstruction error of q. Exercises encode, LUT, and
+        the JVM lookup chain against each other bit-for-bit."""
+        from etl_pipelines_spark.textops import (
+            pq_adc_topk,
+            pq_codebooks,
+            pq_encode_exact,
+        )
+
+        cb = pq_codebooks()
+        e = load(spark, sf_dir, "embeddings")
+        queries = e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        err = {
+            r["vec_id"]: r["recon_err"]
+            for r in pq_encode_exact(
+                e.filter(F.col("vec_id") < 5), cb
+            ).collect()
+        }
+        adc = pq_adc_topk(e, queries, cb, k=10).collect()
+        self_rows = {r["query_id"]: r["adist"] for r in adc if r["query_id"] == r["vec_id"]}
+        # every query's own vector must appear in its top-10 with
+        # adist == its reconstruction error, bit-for-bit
+        assert set(self_rows) == set(err)
+        for qid, dist in self_rows.items():
+            assert dist == err[qid], (qid, dist, err[qid])
+
+    def test_ranking_is_dense_and_ascending(self, spark, sf_dir):
+        from etl_pipelines_spark.textops import pq_adc_topk, pq_codebooks
+
+        e = load(spark, sf_dir, "embeddings")
+        queries = e.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        rows = pq_adc_topk(e, queries, pq_codebooks(), k=10).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for q, rs in by_q.items():
+            rs.sort(key=lambda r: r["rank"])
+            assert [r["rank"] for r in rs] == list(range(1, 11))
+            dists = [r["adist"] for r in rs]
+            assert dists == sorted(dists)
