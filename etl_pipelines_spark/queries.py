@@ -5105,20 +5105,34 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     history is cached (its rows feed 3 branches of the next merge —
     left lazy, the plan re-derives every prior round per branch and
     balloons to ~41 exchanges; cached it is one InMemoryTableScan
-    per branch)."""
+    per branch). The snapshot SOURCE pays the corpus exactly once:
+    events collapse to (user_id, day) partials in one shuffle, the
+    partials are repartitioned onto the business key and cached, and
+    every per-snapshot cumulative rollup (and each merge's user_id
+    join) reuses that one partitioning — 4 full event scans and
+    their 4 corpus-sized shuffles become 1 at any scale."""
     e = load(spark, sf_dir, "events").select(
         F.to_date("ts").alias("d"), "user_id", "event_type"
+    )
+    daily = (
+        e.groupBy("user_id", "d")
+        .agg(
+            F.count(F.lit(1)).alias("__ne"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+                "__np"
+            ),
+        )
+        .repartition("user_id")
+        .cache()
     )
     hist = None
     for ds in _SCD2_SNAPSHOT_DATES:
         snap = (
-            e.filter(F.col("d") <= F.lit(ds).cast("date"))
+            daily.filter(F.col("d") <= F.lit(ds).cast("date"))
             .groupBy("user_id")
             .agg(
-                F.count(F.lit(1)).alias("n_events"),
-                F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
-                    "n_purchases"
-                ),
+                F.sum("__ne").alias("n_events"),
+                F.sum("__np").alias("n_purchases"),
             )
         )
         prev = hist
@@ -5127,7 +5141,15 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             attrs=["n_events", "n_purchases"], run_date=ds,
         )
         if prev is not None:
-            hist = hist.cache()  # stand-in for the per-run history write
+            # Stand-in for the per-run history WRITE: localCheckpoint
+            # truncates lineage (the iterative-plan rule, see
+            # textops/bpe.bpe_train). cache() alone is not enough
+            # here — each merge references the prior history on 3
+            # branches, so the logical tree still grows ~3x per round
+            # (150+ nodes by round 4) and Catalyst pays seconds of
+            # compile time on the first run even though execution
+            # reads the cache.
+            hist = hist.localCheckpoint()
     return hist.select(
         "user_id", "n_events", "n_purchases", "valid_from", "valid_to"
     ).orderBy("user_id", "valid_from")
