@@ -55,6 +55,12 @@ HEADLINE = [
     # shuffles) and SemDeDup (cluster-then-verify, Arrow tail).
     "dd_line_dedup",
     "dd_semantic_dedup",
+    # round 3 third wave: BPE tokenizer application + salted skew
+    # rollup (pure JVM), PQ encode + ADC top-k (Arrow tail).
+    "txt_bpe_encode",
+    "skew_salted_rollup",
+    "emb_pq_encode",
+    "ann_pq_adc",
 ]
 
 
@@ -97,7 +103,7 @@ def main() -> None:
         # Python-tail queries (Arrow batches, numpy sketching) carry
         # worker-pool and allocator noise that best-of-3 does not
         # drown; give them 5 reps.
-        reps = 5 if name.split("_")[0] in ("dd", "ann", "ml", "scd2") else 3
+        reps = 5 if name.split("_")[0] in ("dd", "ann", "ml", "scd2", "emb") else 3
         best = float("inf")
         for _ in range(reps):
             df = REGISTRY[name].spark(spark, sf_dir)
