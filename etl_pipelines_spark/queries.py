@@ -5149,7 +5149,13 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             # (150+ nodes by round 4) and Catalyst pays seconds of
             # compile time on the first run even though execution
             # reads the cache.
-            hist = hist.localCheckpoint()
+            # eager=False: truncation must not EXECUTE at plan-build
+            # time (an eager checkpoint moves the merge work into
+            # DataFrame construction, outside any caller's timing or
+            # retry scope); the wrapper node still keeps the logical
+            # tree linear, and the RDD materializes once on first
+            # action with all three next-round branches sharing it.
+            hist = hist.localCheckpoint(eager=False)
     return hist.select(
         "user_id", "n_events", "n_purchases", "valid_from", "valid_to"
     ).orderBy("user_id", "valid_from")
