@@ -14,6 +14,7 @@ from .sessionize import sessionize
 from .asof import asof_join
 from .rangejoin import range_join
 from .running import running_total, rolling_agg
+from .hll import hll_distinct, hll_distinct_oracle_sql
 from .skew import salted_agg, salted_join
 from .moneysum import cents, two_tier_exact_sums
 from .scd2 import as_of, open_rows, scd2_merge
@@ -23,6 +24,8 @@ __all__ = [
     "two_tier_exact_sums",
     "salted_agg",
     "salted_join",
+    "hll_distinct",
+    "hll_distinct_oracle_sql",
     "dedupe_latest",
     "with_row_number",
     "qualify",

@@ -6076,6 +6076,62 @@ def mon_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "day")
 
 
+from .operators.hll import hll_distinct, hll_distinct_oracle_sql  # noqa: E402
+
+
+@q(
+    "mon_hll_distinct",
+    oracle="""
+WITH """
+    + hll_distinct_oracle_sql("events", "event_type", "user_id")
+    + """,
+exact AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, e.n_exact,
+  round(h.hll_estimate, 6) AS hll_estimate,
+  round(abs(h.hll_estimate / e.n_exact - 1.0::DOUBLE), 6) AS rel_err
+FROM exact e JOIN hll h USING (event_type)
+ORDER BY e.event_type
+""",
+)
+def mon_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type BOTH ways: exact COUNT(DISTINCT)
+    and the HyperLogLog sketch (operators/hll.py) side by side with
+    the relative error. The sketch is the 100 TB path: MAX-per-
+    register is map-side combinable, so each group ships 64 small
+    ints instead of every distinct user crossing the wire — and it
+    is VALUE-EXACT against the oracle because every ingredient is
+    fixed (md5-prefix hash, integer base-2-string rank, scaled-
+    integer register sums; the only float op is one division of two
+    exactly-represented integers). The raw-HLL estimate (m=64, no
+    bias corrections — those need engine-specific ln()) lands well
+    inside its ~13% theoretical error on every event type
+    (tests/test_textops_r3.py::TestHllDistinct tightens this)."""
+    e = load(spark, sf_dir, "events").select("event_type", "user_id")
+    h = hll_distinct(e, ["event_type"], "user_id")
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return (
+        exact.join(h, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            F.round("hll_estimate", 6).alias("hll_estimate"),
+            F.round(
+                F.abs(
+                    F.col("hll_estimate") / F.col("n_exact").cast("double")
+                    - F.lit(1.0)
+                ),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @q(
     "skew_salted_rollup",
     oracle="""
@@ -6161,7 +6217,8 @@ def skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # master_subscription, fin_collection_curves, gc_wallet_expansion,
 # ops_shipment_funnel, pay_retry_payments, wh_sessions_mart,
 # ops_allocation, mon_duplicate_keys, s_event_dedup_incremental,
-# mon_missing_dates, dd_ngram_jaccard, txt_fingerprint, mm_frame_plan.
+# mon_missing_dates, dd_ngram_jaccard, txt_fingerprint, mm_frame_plan,
+# txt_quality.
 # ===========================================================================
 
 _DRIVER_WINDOW = [
@@ -6194,6 +6251,7 @@ _DRIVER_WINDOW = [
     "emb_pq_encode",
     "ann_pq_adc",
     "txt_bpe_encode",
+    "mon_hll_distinct",
     # re-proof rows (changed or upgraded this round)
     "dd_exact_dup_groups",
     "ann_ivf_topk",
@@ -6210,7 +6268,6 @@ _DRIVER_WINDOW = [
     "ann_brute_topk",
     "ann_lsh_topk",
     # LLM-data: text analysis
-    "txt_quality",
     "txt_langid",
     # LLM-data: multimodal
     "mm_binary_meta",

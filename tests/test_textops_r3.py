@@ -510,3 +510,56 @@ class TestProductQuantization:
             assert [r["rank"] for r in rs] == list(range(1, 11))
             dists = [r["adist"] for r in rs]
             assert dists == sorted(dists)
+
+
+class TestHllDistinct:
+    def test_duplication_invariance(self, spark, sf_dir):
+        """A cardinality sketch must be blind to duplication:
+        HLL(df UNION ALL df) == HLL(df), bit-for-bit."""
+        from etl_pipelines_spark.operators import hll_distinct
+
+        e = load(spark, sf_dir, "events").select("event_type", "user_id")
+        one = {
+            r["event_type"]: r["hll_estimate"]
+            for r in hll_distinct(e, ["event_type"], "user_id").collect()
+        }
+        two = {
+            r["event_type"]: r["hll_estimate"]
+            for r in hll_distinct(
+                e.unionAll(e), ["event_type"], "user_id"
+            ).collect()
+        }
+        assert one == two
+
+    def test_error_within_theoretical_bound(self, spark, sf_dir):
+        from etl_pipelines_spark.queries import REGISTRY
+
+        rows = REGISTRY["mon_hll_distinct"].spark(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            # raw HLL, m=64: sigma ~ 1.04/8 = 13%; allow 3 sigma
+            assert r["rel_err"] < 0.4, (r["event_type"], r["rel_err"])
+
+    def test_rank_is_integer_exact(self, spark):
+        """rho from the base-2 string must equal the arithmetic
+        leading-zero count for hand-picked remainders, incl. w=0."""
+        from etl_pipelines_spark.operators.hll import (
+            C,
+            W_BITS,
+            hll_register_rows,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(i,) for i in range(200)], ["v"]
+        )
+        bucket, rho = hll_register_rows(F.col("v"))
+        got = df.select(F.col("v"), bucket.alias("b"), rho.alias("r")).collect()
+        import hashlib
+
+        for row in got:
+            h = int(hashlib.md5(str(row["v"]).encode()).hexdigest()[:15], 16)
+            b = h >> W_BITS
+            w = h & ((1 << W_BITS) - 1)
+            want = C if w == 0 else C - w.bit_length()
+            assert (row["b"], row["r"]) == (b, want), row
