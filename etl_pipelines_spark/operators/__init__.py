@@ -14,6 +14,7 @@ from .sessionize import sessionize
 from .asof import asof_join
 from .rangejoin import range_join
 from .running import running_total, rolling_agg
+from .bloom import bloom_build, bloom_might_contain, bloom_prefilter_join
 from .hll import hll_distinct, hll_distinct_oracle_sql
 from .skew import salted_agg, salted_join
 from .moneysum import cents, two_tier_exact_sums
@@ -26,6 +27,9 @@ __all__ = [
     "salted_join",
     "hll_distinct",
     "hll_distinct_oracle_sql",
+    "bloom_build",
+    "bloom_might_contain",
+    "bloom_prefilter_join",
     "dedupe_latest",
     "with_row_number",
     "qualify",

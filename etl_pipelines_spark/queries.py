@@ -6132,6 +6132,56 @@ def mon_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .operators.bloom import bloom_prefilter_join  # noqa: E402
+
+
+@q(
+    "j_bloom_prefilter",
+    oracle="""
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def j_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue from BUILDING-segment customers through the
+    Bloom-pre-pruned join (operators/bloom.py): the dimension's
+    custkeys aggregate into a 1 KiB bitmap (BIT_OR map-side
+    combinable), and the orders fact drops non-matching rows at the
+    SCAN, before the join's exchange — at 100 TB the ~80% of fact
+    rows outside the segment never cross the wire. Value-exact by
+    construction: a Bloom filter only fails to PRUNE, and the join
+    removes the false positives, so the oracle is the PLAIN join —
+    the driver's hash compare proves the rewrite is value-invisible
+    (the skew_salted_rollup contract, applied to join pruning).
+    Exact decimal money sums per the repo rule."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    j = bloom_prefilter_join(o, c, "o_custkey")
+    return (
+        j.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("month")
+    )
+
+
 @q(
     "skew_salted_rollup",
     oracle="""
@@ -6218,7 +6268,7 @@ def skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ops_shipment_funnel, pay_retry_payments, wh_sessions_mart,
 # ops_allocation, mon_duplicate_keys, s_event_dedup_incremental,
 # mon_missing_dates, dd_ngram_jaccard, txt_fingerprint, mm_frame_plan,
-# txt_quality.
+# txt_quality, mm_resize_dims.
 # ===========================================================================
 
 _DRIVER_WINDOW = [
@@ -6252,6 +6302,7 @@ _DRIVER_WINDOW = [
     "ann_pq_adc",
     "txt_bpe_encode",
     "mon_hll_distinct",
+    "j_bloom_prefilter",
     # re-proof rows (changed or upgraded this round)
     "dd_exact_dup_groups",
     "ann_ivf_topk",
@@ -6271,7 +6322,6 @@ _DRIVER_WINDOW = [
     "txt_langid",
     # LLM-data: multimodal
     "mm_binary_meta",
-    "mm_resize_dims",
     "mm_audio_segments",
     # ML scoring
     "ml_churn_score",

@@ -103,3 +103,73 @@ class TestBucketing:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
             spark.sql("DROP TABLE IF EXISTS b_orders")
             spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+class TestBloomPrefilter:
+    def test_join_identical_to_plain_join(self, spark, sf_dir):
+        from etl_pipelines_spark.operators.bloom import bloom_prefilter_join
+        from etl_pipelines_spark.queries import load
+
+        c = (
+            load(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select(F.col("c_custkey").alias("o_custkey"))
+        )
+        o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        got = sorted(
+            (r["o_orderkey"], r["o_custkey"])
+            for r in bloom_prefilter_join(o, c, "o_custkey").collect()
+        )
+        want = sorted(
+            (r["o_orderkey"], r["o_custkey"])
+            for r in o.join(c, "o_custkey").collect()
+        )
+        assert got == want and len(want) > 0
+
+    def test_prefilter_actually_prunes(self, spark, sf_dir):
+        """The point of the bitmap is rows dying at the scan: the
+        pruned fact must sit between the true-match count and well
+        below the full fact (false positives <= ~5% of non-matches
+        at the default 1 KiB/4-hash geometry and these key counts)."""
+        from etl_pipelines_spark.operators.bloom import (
+            bloom_build,
+            bloom_might_contain,
+        )
+        from etl_pipelines_spark.queries import load
+
+        c = (
+            load(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select(F.col("c_custkey").alias("o_custkey"))
+        )
+        o = load(spark, sf_dir, "orders").select("o_custkey")
+        bitmap = bloom_build(c, "o_custkey")
+        total = o.count()
+        kept = o.filter(
+            bloom_might_contain(F.col("o_custkey"), bitmap)
+        ).count()
+        matches = o.join(c, "o_custkey", "left_semi").count()
+        assert matches <= kept  # no false negatives, ever
+        non_match = total - matches
+        false_pos = kept - matches
+        assert false_pos <= max(1, int(0.05 * non_match)), (
+            total,
+            matches,
+            kept,
+        )
+
+    def test_no_false_negatives_exhaustive(self, spark):
+        from etl_pipelines_spark.operators.bloom import (
+            bloom_build,
+            bloom_might_contain,
+        )
+
+        dim = spark.range(0, 300).withColumnRenamed("id", "k")
+        bitmap = bloom_build(dim, "k")
+        kept = (
+            spark.range(0, 300)
+            .withColumnRenamed("id", "k")
+            .filter(bloom_might_contain(F.col("k"), bitmap))
+            .count()
+        )
+        assert kept == 300
