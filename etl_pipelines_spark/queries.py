@@ -6132,6 +6132,80 @@ def mon_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .operators.cms import cms_estimate, cms_table  # noqa: E402
+
+
+@q(
+    "mon_cms_heavyhitters",
+    oracle="""
+WITH hashes(i) AS (VALUES (0), (1), (2), (3)),
+cells AS (
+  SELECT h.i,
+    (('0x' || substr(md5('cms' || CAST(h.i AS VARCHAR) || ':'
+        || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 512)::INT AS b,
+    CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events CROSS JOIN hashes h
+  GROUP BY h.i, b
+),
+exact AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM events GROUP BY user_id
+),
+top AS (
+  SELECT user_id, n_exact FROM (
+    SELECT user_id, n_exact,
+      ROW_NUMBER() OVER (ORDER BY n_exact DESC, user_id) AS rn
+    FROM exact) WHERE rn <= 20
+)
+SELECT t.user_id, t.n_exact,
+  LEAST(c0.cnt, c1.cnt, c2.cnt, c3.cnt) AS cms_estimate,
+  LEAST(c0.cnt, c1.cnt, c2.cnt, c3.cnt) - t.n_exact AS overcount
+FROM top t
+JOIN cells c0 ON c0.i = 0 AND c0.b = (('0x' || substr(md5('cms0:'
+  || CAST(t.user_id AS VARCHAR)), 1, 15))::BIGINT % 512)::INT
+JOIN cells c1 ON c1.i = 1 AND c1.b = (('0x' || substr(md5('cms1:'
+  || CAST(t.user_id AS VARCHAR)), 1, 15))::BIGINT % 512)::INT
+JOIN cells c2 ON c2.i = 2 AND c2.b = (('0x' || substr(md5('cms2:'
+  || CAST(t.user_id AS VARCHAR)), 1, 15))::BIGINT % 512)::INT
+JOIN cells c3 ON c3.i = 3 AND c3.b = (('0x' || substr(md5('cms3:'
+  || CAST(t.user_id AS VARCHAR)), 1, 15))::BIGINT % 512)::INT
+ORDER BY t.user_id
+""",
+)
+def mon_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users by event volume, with the Count-Min-Sketch
+    frequency estimate next to the exact count (operators/cms.py) —
+    the frequency member of the sketch family (HLL = cardinality,
+    Bloom = membership). The 4×512 counter grid is a fixed 16 KiB
+    per group regardless of user cardinality; SUM per cell is
+    map-side combinable, so at 100 TB the sketch costs one skinny
+    explode-aggregate while the exact path shuffles every distinct
+    key. Hash-exact with zero tolerance: every cell is an integer
+    SUM over the md5-prefix hash family and the estimate is an
+    integer MIN — no float exists anywhere. est >= exact is a hard
+    CMS invariant (collisions only ever add), asserted corpus-wide
+    in tests/test_skew_bucketing.py::TestCms."""
+    e = load(spark, sf_dir, "events").select("user_id")
+    grid = cms_table(e, "user_id")
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    w = Window.orderBy(F.col("n_exact").desc(), "user_id")
+    top = (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
+    return (
+        cms_estimate(top, grid, "user_id")
+        .select(
+            "user_id",
+            "n_exact",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("n_exact")).alias("overcount"),
+        )
+        .orderBy("user_id")
+    )
+
+
 from .operators.bloom import bloom_prefilter_join  # noqa: E402
 
 
@@ -6268,7 +6342,7 @@ def skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ops_shipment_funnel, pay_retry_payments, wh_sessions_mart,
 # ops_allocation, mon_duplicate_keys, s_event_dedup_incremental,
 # mon_missing_dates, dd_ngram_jaccard, txt_fingerprint, mm_frame_plan,
-# txt_quality, mm_resize_dims.
+# txt_quality, mm_resize_dims, mm_binary_meta.
 # ===========================================================================
 
 _DRIVER_WINDOW = [
@@ -6303,6 +6377,7 @@ _DRIVER_WINDOW = [
     "txt_bpe_encode",
     "mon_hll_distinct",
     "j_bloom_prefilter",
+    "mon_cms_heavyhitters",
     # re-proof rows (changed or upgraded this round)
     "dd_exact_dup_groups",
     "ann_ivf_topk",
@@ -6321,7 +6396,6 @@ _DRIVER_WINDOW = [
     # LLM-data: text analysis
     "txt_langid",
     # LLM-data: multimodal
-    "mm_binary_meta",
     "mm_audio_segments",
     # ML scoring
     "ml_churn_score",

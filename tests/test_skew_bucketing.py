@@ -173,3 +173,50 @@ class TestBloomPrefilter:
             .count()
         )
         assert kept == 300
+
+
+class TestCms:
+    def test_never_undercounts_any_key(self, spark, sf_dir):
+        """est >= exact for EVERY key is the CMS hard invariant
+        (collisions only ever add) — asserted corpus-wide, not just
+        on the heavy hitters."""
+        from etl_pipelines_spark.operators.cms import cms_estimate, cms_table
+        from etl_pipelines_spark.queries import load
+
+        e = load(spark, sf_dir, "events").select("user_id")
+        grid = cms_table(e, "user_id")
+        exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        rows = cms_estimate(exact, grid, "user_id").collect()
+        assert rows
+        assert all(r["cms_estimate"] >= r["n"] for r in rows)
+
+    def test_grid_mass_conservation(self, spark, sf_dir):
+        """Each hash row of the grid must hold exactly N total
+        counts (every input lands in exactly one cell per row)."""
+        from etl_pipelines_spark.operators.cms import DEPTH, cms_table
+        from etl_pipelines_spark.queries import load
+
+        e = load(spark, sf_dir, "events").select("user_id")
+        n = e.count()
+        per_row = {
+            r["i"]: r["s"]
+            for r in cms_table(e, "user_id")
+            .groupBy("i")
+            .agg(F.sum("cnt").alias("s"))
+            .collect()
+        }
+        assert per_row == {i: n for i in range(DEPTH)}
+
+    def test_absent_key_estimates_bounded(self, spark):
+        """Keys never inserted can still collide, but the estimate
+        for them is bounded by the grid's collision mass — and is 0
+        when the build set is small relative to the width."""
+        from etl_pipelines_spark.operators.cms import cms_estimate, cms_table
+
+        build = spark.range(0, 50).withColumnRenamed("id", "k")
+        grid = cms_table(build, "k")
+        probes = spark.range(1000, 1100).withColumnRenamed("id", "k")
+        rows = cms_estimate(probes, grid, "k").collect()
+        # 50 keys in 4x512 cells: an absent key needs a collision in
+        # ALL 4 rows to estimate > 0 — p < (50/512)^4 ~ 1e-4 per key
+        assert sum(r["cms_estimate"] for r in rows) <= 1
