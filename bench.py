@@ -59,6 +59,11 @@ HEADLINE = [
     # rollup (pure JVM), PQ encode + ADC top-k (Arrow tail).
     "txt_bpe_encode",
     "skew_salted_rollup",
+    # round 3 fourth wave: sketch family + bloom join pruning
+    # (pure JVM integer pipelines).
+    "mon_hll_distinct",
+    "mon_cms_heavyhitters",
+    "j_bloom_prefilter",
     "emb_pq_encode",
     "ann_pq_adc",
 ]
