@@ -245,3 +245,71 @@ class TestScd2Property:
             else:
                 assert r.valid_from < r.valid_to or r.valid_from == r.valid_to
         assert all(v == 1 for v in open_per_key.values())
+
+
+class TestSketchProperties:
+    """The sketch family's hard invariants under arbitrary inputs:
+    CMS never undercounts, Bloom never false-negatives, HLL is
+    duplication-blind. Each example batches one DataFrame."""
+
+    @FAST
+    @given(
+        st.lists(
+            st.integers(min_value=-(10**9), max_value=10**9),
+            min_size=1,
+            max_size=120,
+        )
+    )
+    def test_cms_never_undercounts(self, spark, keys):
+        from collections import Counter
+
+        from etl_pipelines_spark.operators.cms import cms_estimate, cms_table
+
+        df = spark.createDataFrame([(k,) for k in keys], ["k"])
+        grid = cms_table(df, "k")
+        probes = spark.createDataFrame(
+            [(k,) for k in set(keys)], ["k"]
+        )
+        true = Counter(keys)
+        for r in cms_estimate(probes, grid, "k").collect():
+            assert r["cms_estimate"] >= true[r["k"]], (r, true[r["k"]])
+
+    @FAST
+    @given(
+        st.lists(
+            st.integers(min_value=-(10**9), max_value=10**9),
+            min_size=1,
+            max_size=120,
+            unique=True,
+        )
+    )
+    def test_bloom_never_false_negative(self, spark, keys):
+        from etl_pipelines_spark.operators.bloom import (
+            bloom_build,
+            bloom_might_contain,
+        )
+
+        df = spark.createDataFrame([(k,) for k in keys], ["k"])
+        bitmap = bloom_build(df, "k")
+        kept = df.filter(bloom_might_contain(F.col("k"), bitmap)).count()
+        assert kept == len(keys)
+
+    @FAST
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=10**6),
+            min_size=1,
+            max_size=120,
+        ),
+        st.integers(min_value=2, max_value=4),
+    )
+    def test_hll_blind_to_duplication(self, spark, keys, times):
+        from etl_pipelines_spark.operators import hll_distinct
+
+        df = spark.createDataFrame([(k,) for k in keys], ["k"])
+        rep = df
+        for _ in range(times - 1):
+            rep = rep.unionAll(df)
+        one = hll_distinct(df.withColumn("g", F.lit(1)), ["g"], "k").collect()
+        many = hll_distinct(rep.withColumn("g", F.lit(1)), ["g"], "k").collect()
+        assert one[0]["hll_estimate"] == many[0]["hll_estimate"]
