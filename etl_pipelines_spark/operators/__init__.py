@@ -14,7 +14,13 @@ from .sessionize import sessionize
 from .asof import asof_join
 from .rangejoin import range_join
 from .running import running_total, rolling_agg
-from .bloom import bloom_build, bloom_might_contain, bloom_prefilter_join
+from .bloom import (
+    bloom_build,
+    bloom_might_contain,
+    bloom_prefilter_join,
+    bloom_word_table,
+)
+from .cms import cms_estimate, cms_table
 from .hll import hll_distinct, hll_distinct_oracle_sql
 from .skew import salted_agg, salted_join
 from .moneysum import cents, two_tier_exact_sums
@@ -30,6 +36,9 @@ __all__ = [
     "bloom_build",
     "bloom_might_contain",
     "bloom_prefilter_join",
+    "bloom_word_table",
+    "cms_estimate",
+    "cms_table",
     "dedupe_latest",
     "with_row_number",
     "qualify",

@@ -60,7 +60,11 @@ def bloom_build(
     per word is map-side combinable, so the driver receives at most
     m_bits/64 rows (1 KiB at the default geometry) — a bounded
     sketch collect, same legitimacy class as the IVF training
-    sample."""
+    sample. (The registered query path uses the fully-lazy
+    bloom_prefilter_join instead, which keeps the bitmap as a
+    DataFrame — this literal form is for reuse across many probe
+    frames.)"""
+    assert m_bits > 0 and m_bits % 64 == 0, "m_bits must be a multiple of 64"
     words = m_bits // 64
     pairs = []
     for i in range(k):
@@ -98,6 +102,8 @@ def bloom_might_contain(
     textops/dedup.py:509 lesson; a 64-entry literal mask array
     indexed by pos%64 is the codegen-friendly equivalent).
     Whole-stage codegen; runs at scan speed on the fact side."""
+    assert m_bits > 0 and m_bits % 64 == 0, "m_bits must be a multiple of 64"
+    assert len(bitmap) == m_bits // 64, "bitmap length != m_bits/64"
     words_arr = F.array(*[F.lit(w).cast("long") for w in bitmap])
     mask64 = F.array(
         *[F.lit(1 << b).cast("long") for b in range(63)]
@@ -113,6 +119,37 @@ def bloom_might_contain(
     return cond
 
 
+def bloom_word_table(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """The bitmap as a DataFrame of (word index, 64-bit mask) — the
+    LAZY form of bloom_build: no job runs until the consuming plan
+    executes, so callers (and benchmarks) pay the build inside their
+    own action. At most m_bits/64 rows; BIT_OR is map-side
+    combinable."""
+    assert m_bits > 0 and m_bits % 64 == 0, "m_bits must be a multiple of 64"
+    pairs = []
+    for i in range(k):
+        pos = _bit_pos(F.col(key_col), i, m_bits)
+        pairs.append(
+            F.struct((pos / 64).cast("int").alias("w"), pos.alias("p"))
+        )
+    return (
+        df.select(F.explode(F.array(*pairs)).alias("b"))
+        .select(
+            F.col("b.w").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b.p % 64 AS INT))").alias(
+                "m"
+            ),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("mask"))
+    )
+
+
 def bloom_prefilter_join(
     fact: DataFrame,
     dim: DataFrame,
@@ -123,12 +160,49 @@ def bloom_prefilter_join(
 ) -> DataFrame:
     """fact ⋈ dim with a Bloom pre-filter on the fact side.
 
+    Fully lazy — nothing executes at construction time: the bitmap
+    stays a DataFrame (bloom_word_table) and each of the k probes is
+    a broadcast LEFT join of the fact's word index against it, with
+    the single-bit test done via a 64-entry literal mask array. A
+    missing word row means NO dim key hashed into that word, so the
+    fact row cannot match — coalesce(false) keeps that sound. Rows
+    failing any probe die before the real join's exchange.
+
     Physical rewrite only: false positives survive the filter and
     are removed by the join, so the result is bit-identical to
     fact.join(dim, key, how) — the 'how' must be inner/semi (the
     pruning is unsound for outer joins, which must keep
     non-matching rows)."""
     assert how in ("inner", "semi", "left_semi", "leftsemi")
-    bitmap = bloom_build(dim, key, m_bits, k)
-    pruned = fact.filter(bloom_might_contain(F.col(key), bitmap, m_bits, k))
+    assert m_bits > 0 and m_bits % 64 == 0, "m_bits must be a multiple of 64"
+    table = bloom_word_table(dim, key, m_bits, k)
+    mask64 = F.array(
+        *[F.lit(1 << b).cast("long") for b in range(63)]
+        + [F.lit(-(1 << 63)).cast("long")]
+    )
+    pruned = fact
+    checks = []
+    for i in range(k):
+        pos = _bit_pos(F.col(key), i, m_bits)
+        t = table.select(
+            F.col("w").alias(f"__bw{i}"), F.col("mask").alias(f"__bm{i}")
+        )
+        pruned = pruned.withColumn(
+            f"__bw{i}", (pos / 64).cast("int")
+        ).withColumn(f"__bp{i}", (pos % 64).cast("int"))
+        pruned = pruned.join(F.broadcast(t), f"__bw{i}", "left")
+        checks.append(
+            F.coalesce(
+                F.col(f"__bm{i}").bitwiseAND(
+                    F.element_at(mask64, F.col(f"__bp{i}") + F.lit(1))
+                )
+                != 0,
+                F.lit(False),
+            )
+        )
+    cond = checks[0]
+    for c in checks[1:]:
+        cond = cond & c
+    drop = [c for i in range(k) for c in (f"__bw{i}", f"__bp{i}", f"__bm{i}")]
+    pruned = pruned.filter(cond).drop(*drop)
     return pruned.join(dim, key, how)

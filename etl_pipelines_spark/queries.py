@@ -6105,10 +6105,13 @@ def mon_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     is VALUE-EXACT against the oracle because every ingredient is
     fixed (md5-prefix hash, integer base-2-string rank, scaled-
     integer register sums; the only float op is one division of two
-    exactly-represented integers). The raw-HLL estimate (m=64, no
-    bias corrections — those need engine-specific ln()) lands well
-    inside its ~13% theoretical error on every event type
-    (tests/test_textops_r3.py::TestHllDistinct tightens this)."""
+    exactly-represented integers). Small cardinalities take the
+    standard linear-counting correction, ALSO engine-exact: the
+    zero-register count V is an integer in [1, 64], so every
+    possible m*ln(m/V) value is inlined as the same literal double
+    on both sides — no live ln() call anywhere. Error: 2.2% at
+    sf0.1, 11% at n=15 (tests/test_textops_r3.py::TestHllDistinct
+    bounds it; hypothesis asserts duplication-blindness)."""
     e = load(spark, sf_dir, "events").select("event_type", "user_id")
     h = hll_distinct(e, ["event_type"], "user_id")
     exact = e.groupBy("event_type").agg(
@@ -6184,7 +6187,8 @@ def mon_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     SUM over the md5-prefix hash family and the estimate is an
     integer MIN — no float exists anywhere. est >= exact is a hard
     CMS invariant (collisions only ever add), asserted corpus-wide
-    in tests/test_skew_bucketing.py::TestCms."""
+    in tests/test_skew_bucketing.py::TestCms (plus hypothesis
+    property tests)."""
     e = load(spark, sf_dir, "events").select("user_id")
     grid = cms_table(e, "user_id")
     exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
@@ -6224,15 +6228,19 @@ ORDER BY 1
 def j_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly revenue from BUILDING-segment customers through the
     Bloom-pre-pruned join (operators/bloom.py): the dimension's
-    custkeys aggregate into a 1 KiB bitmap (BIT_OR map-side
-    combinable), and the orders fact drops non-matching rows at the
-    SCAN, before the join's exchange — at 100 TB the ~80% of fact
-    rows outside the segment never cross the wire. Value-exact by
-    construction: a Bloom filter only fails to PRUNE, and the join
-    removes the false positives, so the oracle is the PLAIN join —
-    the driver's hash compare proves the rewrite is value-invisible
-    (the skew_salted_rollup contract, applied to join pruning).
-    Exact decimal money sums per the repo rule."""
+    custkeys aggregate into a 16 KiB word table (BIT_OR map-side
+    combinable, fully lazy — the build runs inside the query's own
+    action), each probe is a broadcast join + literal-mask bit test,
+    and the orders fact drops non-matching rows before the join's
+    exchange — at 100 TB the ~80% of fact rows outside the segment
+    never cross the wire. Geometry 2^17 bits / 4 hashes keeps >40
+    bits per key at sf0.1 (fp well under 1%; the module's
+    >=10-bits-per-key sizing rule). Value-exact by construction: a
+    Bloom filter only fails to PRUNE, and the join removes the false
+    positives, so the oracle is the PLAIN join — the driver's hash
+    compare proves the rewrite is value-invisible (the
+    skew_salted_rollup contract, applied to join pruning). Exact
+    decimal money sums per the repo rule."""
     c = (
         load(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
@@ -6241,7 +6249,7 @@ def j_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", "o_totalprice"
     )
-    j = bloom_prefilter_join(o, c, "o_custkey")
+    j = bloom_prefilter_join(o, c, "o_custkey", m_bits=1 << 17)
     return (
         j.groupBy(
             F.date_trunc("month", "o_orderdate").cast("date").alias("month")

@@ -60,6 +60,7 @@ def pq_encode_exact(
     codebooks: "list[list[list[float]]]",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    _bc=None,
 ) -> DataFrame:
     """Compress each vector to m codes + its reconstruction error.
 
@@ -76,7 +77,7 @@ def pq_encode_exact(
     m = len(codebooks)
     ksub = len(codebooks[0])
     dsub = len(codebooks[0][0])
-    bc = df.sparkSession.sparkContext.broadcast(
+    bc = _bc or df.sparkSession.sparkContext.broadcast(
         np.array(codebooks, dtype=np.float64)  # (m, ksub, dsub)
     )
 
@@ -143,11 +144,13 @@ def pq_adc_topk(
     m = len(codebooks)
     ksub = len(codebooks[0])
     dsub = len(codebooks[0][0])
-    codes = pq_encode_exact(corpus, codebooks, id_col, vec_col).drop("recon_err")
-
+    # one broadcast serves both the corpus encode and the query LUT
     bc = corpus.sparkSession.sparkContext.broadcast(
         np.array(codebooks, dtype=np.float64)
     )
+    codes = pq_encode_exact(
+        corpus, codebooks, id_col, vec_col, _bc=bc
+    ).drop("recon_err")
 
     def lut_gen(batches):
         import pandas as pd

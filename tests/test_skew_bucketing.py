@@ -130,23 +130,25 @@ class TestBloomPrefilter:
         """The point of the bitmap is rows dying at the scan: the
         pruned fact must sit between the true-match count and well
         below the full fact (false positives <= ~5% of non-matches
-        at the default 1 KiB/4-hash geometry and these key counts)."""
+        at the REGISTERED query's 2^17-bit geometry, which keeps
+        >=10 bits/key at every test scale factor)."""
         from etl_pipelines_spark.operators.bloom import (
             bloom_build,
             bloom_might_contain,
         )
         from etl_pipelines_spark.queries import load
 
+        m_bits = 1 << 17  # the j_bloom_prefilter geometry
         c = (
             load(spark, sf_dir, "customer")
             .filter(F.col("c_mktsegment") == "BUILDING")
             .select(F.col("c_custkey").alias("o_custkey"))
         )
         o = load(spark, sf_dir, "orders").select("o_custkey")
-        bitmap = bloom_build(c, "o_custkey")
+        bitmap = bloom_build(c, "o_custkey", m_bits=m_bits)
         total = o.count()
         kept = o.filter(
-            bloom_might_contain(F.col("o_custkey"), bitmap)
+            bloom_might_contain(F.col("o_custkey"), bitmap, m_bits=m_bits)
         ).count()
         matches = o.join(c, "o_custkey", "left_semi").count()
         assert matches <= kept  # no false negatives, ever
@@ -157,6 +159,28 @@ class TestBloomPrefilter:
             matches,
             kept,
         )
+
+    def test_lazy_word_table_matches_literal_bitmap(self, spark, sf_dir):
+        """bloom_word_table (the lazy DataFrame form the registered
+        query uses) must hold exactly the bits bloom_build collects."""
+        from etl_pipelines_spark.operators.bloom import (
+            bloom_build,
+            bloom_word_table,
+        )
+        from etl_pipelines_spark.queries import load
+
+        c = (
+            load(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select(F.col("c_custkey").alias("o_custkey"))
+        )
+        bitmap = bloom_build(c, "o_custkey")
+        table = {
+            r["w"]: r["mask"]
+            for r in bloom_word_table(c, "o_custkey").collect()
+        }
+        for w, mask in enumerate(bitmap):
+            assert table.get(w, 0) == mask, w
 
     def test_no_false_negatives_exhaustive(self, spark):
         from etl_pipelines_spark.operators.bloom import (
