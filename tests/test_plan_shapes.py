@@ -238,3 +238,17 @@ class TestPlanShapes:
                 assert partitioning == "RoundRobinPartitioning", m.group(0)
         assert "BroadcastNestedLoopJoin" in plan, plan
         assert nodes.count("SortMergeJoin") == 0, plan
+
+    def test_cms_heavyhitters_topk_is_take_ordered(self, spark, sf_dir):
+        """The exact top-20 must compile to TakeOrderedAndProject
+        (per-task 20-row heaps, driver merge), never a global
+        row_number() window whose no-partitionBy sort funnels every
+        distinct user through one reducer (r3 VERDICT's perf-weak
+        plan). A `Window` node preceded by a SinglePartition exchange
+        anywhere in this query is the regression this test pins out."""
+        nodes, plan = formatted_plan(spark, "mon_cms_heavyhitters", sf_dir)
+        assert "TakeOrderedAndProject" in nodes, plan
+        assert not re.search(
+            r"Exchange SinglePartition[^\n]*\n(?:[^\n]*\n){0,6}\(\d+\) Window\b",
+            plan,
+        ), plan
