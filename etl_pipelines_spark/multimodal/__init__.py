@@ -3,8 +3,9 @@ metadata (BASELINE.json north star).
 
 Uncompressed formats decode FOR REAL with numpy as the codec —
 P6 PPM images (decode_ppm_image, resize_ppm_image with true
-nearest-neighbor resampling) and PCM WAV audio (decode_wav_audio).
-Codec-requiring formats (JPEG/PNG/MP3/MP4) stay honestly stubbed
+nearest-neighbor resampling), PCM WAV audio (decode_wav_audio), and
+PNG (decode_png_image: stdlib zlib + numpy unfiltering incl. Paeth).
+Entropy-codec formats (JPEG/MP3/MP4) stay honestly stubbed
 (NotImplementedError, clearly marked); everything Spark-side —
 schema conventions, Arrow batch shapes, mapInPandas plumbing,
 partitioning — is real and tested either way.
@@ -16,6 +17,7 @@ from .binary import (
     audio_segment_plan,
     decode_audio,
     decode_image,
+    decode_png_image,
     decode_ppm_image,
     decode_wav_audio,
     extract_binary_meta,
@@ -24,6 +26,7 @@ from .binary import (
     image_patch_plan,
     resize_image,
     resize_ppm_image,
+    synth_png_payloads,
     synth_ppm_payload,
     synth_wav_payload,
     with_resize_dims,
@@ -35,6 +38,7 @@ __all__ = [
     "audio_segment_plan",
     "decode_audio",
     "decode_image",
+    "decode_png_image",
     "decode_ppm_image",
     "decode_wav_audio",
     "extract_binary_meta",
@@ -43,6 +47,7 @@ __all__ = [
     "image_patch_plan",
     "resize_image",
     "resize_ppm_image",
+    "synth_png_payloads",
     "synth_ppm_payload",
     "synth_wav_payload",
     "with_resize_dims",

@@ -223,3 +223,92 @@ class TestRealDecode:
         )
         for r in decode_wav_audio(wav).collect():
             assert (r.sample_rate, r.n_samples, r.channels) == (8000, 250, 1)
+
+
+class TestPngCodec:
+    """Real PNG decode (stdlib zlib + numpy): exact round-trips per
+    color type and per forced filter, plus the Spark-side encode ->
+    decode path used by the mm_png_decode registry query."""
+
+    def _codec(self):
+        from etl_pipelines_spark.multimodal.binary import _png_codec
+
+        return _png_codec()
+
+    def test_random_roundtrip_rgb(self):
+        import numpy as np
+
+        enc, dec = self._codec()
+        rng = np.random.RandomState(11)
+        for shape in [(1, 1, 3), (4, 5, 3), (17, 23, 3), (12, 1, 3)]:
+            arr = rng.randint(0, 256, size=shape, dtype=np.uint8)
+            out = dec(enc(arr))
+            assert out.shape == shape
+            assert (out == arr).all()
+
+    def test_random_roundtrip_gray_and_rgba(self):
+        import numpy as np
+
+        enc, dec = self._codec()
+        rng = np.random.RandomState(12)
+        gray = rng.randint(0, 256, size=(9, 6, 1), dtype=np.uint8)
+        assert (dec(enc(gray)) == gray).all()
+        rgba = rng.randint(0, 256, size=(7, 8, 4), dtype=np.uint8)
+        assert (dec(enc(rgba)) == rgba).all()
+
+    def test_every_filter_type_roundtrips(self):
+        """Each predictor (None/Sub/Up/Average/Paeth) forced on every
+        scanline of a gradient — a wrong reconstruction in any branch
+        fails exactly that filter's case."""
+        import numpy as np
+
+        enc, dec = self._codec()
+        g = (np.arange(20 * 13 * 3).reshape(20, 13, 3) % 256).astype(np.uint8)
+        for ft in range(5):
+            assert (dec(enc(g, filters=[ft] * 20)) == g).all(), ft
+
+    def test_decoder_rejects_non_png_and_unsupported(self):
+        import pytest as _pytest
+
+        enc, dec = self._codec()
+        with _pytest.raises(ValueError):
+            dec(b"P6\n1 1\n255\nabc")
+        # 16-bit depth is out of scope: flip the IHDR depth byte
+        # (sig 8 + len 4 + tag 4 + w 4 + h 4 = offset 24; the decoder
+        # does not validate CRCs, it validates shapes)
+        import numpy as np
+
+        buf = bytearray(enc(np.zeros((2, 2, 3), np.uint8)))
+        buf[24] = 16
+        with _pytest.raises(ValueError):
+            dec(bytes(buf))
+
+    def test_spark_encode_decode_path(self, spark):
+        """The registry query's plumbing: synth_png_payloads emits
+        payloads that sniff as PNG, and decode_png_image recovers the
+        closed-form dims + means."""
+        from etl_pipelines_spark.multimodal import (
+            decode_png_image,
+            extract_binary_meta,
+            synth_png_payloads,
+        )
+        from pyspark.sql import functions as F
+
+        base = spark.range(1, 21).select(
+            F.col("id").alias("media_id"),
+            (F.pmod("id", 16) + 4).cast("int").alias("width"),
+            (F.pmod("id", 12) + 4).cast("int").alias("height"),
+        )
+        media = synth_png_payloads(base)
+        sniff = extract_binary_meta(
+            media.withColumn("meta", F.lit(None).cast("string"))
+        ).select("sniffed_format").distinct().collect()
+        assert [r[0] for r in sniff] == ["png"]
+        rows = decode_png_image(media).orderBy("media_id").collect()
+        for r in rows:
+            assert r.width == r.media_id % 16 + 4
+            assert r.height == r.media_id % 12 + 4
+            assert r.channels == 3
+            assert r.mean_r == float(r.media_id % 256)
+            assert r.mean_g == float(r.media_id * 3 % 256)
+            assert r.mean_b == float(r.media_id * 7 % 256)
