@@ -1,0 +1,102 @@
+"""Distributed exact global ranking (two-phase, no single-reducer sort).
+
+A global ``PERCENT_RANK() OVER (ORDER BY x)`` is a total order: Spark
+compiles the empty-partition window to Exchange SinglePartition +
+Window, so every row funnels through ONE reducer. The reference
+accepts that for its dim-sized RFM mart
+(2_ods_marketing/00_customer_rfm_segmentation.sql:13-15); at 100 TB
+it is the bottleneck SURVEY §7 flags. This operator computes the SAME
+exact ranks with a bucket-histogram two-phase plan:
+
+1. collapse the frame to the distinct-value histogram
+   (``groupBy(x).count()`` — map-side combinable, one shuffle on x);
+2. range-partition the histogram by x (so partition ids follow value
+   order), take per-partition prefix sums with a window PARTITIONED
+   by the range-partition id — every reducer sorts only its own
+   value range;
+3. the per-partition totals (one row per range partition) are the
+   only thing globally sorted — a frame of ``shuffle.partitions``
+   rows — to derive each partition's global offset;
+4. broadcast the offsets back: for each distinct value,
+   ``rows_below = offset + prefix - count`` is the number of rows
+   strictly before it in the total order, so
+   ``percent_rank = rows_below / (n - 1)`` (RANK semantics: ties
+   share the rank of their first row) — bit-identical to the window
+   form because both are the same two non-negative integers divided
+   in float64;
+5. join the value→rank map back to the caller's frame on x.
+
+NULL ordering is NOT normalized across engines (Spark sorts NULL
+first ascending, ANSI implementations vary) — callers coalesce
+nulls before ranking, as the RFM model itself does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def percent_rank_map(
+    df: DataFrame, col: str, ascending: bool = True
+) -> DataFrame:
+    """Distinct-value → exact global PERCENT_RANK map for ``df[col]``.
+
+    Output columns: ``col`` and ``__pct_rank`` (double). Every stage
+    is distributed: the histogram shuffles once on the value, prefix
+    sums run per range-partition, and only the partition-total frame
+    (``shuffle.partitions`` rows) crosses a SinglePartition exchange.
+    """
+    order = F.col(col).asc() if ascending else F.col(col).desc()
+    hist = df.groupBy(col).agg(F.count(F.lit(1)).alias("__cnt"))
+    # Range partitioning puts ascending value ranges in ascending
+    # partition ids, so pid order == value order. Each distinct value
+    # lands in exactly one partition (no tie spans a boundary —
+    # that's what phase 1 guarantees).
+    ranged = hist.repartitionByRange(order).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    within = (
+        Window.partitionBy("__pid")
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pref = ranged.withColumn("__prefix", F.sum("__cnt").over(within))
+    totals = pref.groupBy("__pid").agg(
+        F.sum("__cnt").alias("__ptotal")
+    )
+    # The ONLY global sort: one row per range partition.
+    woff = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = totals.select(
+        "__pid",
+        (F.sum("__ptotal").over(woff) - F.col("__ptotal")).alias("__offset"),
+        F.sum("__ptotal").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__n"),
+    )
+    joined = pref.join(F.broadcast(offsets), "__pid")
+    rows_below = F.col("__offset") + F.col("__prefix") - F.col("__cnt")
+    pct = F.when(
+        F.col("__n") > 1,
+        rows_below.cast("double") / (F.col("__n") - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return joined.select(F.col(col), pct.alias("__pct_rank"))
+
+
+def attach_percent_rank(
+    df: DataFrame, col: str, out: str, ascending: bool = True
+) -> DataFrame:
+    """``df`` + an ``out`` column holding the exact global
+    PERCENT_RANK of ``df[col]`` — value-identical to
+    ``F.percent_rank().over(Window.orderBy(col))`` (the oracle form)
+    without its SinglePartition sort of the full frame. The value→rank
+    map joins back on ``col``; AQE is free to broadcast it when the
+    distinct count is small (quartile inputs usually are)."""
+    ranks = percent_rank_map(df, col, ascending).withColumnRenamed(
+        "__pct_rank", out
+    )
+    return df.join(ranks, col)

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from etl_pipelines_spark.operators import (
@@ -312,3 +313,63 @@ class TestScd2:
         )
         h4 = scd2_merge(h, day4, ["cust_id"], ["tier", "country"], "2024-04-01")
         assert {r.cust_id for r in open_rows(h4).collect()} == {1, 2, 3, 4}
+
+
+class TestGlobalRank:
+    """Two-phase distributed PERCENT_RANK (operators/globalrank.py):
+    bit-identical to the window form, both directions, under heavy
+    ties; degenerate frames behave like the SQL definition."""
+
+    def _frame(self, spark, n=5000, mod=37):
+        from pyspark.sql import functions as F
+
+        return spark.range(n).select(
+            F.col("id"),
+            F.pmod(F.col("id") * 131 + 7, mod).alias("v"),
+        )
+
+    @pytest.mark.parametrize("ascending", [True, False])
+    def test_matches_window_percent_rank_exactly(self, spark, ascending):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from etl_pipelines_spark.operators.globalrank import (
+            attach_percent_rank,
+        )
+
+        df = self._frame(spark)
+        order = F.col("v").asc() if ascending else F.col("v").desc()
+        want = df.select(
+            "id", F.percent_rank().over(Window.orderBy(order)).alias("pr")
+        )
+        got = attach_percent_rank(df, "v", "pr", ascending=ascending).select(
+            "id", "pr"
+        )
+        n_bad = (
+            got.alias("g")
+            .join(want.alias("w"), "id")
+            .filter("g.pr <> w.pr")
+            .count()
+        )
+        assert n_bad == 0
+
+    def test_single_row_is_zero(self, spark):
+        from etl_pipelines_spark.operators.globalrank import (
+            attach_percent_rank,
+        )
+
+        rows = attach_percent_rank(
+            spark.createDataFrame([(1, 5)], "id long, v long"), "v", "pr"
+        ).collect()
+        assert [r.pr for r in rows] == [0.0]
+
+    def test_all_ties_rank_zero(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_pipelines_spark.operators.globalrank import (
+            attach_percent_rank,
+        )
+
+        df = spark.range(100).select(F.lit(7).alias("v"), "id")
+        rows = attach_percent_rank(df, "v", "pr").select("pr").distinct().collect()
+        assert [r.pr for r in rows] == [0.0]

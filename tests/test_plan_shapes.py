@@ -252,3 +252,25 @@ class TestPlanShapes:
             r"Exchange SinglePartition[^\n]*\n(?:[^\n]*\n){0,6}\(\d+\) Window\b",
             plan,
         ), plan
+
+    @pytest.mark.parametrize(
+        "name", ["w_percent_rank_spend", "dm_rfm_segmentation"]
+    )
+    def test_global_percent_rank_is_two_phase(self, spark, sf_dir, name):
+        """The global PERCENT_RANKs run through the two-phase
+        operator (operators/globalrank.py): the only SinglePartition
+        exchange allowed is the one carrying the per-range-partition
+        TOTALS frame (__pid/__ptotal — shuffle.partitions rows), never
+        the customer/value frame itself. A SinglePartition exchange
+        whose input carries a data column is the old one-reducer
+        global sort coming back."""
+        _, plan = formatted_plan(spark, name, sf_dir)
+        singles = re.findall(
+            r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\n"
+            r"Arguments: SinglePartition",
+            plan,
+        )
+        assert singles, plan  # the tiny totals sort must exist
+        for cols in singles:
+            assert "__ptotal" in cols, (cols, plan)
+            assert len(cols.split(",")) <= 3, (cols, plan)
