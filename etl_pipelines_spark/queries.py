@@ -1112,17 +1112,28 @@ ORDER BY o_custkey
 )
 def w_percent_rank_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wn7: PERCENT_RANK RFM monetary scoring (reference
-    2_ods_marketing/00_customer_rfm_segmentation.sql:13-15)."""
+    2_ods_marketing/00_customer_rfm_segmentation.sql:13-15), computed
+    by the two-phase distributed global-rank operator
+    (operators/globalrank.py) instead of a window whose empty
+    PARTITION BY funnels the whole frame through one reducer — the
+    oracle stays the window form, so the driver's hash compare proves
+    the physical rewrite is value-invisible (the skew_salted_rollup
+    contract, applied to global ranking)."""
+    from .operators.globalrank import attach_percent_rank
+
     o = load(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(dsum(F.col("o_totalprice"), "total_spend"))
-    w = Window.orderBy("total_spend")
-    pr = F.percent_rank().over(w)
-    return spend.select(
-        "o_custkey",
-        "total_spend",
-        pr.alias("spend_pct_rank"),
-        (F.lit(5) - F.floor(pr * 4.999).cast("int")).alias("monetary_score"),
-    ).orderBy("o_custkey")
+    pr = F.col("spend_pct_rank")
+    return (
+        attach_percent_rank(spend, "total_spend", "spend_pct_rank")
+        .select(
+            "o_custkey",
+            "total_spend",
+            "spend_pct_rank",
+            (F.lit(5) - F.floor(pr * 4.999).cast("int")).alias("monetary_score"),
+        )
+        .orderBy("o_custkey")
+    )
 
 
 @q(
@@ -3230,10 +3241,14 @@ def dm_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     logical run date, exact-decimal monetary; three global
     PERCENT_RANKs -> quartile CASE scores -> segment label.
 
-    Scale note: a global PERCENT_RANK is a total order (single
-    reducer). The reference accepts that for this dim-sized mart; at
-    100 TB replace with approx quantile bins (percentile_approx
-    thresholds broadcast back) — same quartile semantics."""
+    Scale note (r4): the three global PERCENT_RANKs run through the
+    two-phase distributed global-rank operator
+    (operators/globalrank.py — histogram, range-partitioned prefix
+    sums, partition-total offsets), so no full-frame SinglePartition
+    sort remains; the oracle keeps the window form and the driver's
+    hash compare proves the rewrite is value-invisible."""
+    from .operators.globalrank import attach_percent_rank
+
     run_date = F.lit("1998-08-02").cast("date")
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
@@ -3250,16 +3265,15 @@ def dm_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(0),
     )
-    w = lambda col, asc: Window.orderBy(col.asc() if asc else col.desc())  # noqa: E731
     prep = c.join(a, a.o_custkey == c.c_custkey).select(
         "c_custkey",
         "frequency",
         "monetary",
         recency.alias("recency_days"),
-        F.percent_rank().over(w(F.col("frequency"), True)).alias("frequency_rank"),
-        F.percent_rank().over(w(recency, False)).alias("recency_rank"),
-        F.percent_rank().over(w(F.col("monetary"), True)).alias("monetary_rank"),
     )
+    prep = attach_percent_rank(prep, "frequency", "frequency_rank")
+    prep = attach_percent_rank(prep, "recency_days", "recency_rank", ascending=False)
+    prep = attach_percent_rank(prep, "monetary", "monetary_rank")
 
     def quartile(rank_col: str) -> F.Column:
         r = F.col(rank_col)
@@ -5280,6 +5294,48 @@ def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "mm_png_decode",
+    oracle="""
+SELECT doc_id AS media_id,
+  CAST(doc_id % 16 + 4 AS INT) AS width,
+  CAST(doc_id % 12 + 4 AS INT) AS height,
+  CAST(3 AS INT) AS channels,
+  CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+  CAST((doc_id * 3) % 256 AS DOUBLE) AS mean_g,
+  CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_b
+FROM documents
+ORDER BY media_id
+""",
+)
+def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode with no imaging library (r3 VERDICT missing
+    #1): each doc gets a genuine compressed PNG (synth_png_payloads —
+    zlib DEFLATE + CRC32, filter type cycling None/Sub/Up/Average/
+    Paeth per scanline) and decode_png_image walks the chunks,
+    inflates IDAT and reverses every predictor in numpy. Solid
+    id-derived color keeps the per-channel means closed-form
+    (mean_r == id % 256 exactly), so the driver verifies DECODED
+    PIXELS through the full filter family — a wrong Paeth/Average
+    reconstruction corrupts the means on every row with height > 3.
+    Random-pixel exact round-trips (gray/RGB/RGBA, every forced
+    filter) are pytest-gated (tests/test_multimodal.py). Scale: two
+    chained narrow mapInPandas stages (encode, decode) + output sort;
+    payload bytes never leave the Arrow batch, nothing shuffles."""
+    from .multimodal import decode_png_image, synth_png_payloads
+
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    media = synth_png_payloads(
+        d.select(
+            did.alias("media_id"),
+            (F.pmod(did, 16) + 4).cast("int").alias("width"),
+            (F.pmod(did, 12) + 4).cast("int").alias("height"),
+        )
+    )
+    return decode_png_image(media).orderBy("media_id")
+
+
+@q(
     "ops_shipment_funnel",
     oracle="""
 WITH milestones AS (
@@ -6330,90 +6386,86 @@ def skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window; when rotating one out, its driver row must already exist in
 # a committed CORRECTNESS_r*.json.
 #
-# Round-3 window: the 20 queries with no prior driver row (6 dark
-# round-2 entries + scd2_history, ml_mlp_score, txt_contamination,
-# txt_repetition, txt_chunk_plan, txt_vocab_topk, corpus_curation,
-# and the 7 second-wave round-3 queries: a_rollup_multigrain,
-# txt_pii_redact, dd_line_dedup, txt_ngram_decontam,
-# txt_unigram_logprob, txt_source_mix, dd_semantic_dedup), the 3
-# rows VERDICT r2 demanded re-proof for (dd_exact_dup_groups
-# array->string fix, ann_ivf_topk now value-exact via fixed literal
-# centroids, dd_simhash_md5 swapped in for the rows-only xxhash64
-# form), sessions_union_stitch (whitelist change this round), the
-# two bench anchors, and the r2-green LLM-data/composite set.
-# Rotated out (every one r1/r2-green and still in the registry, the
-# local gate, and pytest): s_sessionize_gap, m_date_spine,
-# m_explode_split, m_posexplode, mon_freshness, m_scalar_subquery,
-# s_page_view_end, dd_simhash, w_percentile_window, top_products,
-# braze_order_attribution, luxco_multigrain_union,
-# dm_rfm_segmentation, wh_page_views, spv_price_outliers,
-# master_subscription, fin_collection_curves, gc_wallet_expansion,
-# ops_shipment_funnel, pay_retry_payments, wh_sessions_mart,
-# ops_allocation, mon_duplicate_keys, s_event_dedup_incremental,
-# mon_missing_dates, dd_ngram_jaccard, txt_fingerprint, mm_frame_plan,
-# txt_quality, mm_resize_dims, mm_binary_meta.
+# Round-4 window — FRESHNESS rotation (VERDICT r3 "Next round" #5):
+# every row last driver-checked in round 1 (47 queries — the a_*,
+# f_*, j_*, p_*, u_*, w_* operator singles plus q3/q5 — two rounds
+# stale, the oldest evidence in the repo) re-enters the window to
+# catch regressions, alongside this round's new/changed queries
+# (mm_png_decode — new real PNG decode; dm_rfm_segmentation +
+# w_percent_rank_spend — rewired onto the two-phase distributed
+# global-rank operator, need hash re-proof vs their unchanged window
+# oracles) and master_customer as the cross-round anchor.
+# Rotated out (every one r3-green in the committed
+# CORRECTNESS_r03.json, still in the local gate and pytest): the 31
+# round-3 first-window names (dd_simhash_md5 ... mon_cms_heavyhitters),
+# the r3 re-proof rows (dd_exact_dup_groups, ann_ivf_topk,
+# sessions_union_stitch), q1_pricing_summary, and the r2/r3-green
+# LLM-data/composite set (dd_*, ann_*, txt_langid, mm_audio_segments,
+# ml_churn_score, ml_price_score, wh_daily_kpi, wh_track_events,
+# gc_account_balance, sust_seasonality).
 # ===========================================================================
 
 _DRIVER_WINDOW = [
-    # never-windowed queries (no driver row in any prior round)
-    "dd_simhash_md5",
-    "txt_hash_split",
-    "txt_stratified_sample",
-    "mm_ppm_decode",
-    "mm_wav_decode",
-    "mkt_affiliate_payout",
-    "scd2_history",
-    "ml_mlp_score",
-    "txt_contamination",
-    "txt_repetition",
-    "txt_chunk_plan",
-    "txt_vocab_topk",
-    "corpus_curation",
-    "a_rollup_multigrain",
-    "txt_pii_redact",
-    "dd_line_dedup",
-    "txt_ngram_decontam",
-    "txt_unigram_logprob",
-    "txt_source_mix",
-    "dd_semantic_dedup",
-    "w_time_range_rolling",
-    "txt_gopher_filter",
-    "mm_patch_plan",
-    "mon_volume_anomaly",
-    "skew_salted_rollup",
-    "emb_pq_encode",
-    "ann_pq_adc",
-    "txt_bpe_encode",
-    "mon_hll_distinct",
-    "j_bloom_prefilter",
-    "mon_cms_heavyhitters",
-    # re-proof rows (changed or upgraded this round)
-    "dd_exact_dup_groups",
-    "ann_ivf_topk",
-    "sessions_union_stitch",
-    # cross-round anchors (headline bench queries)
-    "q1_pricing_summary",
+    # new this round: real PNG decode (zlib+numpy codec)
+    "mm_png_decode",
+    # re-proof rows: rewired onto the two-phase global-rank operator
+    "w_percent_rank_spend",
+    "dm_rfm_segmentation",
+    # cross-round anchor (flagship bench query)
     "master_customer",
-    # LLM-data: dedup family
-    "dd_exact_dedup_survivors",
-    "dd_minhash_lsh",
-    "dd_embedding_neardup",
-    "dd_neardup_components",
-    # LLM-data: similarity search
-    "ann_brute_topk",
-    "ann_lsh_topk",
-    # LLM-data: text analysis
-    "txt_langid",
-    # LLM-data: multimodal
-    "mm_audio_segments",
-    # ML scoring
-    "ml_churn_score",
-    "ml_price_score",
-    # composite warehouse queries
-    "wh_daily_kpi",
-    "wh_track_events",
-    "gc_account_balance",
-    "sust_seasonality",
+    # r1-aged rows: aggregates
+    "a_bool_or",
+    "a_count_distinct",
+    "a_dedup_then_agg",
+    "a_greatest_least",
+    "a_having_segments",
+    "a_listagg",
+    "a_listagg_ordered",
+    "a_median_percentiles",
+    "a_pivot_status",
+    "a_unpivot_measures",
+    # r1-aged rows: scalar function kitchen sinks
+    "f_datetime_kitchen_sink",
+    "f_json_extract",
+    "f_math",
+    "f_null_conditional",
+    "f_string_kitchen_sink",
+    # r1-aged rows: join family
+    "j_anti_not_in",
+    "j_asof_attribution",
+    "j_cross_spine",
+    "j_dedup_right",
+    "j_dod_delta",
+    "j_exists_corr",
+    "j_full_outer_calendar",
+    "j_range_bands",
+    "j_right_parts",
+    "j_semi_in",
+    # r1-aged rows: projection/predicates
+    "p_case_nested",
+    "p_distinct",
+    "p_filter_predicates",
+    "p_like_ilike",
+    "p_regex",
+    # r1-aged rows: TPC-H-style composites
+    "q3_top_revenue_orders",
+    "q5_regional_revenue",
+    # r1-aged rows: set operations
+    "u_except",
+    "u_intersect",
+    "u_union_all_pad",
+    "u_union_distinct",
+    # r1-aged rows: window family
+    "w_agg_over_partition",
+    "w_dense_rank_days",
+    "w_first_last_ignorenulls",
+    "w_lag_lead_gap",
+    "w_median_window",
+    "w_nth_value",
+    "w_rank_top_orders",
+    "w_rolling_7d",
+    "w_rownum_latest_event",
+    "w_running_balance",
 ]
 
 
