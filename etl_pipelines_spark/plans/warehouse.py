@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedupe_latest, sessionize
-from ..quality.checks import duplicate_keys, missing_dates
+from ..quality.checks import duplicate_keys, missing_dates, volume_anomaly
 from .model import Model, RunContext, TaskGroup
 from .pipeline import Pipeline
 
@@ -147,6 +147,42 @@ def dwh_sessions(ctx: RunContext) -> DataFrame:
     )
 
 
+def dwh_rfm_segments(ctx: RunContext) -> DataFrame:
+    """RFM quartile scores over the master customer entity
+    (2_ods_marketing/00_customer_rfm_segmentation.sql shape) —
+    reads the MATERIALIZED master table (§4 materialize-if-reused:
+    master.customer also feeds the historical snapshot and the
+    duplicate monitor, so it is built once and read from parquet),
+    then scores with the two-phase distributed global-rank operator,
+    so the nightly rebuild carries no single-reducer sort."""
+    from ..operators.globalrank import attach_percent_rank
+
+    m = ctx.read("master.customer").select(
+        "c_custkey", "c_mktsegment", "n_orders", "total_spend"
+    )
+    m = attach_percent_rank(m, "n_orders", "frequency_rank")
+    m = attach_percent_rank(m, "total_spend", "monetary_rank")
+
+    def quartile(col: str):
+        r = F.col(col)
+        return (
+            F.when(r <= 0.25, 1)
+            .when(r <= 0.5, 2)
+            .when(r <= 0.75, 3)
+            .otherwise(4)
+        )
+
+    return m.select(
+        "c_custkey",
+        "c_mktsegment",
+        quartile("frequency_rank").alias("f_score"),
+        quartile("monetary_rank").alias("m_score"),
+        (quartile("frequency_rank") * 10 + quartile("monetary_rank")).alias(
+            "fm"
+        ),
+    )
+
+
 # --- monitoring -----------------------------------------------------------
 
 def mon_duplicates(ctx: RunContext) -> DataFrame:
@@ -158,6 +194,13 @@ def mon_missing_dates(ctx: RunContext) -> DataFrame:
     """missing_dates.sql:3-8 shape: calendar days with no orders."""
     o = ctx.read("ods.orders")
     return missing_dates(o, F.to_date("o_orderdate"))
+
+
+def mon_event_volume(ctx: RunContext) -> DataFrame:
+    """snowplow_monitoring.sql shape: per-event-type daily volume
+    z-scores against the trailing window, flagging drifted days."""
+    ev = ctx.read("ods.events")
+    return volume_anomaly(ev, F.col("event_date"), ["event_type"])
 
 
 # --- assembly -------------------------------------------------------------
@@ -192,6 +235,7 @@ def build_warehouse_pipeline(**kwargs) -> Pipeline:
                 [
                     Model("dwh.daily_kpi", dwh_daily_kpi),
                     Model("dwh.sessions", dwh_sessions),
+                    Model("dwh.rfm_segments", dwh_rfm_segments),
                 ],
             ),
             TaskGroup(
@@ -199,6 +243,7 @@ def build_warehouse_pipeline(**kwargs) -> Pipeline:
                 [
                     Model("mon.customer_duplicates", mon_duplicates),
                     Model("mon.order_missing_dates", mon_missing_dates),
+                    Model("mon.event_volume", mon_event_volume),
                 ],
             ),
         ],
