@@ -313,3 +313,165 @@ class TestSketchProperties:
         one = hll_distinct(df.withColumn("g", F.lit(1)), ["g"], "k").collect()
         many = hll_distinct(rep.withColumn("g", F.lit(1)), ["g"], "k").collect()
         assert one[0]["hll_estimate"] == many[0]["hll_estimate"]
+
+
+class TestPqProperties:
+    """PQ edge properties (r3 VERDICT "Next round" #8): the encoder
+    and the ADC scorer must agree bit-for-bit on their shared math,
+    and encoding must be a pure per-row function of the vector."""
+
+    DIM, M, KSUB = 8, 4, 4
+
+    def _frames(self, spark, vecs):
+        from etl_pipelines_spark.textops.pq import pq_codebooks
+
+        cb = pq_codebooks(dim=self.DIM, m=self.M, ksub=self.KSUB, seed=5)
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+        corpus = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        return cb, corpus
+
+    @FAST
+    @given(
+        st.lists(
+            st.lists(
+                st.floats(-4, 4, allow_nan=False, allow_infinity=False),
+                min_size=8,
+                max_size=8,
+            ),
+            min_size=1,
+            max_size=10,
+        )
+    )
+    def test_adc_self_distance_equals_recon_err(self, spark, vecs):
+        """ADC(q, codes(v)) with q == v IS the reconstruction error:
+        both sides accumulate the same per-subspace squared
+        distances in the same left-to-right fold, so equality is
+        exact in float64 — any drift means the LUT and the encoder
+        disagree about the math they supposedly share."""
+        from etl_pipelines_spark.textops.pq import (
+            pq_adc_topk,
+            pq_encode_exact,
+        )
+
+        cb, corpus = self._frames(spark, vecs)
+        queries = corpus.selectExpr(
+            "vec_id as query_id", "embedding"
+        )
+        err = {
+            r.vec_id: r.recon_err
+            for r in pq_encode_exact(corpus, cb).collect()
+        }
+        topk = pq_adc_topk(corpus, queries, cb, k=len(vecs)).collect()
+        self_rows = [r for r in topk if r.query_id == r.vec_id]
+        assert len(self_rows) == len(vecs)
+        for r in self_rows:
+            assert r.adist == err[r.query_id], (r, err[r.query_id])
+
+    @FAST
+    @given(
+        st.lists(
+            st.lists(
+                st.floats(-4, 4, allow_nan=False, allow_infinity=False),
+                min_size=8,
+                max_size=8,
+            ),
+            min_size=2,
+            max_size=10,
+        )
+    )
+    def test_codes_invariant_to_partitioning(self, spark, vecs):
+        """argmin stability: the code assignment is a pure function
+        of the vector — repartitioning (different Arrow batch
+        boundaries, different row order) must yield identical codes
+        and errors."""
+        from etl_pipelines_spark.textops.pq import pq_encode_exact
+
+        cb, corpus = self._frames(spark, vecs)
+        a = {
+            r.vec_id: (r.code_0, r.code_1, r.code_2, r.code_3, r.recon_err)
+            for r in pq_encode_exact(corpus.repartition(1), cb).collect()
+        }
+        b = {
+            r.vec_id: (r.code_0, r.code_1, r.code_2, r.code_3, r.recon_err)
+            for r in pq_encode_exact(corpus.repartition(7), cb).collect()
+        }
+        assert a == b
+
+
+class TestBpeProperties:
+    """BPE encoder properties: the codegen string-replace corpus
+    encoder implements exactly the greedy adjacent-merge semantics
+    of the per-word reference encoder, on arbitrary text."""
+
+    corpus_text = st.text(
+        alphabet="theandigorTHE !.,0123 ", min_size=0, max_size=80
+    )
+
+    @staticmethod
+    def _ref_token_count(text: str, merges) -> int:
+        import re
+
+        s = re.sub(r" +", " ", re.sub(r"[^a-z ]", "", text.lower())).strip()
+        if not s:
+            return 0
+        total = 0
+        for w in s.split(" "):
+            syms = list(w) + ["#"]
+            for a, b in merges:
+                res, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                syms = res
+            total += len(syms)
+        return total
+
+    @FAST
+    @given(st.lists(corpus_text, min_size=1, max_size=8))
+    def test_corpus_encoder_matches_reference(self, spark, texts):
+        from etl_pipelines_spark.textops.bpe import (
+            FIXED_MERGES,
+            bpe_corpus_token_stats,
+        )
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: r.n_tokens
+            for r in bpe_corpus_token_stats(df, FIXED_MERGES).collect()
+        }
+        for i, t in enumerate(texts):
+            assert got[i] == self._ref_token_count(t, FIXED_MERGES), t
+
+    @FAST
+    @given(st.lists(corpus_text, min_size=1, max_size=6))
+    def test_token_count_monotone_in_merges(self, spark, texts):
+        """Applying one more merge rule can only merge pairs — the
+        corpus token count is non-increasing along the merge-table
+        prefix chain (token-count conservation: each applied merge
+        removes exactly one token per merged occurrence)."""
+        from etl_pipelines_spark.textops.bpe import (
+            FIXED_MERGES,
+            bpe_corpus_token_stats,
+        )
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        prev = None
+        for k in (0, 2, 6, len(FIXED_MERGES)):
+            total = (
+                bpe_corpus_token_stats(df, FIXED_MERGES[:k])
+                .agg(F.sum("n_tokens").alias("t"))
+                .collect()[0]["t"]
+            )
+            if prev is not None:
+                assert total <= prev, (k, total, prev)
+            prev = total
