@@ -2300,7 +2300,7 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for 5 query vectors — the exact ANN
     baseline. Queries broadcast; corpus never shuffles; ranking is a
     per-query window (textops/similarity.py)."""
-    e = load(spark, sf_dir, "embeddings")
+    e = load_spread(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -2327,7 +2327,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-to-right fold, so candidate buckets and ranks compare
     bit-for-bit. Recall vs the brute-force baseline is additionally
     asserted in tests/test_textops.py."""
-    e = load(spark, sf_dir, "embeddings")
+    e = load_spread(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -2357,7 +2357,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     path at 100 TB: train on a bounded sample, assign narrow) is the
     same assign→probe→score code and keeps its recall and
     score-exactness tests in tests/test_textops.py::TestIvf."""
-    e = load(spark, sf_dir, "embeddings")
+    e = load_spread(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -2388,7 +2388,7 @@ def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_ivf_topk trick): squared-L2 folds left-to-right, argmin
     ties break to the lowest code on both engines
     (textops/pq.py)."""
-    e = load(spark, sf_dir, "embeddings")
+    e = load_spread(spark, sf_dir, "embeddings")
     out = pq_encode_exact(e, pq_codebooks(dim=64, m=8, ksub=16))
     return out.select(
         "vec_id",
@@ -2408,7 +2408,7 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     a distance). Value-exact: the oracle derives each query's LUT
     from the same literal codebook and sums via the left-associated
     pivot, matching the JVM fold (textops/pq.py)."""
-    e = load(spark, sf_dir, "embeddings")
+    e = load_spread(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -2438,7 +2438,7 @@ def txt_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, scan-speed. replace()'s left-to-right non-overlapping
     scan IS greedy BPE merge application (property-tested against
     the per-word reference encoder in tests/test_textops_r3.py)."""
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     return bpe_corpus_token_stats(d, FIXED_MERGES).orderBy("doc_id")
 
 
@@ -2663,7 +2663,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     relationally; SUM is cast BIGINT (DuckDB HUGEINT rule)."""
     from .textops import exact_dedup, with_split, with_text_stats
 
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = load_spread(spark, sf_dir, "documents").select("doc_id", "text")
     recrawl = d.filter(F.col("doc_id") % 50 == 0).withColumn(
         "doc_id", F.col("doc_id") + 100000
     )
@@ -2790,6 +2790,93 @@ def txt_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return vocab_topk(d, k=100).orderBy("rank")
+
+
+@q(
+    "txt_tfidf_topterms",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+tfc AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+),
+dfreq AS (
+  SELECT term, COUNT(*) AS doc_freq FROM tfc GROUP BY 1
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.doc_freq,
+    CAST(t.tf * (n.n_docs + 1) AS DOUBLE) / (d.doc_freq + 1) AS tfidf
+  FROM tfc t JOIN dfreq d USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, doc_freq, tfidf, CAST(rn AS INT) AS term_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+  FROM scored)
+WHERE rn <= 5
+ORDER BY doc_id, term_rank
+""",
+)
+def txt_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 characteristic terms by tf-idf
+    (textops/analysis.tfidf_topterms) — keyword extraction / topic
+    fingerprinting over the corpus. The idf is the ln-free rational
+    form tf*(N+1)/(doc_freq+1): one integer multiply + one IEEE
+    division, hash-exact across engines with zero tolerance (ln()
+    only agrees to ~1 ulp across libm implementations — the
+    literal-table trick used for HLL doesn't apply to an unbounded
+    domain, so the score family is chosen to not need it). Top-k
+    windows partition BY DOCUMENT — each reducer sorts only one
+    doc's terms; text never shuffles, only (id, term, count) rows."""
+    from .textops import tfidf_topterms
+
+    d = load(spark, sf_dir, "documents")
+    return tfidf_topterms(d, k=5).orderBy("doc_id", "term_rank")
+
+
+@q(
+    "txt_pack_plan",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source,
+    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+      AS BIGINT) AS n_tok
+  FROM documents
+),
+nz AS (SELECT * FROM t WHERE n_tok > 0),
+c AS (
+  SELECT doc_id, source, n_tok,
+    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+      AS BIGINT) AS tok_offset
+  FROM nz
+)
+SELECT doc_id, source, n_tok, tok_offset,
+  CAST(FLOOR(tok_offset / 256.0) AS BIGINT) AS seq_start,
+  CAST(FLOOR((tok_offset + n_tok - 1) / 256.0) AS BIGINT) AS seq_end,
+  CAST(tok_offset % 256 AS BIGINT) AS offset_in_seq
+FROM c
+ORDER BY source, doc_id
+""",
+)
+def txt_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chop sequence packing (textops/analysis.
+    pack_plan): within each source stream, documents concatenate in
+    id order into one token tape cut every 256 tokens — each doc
+    learns its first/last training sequence and in-sequence offset
+    (docs straddle cuts, like real GPT-style packing; zero pad
+    waste). Complements txt_chunk_plan's per-doc chunking. One
+    BIGINT running sum per stream partition — integer-exact, no
+    tolerance; parallelism = streams (shard the stream key at
+    100 TB, offsets chain per shard)."""
+    from .textops import pack_plan
+
+    d = load(spark, sf_dir, "documents")
+    return pack_plan(d, seq_tokens=256).orderBy("source", "doc_id")
 
 
 @q(
@@ -5252,7 +5339,7 @@ def mm_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort; bytes never leave the Arrow batch."""
     from .multimodal import decode_ppm_image, synth_ppm_payload
 
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     did = F.col("doc_id")
     media = d.select(
         did.alias("media_id"),
@@ -5284,7 +5371,7 @@ def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     RIFF parsing. Scale: narrow mapInPandas + output sort only."""
     from .multimodal import decode_wav_audio, synth_wav_payload
 
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     did = F.col("doc_id")
     media = d.select(
         did.alias("media_id"),
@@ -5323,7 +5410,7 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload bytes never leave the Arrow batch, nothing shuffles."""
     from .multimodal import decode_png_image, synth_png_payloads
 
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     did = F.col("doc_id")
     media = synth_png_payloads(
         d.select(
@@ -6406,8 +6493,11 @@ def skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _DRIVER_WINDOW = [
-    # new this round: real PNG decode (zlib+numpy codec)
+    # new this round: real PNG decode (zlib+numpy codec), tf-idf
+    # keyword extraction, concatenate-and-chop sequence packing
     "mm_png_decode",
+    "txt_tfidf_topterms",
+    "txt_pack_plan",
     # re-proof rows: rewired onto the two-phase global-rank operator
     "w_percent_rank_spend",
     "dm_rfm_segmentation",
@@ -6430,7 +6520,9 @@ _DRIVER_WINDOW = [
     "f_math",
     "f_null_conditional",
     "f_string_kitchen_sink",
-    # r1-aged rows: join family
+    # r1-aged rows: join family (j_semi_in rotated back out — r1-green
+    # single-idiom row, its IN-subquery shape is also exercised by
+    # p_filter_predicates; slots ceded to the two new txt queries)
     "j_anti_not_in",
     "j_asof_attribution",
     "j_cross_spine",
@@ -6440,10 +6532,9 @@ _DRIVER_WINDOW = [
     "j_full_outer_calendar",
     "j_range_bands",
     "j_right_parts",
-    "j_semi_in",
-    # r1-aged rows: projection/predicates
+    # r1-aged rows: projection/predicates (p_distinct ceded: its
+    # DISTINCT idiom is re-proven via u_union_distinct this window)
     "p_case_nested",
-    "p_distinct",
     "p_filter_predicates",
     "p_like_ilike",
     "p_regex",

