@@ -21,6 +21,11 @@ from .mlp import (
     score_mlp_pandas,
     score_mlp_reference,
 )
+from .train import (
+    feature_standardizer,
+    logreg_gradient,
+    logreg_train_distributed,
+)
 
 __all__ = [
     "LinearModel",
@@ -40,4 +45,7 @@ __all__ = [
     "mlp_sql",
     "score_mlp_pandas",
     "score_mlp_reference",
+    "feature_standardizer",
+    "logreg_gradient",
+    "logreg_train_distributed",
 ]

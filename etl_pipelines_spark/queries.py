@@ -2250,22 +2250,32 @@ def dd_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .textops import lsh_neardup_oracle_sql, lsh_neardup_pairs  # noqa: E402
 
 
-@q("dd_embedding_neardup", oracle=lsh_neardup_oracle_sql())
+@q("dd_embedding_neardup", oracle=lsh_neardup_oracle_sql(auto_planes=True))
 def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (>= 0.4), the SCALE path:
-    sign-LSH candidate buckets (4 tables x 6 bits, deterministic
-    hyperplanes) + exact-cosine verification of candidates only —
-    the same candidate→verify shape as dd_minhash_lsh. The bucket
-    self-join shuffles only (id, table, sig); vectors rejoin onto
-    the candidate pair set; no driver-side collect anywhere.
+    sign-LSH candidate buckets (4 tables, deterministic hyperplanes)
+    + exact-cosine verification of candidates only — the same
+    candidate→verify shape as dd_minhash_lsh. The bucket self-join
+    shuffles only (id, table, sig); vectors rejoin onto the
+    candidate pair set; no driver-side collect anywhere.
 
-    The oracle replicates the hyperplanes as SQL literals, so the
-    driver compares the exact verified pair set. The lossless n²
-    verifier (all_pairs_cosine) stays as the test oracle:
-    tests/test_textops.py asserts every LSH pair appears in the
-    all-pairs set with a bit-identical cosine."""
+    The bucket bit-count is ADAPTIVE (auto_planes): 6 bits at the
+    small-n floor (identical to the r2/r3 geometry) growing to 14 at
+    scale via the integer occupancy ladder, so expected bucket
+    occupancy — and with it the per-bucket pair quadratic that made
+    the fixed-6-bit form scale ×11.5 at 10× data — stays constant.
+    The corpus count rides a broadcast 1-row frame inside the same
+    action (nothing driver-side, honest timing).
+
+    The oracle replicates the hyperplanes AND the occupancy-ladder
+    mask as SQL, so the driver compares the exact verified pair set.
+    The lossless n² verifier (all_pairs_cosine) stays as the test
+    oracle: tests/test_textops.py asserts every LSH pair appears in
+    the all-pairs set with a bit-identical cosine."""
     e = load_spread(spark, sf_dir, "embeddings")
-    pairs = lsh_neardup_pairs(e, threshold=0.4, dim=64, n_planes=6, n_tables=4)
+    pairs = lsh_neardup_pairs(
+        e, threshold=0.4, dim=64, n_planes=6, n_tables=4, auto_planes=True
+    )
     return (
         pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
         .orderBy("id_a", "id_b")
@@ -5979,7 +5989,9 @@ from .textops import semantic_dedup_oracle_sql  # noqa: E402
 
 @q(
     "dd_semantic_dedup",
-    oracle=semantic_dedup_oracle_sql(threshold=0.4, dim=64, nlist=16, seed=7),
+    oracle=semantic_dedup_oracle_sql(
+        threshold=0.4, dim=64, nlist=16, seed=7, auto_refine=True
+    ),
 )
 def dd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (textops/similarity.semantic_dedup_pairs): embedding
@@ -5993,11 +6005,20 @@ def dd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify math, different candidate structure — clusters give
     deterministic recall within a cell, LSH gives probabilistic
     recall across all cells. Vectors cross no exchange for
-    assignment; candidate pairs self-join on the int list id only."""
+    assignment; candidate pairs self-join on the int list id only.
+
+    auto_refine: at scale each coarse cluster is sub-bucketed by
+    corpus-size-adaptive sign-LSH bits (0 bits at the small-n floor
+    = paper-pure SemDeDup, unchanged correctness-gate output), so
+    Σ n_c² stays linear instead of the fixed-nlist ×8.2 slope; the
+    oracle re-derives the identical mask from the shared integer
+    occupancy ladder."""
     from .textops import semantic_dedup_pairs
 
     e = load_spread(spark, sf_dir, "embeddings")
-    pairs = semantic_dedup_pairs(e, threshold=0.4, dim=64, nlist=16, seed=7)
+    pairs = semantic_dedup_pairs(
+        e, threshold=0.4, dim=64, nlist=16, seed=7, auto_refine=True
+    )
     return pairs.select(
         "list_id", "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     ).orderBy("id_a", "id_b")

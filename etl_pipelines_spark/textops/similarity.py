@@ -205,6 +205,56 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     ]
 
 
+def occupancy_mask_cases(
+    base_buckets: int, target_occ: int, r_min: int, r_max: int
+) -> "list[tuple[int, int]]":
+    """The n→bucket-geometry ladder behind the ADAPTIVE candidate
+    structures (lsh_neardup_pairs auto_planes, semantic_dedup_pairs
+    auto_refine): use ``r`` signature bits as soon as
+    ``n <= target_occ * base_buckets * 2**r`` — i.e. grow the bucket
+    count with the corpus so expected bucket occupancy (and therefore
+    the per-bucket pair quadratic) stays CONSTANT, which is what
+    turns the candidate→verify stage from O(n²/buckets) into O(n).
+
+    Returns [(n_threshold, mask)] ascending; first matching
+    threshold wins, n beyond the last threshold gets the r_max mask.
+    Integer-only so the Spark CASE and the DuckDB CASE (rendered from
+    this same table) can never diverge."""
+    return [
+        (target_occ * base_buckets * (1 << r), (1 << r) - 1)
+        for r in range(r_min, r_max + 1)
+    ]
+
+
+def occupancy_mask_col(
+    n_col: Column, base_buckets: int, target_occ: int, r_min: int, r_max: int
+) -> Column:
+    """Spark CASE over the occupancy ladder: signature mask as a
+    column of the (broadcast, 1-row) corpus-count frame — keeps the
+    adaptive geometry fully LAZY, so the count rides inside the
+    query's own action (honest bench timing, no driver-side count)."""
+    cases = occupancy_mask_cases(base_buckets, target_occ, r_min, r_max)
+    out = None
+    for threshold, mask in cases:
+        cond = n_col <= F.lit(threshold)
+        out = F.when(cond, F.lit(mask)) if out is None else out.when(
+            cond, F.lit(mask)
+        )
+    return out.otherwise(F.lit(cases[-1][1])).cast("long")
+
+
+def occupancy_mask_sql(
+    n_expr: str, base_buckets: int, target_occ: int, r_min: int, r_max: int
+) -> str:
+    """DuckDB rendering of the same ladder (shared threshold table =
+    bit-identical bucket geometry in both engines)."""
+    cases = occupancy_mask_cases(base_buckets, target_occ, r_min, r_max)
+    whens = " ".join(
+        f"WHEN {n_expr} <= {t} THEN CAST({m} AS BIGINT)" for t, m in cases
+    )
+    return f"CASE {whens} ELSE CAST({cases[-1][1]} AS BIGINT) END"
+
+
 def lsh_signature(
     vec: Column, planes: list[list[float]]
 ) -> Column:
@@ -706,6 +756,9 @@ def lsh_neardup_pairs(
     n_planes: int = 6,
     n_tables: int = 4,
     seed: int = 42,
+    auto_planes: bool = False,
+    target_occ: int = 16,
+    p_max: int = 14,
 ) -> DataFrame:
     """Embedding near-dup pairs, the SCALE path: sign-LSH candidate
     buckets + exact-cosine verification (candidate→verify, the same
@@ -726,12 +779,27 @@ def lsh_neardup_pairs(
 
     Sign bits use the same strict left-to-right dot fold as the SQL
     oracle so bucket membership is bit-identical.
+
+    ``auto_planes=True`` is the 100 TB form (the r3 verdict's
+    "raise the hyperplane count with corpus size" knob, made
+    automatic): signatures carry ``p_max`` bits and the EFFECTIVE
+    plane count comes from the occupancy ladder
+    (occupancy_mask_cases — use p bits once n <= target_occ·2^p), so
+    expected bucket occupancy stays ~target_occ at any corpus size
+    and the per-bucket pair quadratic — the measured ×11.5 sf0.1→sf1
+    slope of the fixed-p form — flattens to linear. The corpus count
+    rides a broadcast 1-row frame (lazy — inside the timed action),
+    and the oracle re-derives the identical mask from the same
+    integer ladder, so the adaptive form stays value-exact. At the
+    small-n floor the mask equals the fixed 6-bit geometry, so
+    correctness-gate output is unchanged.
     """
     import numpy as np
     import pandas as pd
 
+    sig_bits = p_max if auto_planes else n_planes
     P = np.array(
-        [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)],
+        [_hyperplanes(dim, sig_bits, seed + 1000 * t) for t in range(n_tables)],
         dtype=np.float64,
     )  # (T, p, dim)
     bc = df.sparkSession.sparkContext.broadcast(P)
@@ -766,6 +834,23 @@ def lsh_neardup_pairs(
     sig = ids.mapInPandas(
         gen_sigs, schema=f"{id_col} long, __table int, __sig long"
     )
+    if auto_planes:
+        # Adaptive geometry: the 1-row corpus count broadcasts onto
+        # the signature stream and the occupancy-ladder CASE picks
+        # the bit mask — n_planes=6 bucket semantics at the small-n
+        # floor, up to p_max bits at scale. The count branch prunes
+        # to a column-less parquet count; vectors still cross no
+        # hash exchange.
+        cnt = F.broadcast(ids.groupBy().agg(F.count(F.lit(1)).alias("__n")))
+        mask = occupancy_mask_col(
+            F.col("__n"), base_buckets=1, target_occ=target_occ,
+            r_min=n_planes, r_max=p_max,
+        )
+        sig = (
+            sig.crossJoin(cnt)
+            .withColumn("__sig", F.col("__sig").bitwiseAND(mask))
+            .drop("__n")
+        )
     # Candidate generation: groupBy bucket -> sorted id array ->
     # in-array pair expansion (the minhash_lsh_pairs pattern). The
     # equivalent self-join would run the Arrow signature pass TWICE
@@ -827,6 +912,10 @@ def semantic_dedup_pairs(
     dim: int = 64,
     nlist: int = 16,
     seed: int = 7,
+    auto_refine: bool = False,
+    target_occ: int = 32,
+    r_max: int = 10,
+    refine_seed: int = 99,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs
     found by CLUSTERING embeddings first and comparing only within a
@@ -852,21 +941,91 @@ def semantic_dedup_pairs(
     population or split hot lists (the nlist knob) before pairing.
 
     Output: list_id, id_a, id_b, cosine (pairs with cosine >=
-    threshold)."""
+    threshold).
+
+    ``auto_refine=True`` is the 100 TB form — the "cap cluster
+    population or split hot lists" knob above, made automatic and
+    value-exact. A fixed nlist can't hold Σ n_c² linear as the
+    corpus grows (the measured ×8.2 sf0.1→sf1 slope), and a bigger
+    literal-centroid ladder would blow up the oracle text. Instead
+    each coarse cluster is SUB-BUCKETED by sign-LSH bits of the
+    vector (deterministic literal planes, same trick as
+    lsh_neardup_pairs), with the bit count drawn from the shared
+    occupancy ladder so expected (cluster, sub-bucket) occupancy
+    stays ~target_occ at any n — this is the classic coarse-
+    quantizer + hash-refinement composition from IVF-family indexes.
+    The corpus count rides a broadcast 1-row frame (lazy); at the
+    small-n floor the mask is 0 bits, i.e. exactly the paper-pure
+    within-cluster pairing, so correctness-gate output is unchanged.
+    Recall inside a cluster becomes probabilistic (near-dups landing
+    on opposite sides of a refinement plane are missed) — the price
+    of linearity, identical in kind to the LSH path's recall."""
     import numpy as np
     import pandas as pd
 
     centroids = fixed_ivf_centroids(dim=dim, nlist=nlist, seed=seed)
-    assigned = ivf_assign_exact(df, centroids, id_col, vec_col, nprobe=1)
-    # cache the 12-byte/row (id, list) table: both sides of the
-    # candidate self-join read it, and without the cache Spark
-    # re-runs the Arrow assignment pass once per branch (plans have
-    # no cross-branch CSE — the ops_allocation materialize-if-reused
-    # rule applied to vectors)
-    ids = assigned.select(F.col(id_col), F.col("__list")).cache()
-    left = ids.select(F.col(id_col).alias("id_a"), "__list")
-    right = ids.select(F.col(id_col).alias("id_b"), "__list")
-    cand = left.join(right, "__list").filter(F.col("id_a") < F.col("id_b"))
+    if auto_refine:
+        spark = df.sparkSession
+        C = np.array(centroids, dtype=np.float64)
+        R = np.array(_hyperplanes(dim, r_max, refine_seed), dtype=np.float64)
+        bc = spark.sparkContext.broadcast((C, R))
+
+        def assign_and_sig(batches):
+            Cm, Rm = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                M = np.array(list(pdf[vec_col]), dtype=np.float64)
+                sims = np.zeros((len(pdf), Cm.shape[0]), dtype=np.float64)
+                for i in range(Cm.shape[1]):  # fold order = oracle list_sum
+                    sims += M[:, i : i + 1] * Cm[None, :, i]
+                lists = np.argsort(-sims, axis=1, kind="stable")[:, 0]
+                sigv = np.zeros(len(pdf), dtype=np.int64)
+                for b in range(Rm.shape[0]):
+                    acc = np.zeros(len(pdf), dtype=np.float64)
+                    for i in range(Rm.shape[1]):  # fold order = oracle
+                        acc += M[:, i] * Rm[b, i]
+                    sigv |= (acc >= 0).astype(np.int64) << b
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy(),
+                        "__list": lists.astype("int32"),
+                        "__rsig": sigv,
+                    }
+                )
+
+        keyed = df.select(id_col, vec_col).mapInPandas(
+            assign_and_sig, schema=f"{id_col} long, __list int, __rsig long"
+        )
+        ids = keyed.cache()
+        cnt = F.broadcast(ids.groupBy().agg(F.count(F.lit(1)).alias("__n")))
+        mask = occupancy_mask_col(
+            F.col("__n"), base_buckets=nlist, target_occ=target_occ,
+            r_min=0, r_max=r_max,
+        )
+        ids = (
+            ids.crossJoin(cnt)
+            .withColumn("__rk", F.col("__rsig").bitwiseAND(mask))
+            .drop("__n", "__rsig")
+        )
+        left = ids.select(F.col(id_col).alias("id_a"), "__list", "__rk")
+        right = ids.select(F.col(id_col).alias("id_b"), "__list", "__rk")
+        cand = (
+            left.join(right, ["__list", "__rk"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .drop("__rk")
+        )
+    else:
+        assigned = ivf_assign_exact(df, centroids, id_col, vec_col, nprobe=1)
+        # cache the 12-byte/row (id, list) table: both sides of the
+        # candidate self-join read it, and without the cache Spark
+        # re-runs the Arrow assignment pass once per branch (plans have
+        # no cross-branch CSE — the ops_allocation materialize-if-reused
+        # rule applied to vectors)
+        ids = assigned.select(F.col(id_col), F.col("__list")).cache()
+        left = ids.select(F.col(id_col).alias("id_a"), "__list")
+        right = ids.select(F.col(id_col).alias("id_b"), "__list")
+        cand = left.join(right, "__list").filter(F.col("id_a") < F.col("id_b"))
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     withv = cand.join(va, "id_a").join(vb, "id_b")
@@ -905,21 +1064,68 @@ def semantic_dedup_oracle_sql(
     dim: int = 64,
     nlist: int = 16,
     seed: int = 7,
+    auto_refine: bool = False,
+    target_occ: int = 32,
+    r_max: int = 10,
+    refine_seed: int = 99,
 ) -> str:
     """DuckDB oracle for semantic_dedup_pairs: fixed centroids as
     literal lists, the same raw-dot assignment fold with lowest-list
     tie-break, within-cluster pairs, and the identical normalized
-    exact-cosine verification."""
+    exact-cosine verification. With ``auto_refine=True`` it also
+    re-derives the corpus-size-adaptive sub-bucket signature (literal
+    refinement planes + the shared integer occupancy ladder), so the
+    scale form stays value-exact."""
     cents = fixed_ivf_centroids(dim=dim, nlist=nlist, seed=seed)
     rows = []
     for lid, c in enumerate(cents):
         lit = "[" + ", ".join(repr(v) for v in c) + "]"
         rows.append(f"({lid}, {lit}::DOUBLE[])")
     values = ",\n".join(rows)
+    if auto_refine:
+        prows = []
+        for b, plane in enumerate(_hyperplanes(dim, r_max, refine_seed)):
+            lit = "[" + ", ".join(repr(v) for v in plane) + "]"
+            prows.append(f"({b}, {lit}::DOUBLE[])")
+        mask_case = occupancy_mask_sql(
+            "n", base_buckets=nlist, target_occ=target_occ,
+            r_min=0, r_max=r_max,
+        )
+        refine_ctes = f"""
+planes(bit, p) AS (VALUES
+{",".join(prows)}
+),
+nrows AS (SELECT COUNT(*) AS n FROM {table}),
+msk AS (SELECT {mask_case} AS m FROM nrows),
+rsigs AS (
+  SELECT e.{id_col},
+    CAST(SUM(CASE WHEN list_sum(list_transform(range(1, {dim + 1}),
+          i -> e.{vec_col}[i]::DOUBLE * pl.p[i])) >= 0
+        THEN CAST(1 AS BIGINT) << pl.bit ELSE 0 END) AS BIGINT)
+      & (SELECT m FROM msk) AS rk
+  FROM {table} e CROSS JOIN planes pl
+  GROUP BY e.{id_col}
+),"""
+        cand_cte = f"""
+cand AS (
+  SELECT a.lid AS list_id, a.{id_col} AS id_a, b.{id_col} AS id_b
+  FROM assign a JOIN assign b ON a.lid = b.lid AND a.{id_col} < b.{id_col}
+  JOIN rsigs ra ON ra.{id_col} = a.{id_col}
+  JOIN rsigs rb ON rb.{id_col} = b.{id_col}
+  WHERE ra.rk = rb.rk
+),"""
+    else:
+        refine_ctes = ""
+        cand_cte = f"""
+cand AS (
+  SELECT a.lid AS list_id, a.{id_col} AS id_a, b.{id_col} AS id_b
+  FROM assign a JOIN assign b
+    ON a.lid = b.lid AND a.{id_col} < b.{id_col}
+),"""
     return f"""
 WITH cents(lid, c) AS (VALUES
 {values}
-),
+),{refine_ctes}
 sims AS (
   SELECT e.{id_col}, ct.lid,
     list_sum(list_transform(range(1, {dim + 1}),
@@ -931,12 +1137,7 @@ assign AS (
     SELECT {id_col}, lid,
       ROW_NUMBER() OVER (PARTITION BY {id_col} ORDER BY sim DESC, lid) AS rn
     FROM sims) WHERE rn = 1
-),
-cand AS (
-  SELECT a.lid AS list_id, a.{id_col} AS id_a, b.{id_col} AS id_b
-  FROM assign a JOIN assign b
-    ON a.lid = b.lid AND a.{id_col} < b.{id_col}
-),
+),{cand_cte}
 v AS (
   SELECT {id_col},
     list_transform({vec_col}, x -> x::DOUBLE /
@@ -962,28 +1163,48 @@ def lsh_neardup_oracle_sql(
     n_planes: int = 6,
     n_tables: int = 4,
     seed: int = 42,
+    auto_planes: bool = False,
+    target_occ: int = 16,
+    p_max: int = 14,
 ) -> str:
     """DuckDB oracle for lsh_neardup_pairs: replicates the
     deterministic hyperplanes as literal lists and re-derives the
     exact same candidate buckets + exact-cosine verification, so the
     driver's hash compare sees an identical pair set (sign bits can
     only diverge if a dot lands within float-noise of 0 — Gaussian
-    planes make that measure-zero in practice)."""
+    planes make that measure-zero in practice). With
+    ``auto_planes=True`` it also re-derives the corpus-size-adaptive
+    bit mask from the same integer occupancy ladder
+    (occupancy_mask_sql), so the adaptive geometry is value-exact
+    too."""
+    sig_bits = p_max if auto_planes else n_planes
     rows = []
     for t in range(n_tables):
-        for b, plane in enumerate(_hyperplanes(dim, n_planes, seed + 1000 * t)):
+        for b, plane in enumerate(_hyperplanes(dim, sig_bits, seed + 1000 * t)):
             lit = "[" + ", ".join(repr(v) for v in plane) + "]"
             rows.append(f"({t}, {b}, {lit}::DOUBLE[])")
     values = ",\n".join(rows)
+    if auto_planes:
+        mask_case = occupancy_mask_sql(
+            "n", base_buckets=1, target_occ=target_occ,
+            r_min=n_planes, r_max=p_max,
+        )
+        mask_ctes = f"""
+nrows AS (SELECT COUNT(*) AS n FROM {table}),
+msk AS (SELECT {mask_case} AS m FROM nrows),"""
+        mask_expr = " & (SELECT m FROM msk)"
+    else:
+        mask_ctes = ""
+        mask_expr = ""
     return f"""
 WITH planes(tbl, bit, p) AS (VALUES
 {values}
-),
+),{mask_ctes}
 sigs AS (
   SELECT e.{id_col}, pl.tbl,
     CAST(SUM(CASE WHEN list_sum(list_transform(range(1, {dim + 1}),
           i -> e.{vec_col}[i]::DOUBLE * pl.p[i])) >= 0
-        THEN CAST(1 AS BIGINT) << pl.bit ELSE 0 END) AS BIGINT) AS sig
+        THEN CAST(1 AS BIGINT) << pl.bit ELSE 0 END) AS BIGINT){mask_expr} AS sig
   FROM {table} e CROSS JOIN planes pl
   GROUP BY e.{id_col}, pl.tbl
 ),
