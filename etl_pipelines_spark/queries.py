@@ -2849,6 +2849,60 @@ def txt_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "txt_collocations",
+    oracle="""
+WITH tok AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+uni AS (
+  SELECT w, COUNT(*) AS n_w FROM (SELECT unnest(t) AS w FROM tok)
+  GROUP BY w
+),
+tot AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n_tokens FROM uni),
+big AS (
+  SELECT bigram, COUNT(*) AS n_xy FROM (
+    SELECT unnest(list_transform(range(1, len(t)),
+      i -> t[i] || ' ' || t[i + 1])) AS bigram
+    FROM tok)
+  GROUP BY bigram HAVING COUNT(*) >= 3
+),
+scored AS (
+  SELECT b.bigram, b.n_xy, u1.n_w AS n_w1, u2.n_w AS n_w2,
+    CAST((tot.n_tokens * b.n_xy * 10000) // (u1.n_w * u2.n_w)
+      AS BIGINT) AS lift_bp
+  FROM big b
+  JOIN uni u1 ON u1.w = string_split(b.bigram, ' ')[1]
+  JOIN uni u2 ON u2.w = string_split(b.bigram, ' ')[2]
+  CROSS JOIN tot
+),
+head AS (
+  SELECT * FROM scored ORDER BY lift_bp DESC, bigram LIMIT 30
+)
+SELECT bigram, n_xy, n_w1, n_w2, lift_bp,
+  CAST(ROW_NUMBER() OVER (ORDER BY lift_bp DESC, bigram) AS INT) AS rank
+FROM head
+ORDER BY rank
+""",
+)
+def txt_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (textops/analysis.collocations_topk):
+    top-30 adjacent bigrams by LIFT = N·c(xy)/(c(x)·c(y)) — the PMI
+    ranking (PMI = log lift, monotone) kept log-free so the score is
+    pure BIGINT arithmetic (lift basis points via integer div), zero
+    float tolerance across engines — the txt_tfidf_topterms trick
+    applied to pointwise mutual information. Bigrams are a JVM array
+    transform; counts map-side combine; the count-floored bigram
+    frame joins the vocabulary twice (AQE broadcasts the small
+    vocab); top-k is TakeOrderedAndProject + rank over the 30-row
+    head — no single-reducer sort (the vocab_topk discipline)."""
+    from .textops import collocations_topk
+
+    d = load(spark, sf_dir, "documents")
+    return collocations_topk(d, k=30, min_count=3).orderBy("rank")
+
+
+@q(
     "txt_pack_plan",
     oracle="""
 WITH t AS (
@@ -6519,18 +6573,27 @@ _DRIVER_WINDOW = [
     "mm_png_decode",
     "txt_tfidf_topterms",
     "txt_pack_plan",
+    # new this round: integer-exact PMI collocation mining
+    # (a_dedup_then_agg ceded the slot: r1+r2-green, its idiom also
+    # driver-proven via fin_collection_curves)
+    "txt_collocations",
     # re-proof rows: rewired onto the two-phase global-rank operator
     "w_percent_rank_spend",
     "dm_rfm_segmentation",
+    # re-proof rows: rewired onto corpus-size-adaptive bucket
+    # geometry (occupancy ladder) — need hash re-proof vs their
+    # ladder-aware oracles (a_listagg and w_rank_top_orders ceded
+    # the slots: both r1-green, and their idioms stay windowed via
+    # a_listagg_ordered / w_dense_rank_days+w_rownum_latest_event)
+    "dd_embedding_neardup",
+    "dd_semantic_dedup",
     # cross-round anchor (flagship bench query)
     "master_customer",
     # r1-aged rows: aggregates
     "a_bool_or",
     "a_count_distinct",
-    "a_dedup_then_agg",
     "a_greatest_least",
     "a_having_segments",
-    "a_listagg",
     "a_listagg_ordered",
     "a_median_percentiles",
     "a_pivot_status",
@@ -6574,7 +6637,6 @@ _DRIVER_WINDOW = [
     "w_lag_lead_gap",
     "w_median_window",
     "w_nth_value",
-    "w_rank_top_orders",
     "w_rolling_7d",
     "w_rownum_latest_event",
     "w_running_balance",

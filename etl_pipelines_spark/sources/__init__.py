@@ -8,6 +8,7 @@ engineering is the catalog (name -> location) and the four refresh
 patterns every model ends with.
 """
 
+from .binaryfile import media_catalog, read_binary_files
 from .catalog import Catalog
 from .writers import (full_refresh, upsert, snapshot, append, compact,
                       backup_table, restore_missing_snapshots)
@@ -21,4 +22,6 @@ __all__ = [
     "append",
     "compact",
     "compact_json_hour_partition",
+    "media_catalog",
+    "read_binary_files",
 ]

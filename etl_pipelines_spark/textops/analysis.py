@@ -412,3 +412,73 @@ def pack_plan(
         ).alias("seq_end"),
         (F.col("tok_offset") % seq_tokens).alias("offset_in_seq"),
     )
+
+
+def collocations_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 30,
+    min_count: int = 3,
+) -> DataFrame:
+    """Corpus-level collocation mining: top-k adjacent bigrams by
+    LIFT, lift(x,y) = N * c(xy) / (c(x) * c(y)) — the same ranking
+    as pointwise mutual information (PMI = log lift, a monotone
+    transform), kept LOG-FREE so the score is integer-exact across
+    engines: lift_bp = (N * c_xy * 10000) div (c_x * c_y), pure
+    BIGINT arithmetic (the txt_tfidf_topterms trick applied to PMI).
+
+    Plan shape: bigrams are a JVM array transform over the token
+    array (no Python, text explodes only as single tokens / 2-token
+    strings); unigram and bigram counts are map-side-combined hash
+    aggs; the count-floored bigram table joins the (much smaller)
+    vocabulary twice — AQE broadcasts when the vocab fits; top-k is
+    orderBy().limit() (TakeOrderedAndProject, per-task heaps) and
+    ranking windows only the k-row head — the vocab_topk discipline,
+    no single-reducer sort anywhere.
+
+    At 100 TB the BIGINT product N*c_xy*10000 needs headroom: with
+    N ~ 1e12 tokens move the score to DECIMAL(38,0) (same integer
+    semantics); the min_count floor already keeps the joined frame
+    vocabulary-sized."""
+    from pyspark.sql import Window
+
+    toks = tokenize(F.col(text_col))
+    t = df.select(toks.alias("__t"))
+    bigrams = F.transform(
+        F.slice(
+            F.col("__t"), 1, F.greatest(F.size("__t") - 1, F.lit(0))
+        ),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(F.col("__t"), i + 2)),
+    )
+    uni = (
+        t.select(F.explode("__t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    big = (
+        t.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .filter(F.col("n_xy") >= min_count)
+    )
+    tot = uni.agg(F.sum("n_w").alias("__n_tokens"))
+    parts = F.split("bigram", " ")
+    scored = (
+        big.withColumn("w1", F.element_at(parts, 1))
+        .withColumn("w2", F.element_at(parts, 2))
+        .join(uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bigram",
+            "n_xy",
+            "n_w1",
+            "n_w2",
+            F.expr("(__n_tokens * n_xy * 10000) div (n_w1 * n_w2)").alias(
+                "lift_bp"
+            ),
+        )
+    )
+    head = scored.orderBy(F.col("lift_bp").desc(), "bigram").limit(k)
+    w = Window.orderBy(F.col("lift_bp").desc(), "bigram")
+    return head.withColumn("rank", F.row_number().over(w).cast("int"))
