@@ -71,6 +71,12 @@ HEADLINE = [
     "txt_tfidf_topterms",
     "txt_pack_plan",
     "mm_png_decode",
+    # round 4 second wave: integer-exact PMI collocations (pure JVM),
+    # the near-dup survivor frame (full dedup pipeline output), and
+    # real GIF decode (Arrow tail: pure-python LZW).
+    "txt_collocations",
+    "dd_neardup_survivors",
+    "mm_gif_decode",
 ]
 
 

@@ -17,6 +17,7 @@ from .binary import (
     audio_segment_plan,
     decode_audio,
     decode_image,
+    decode_gif_image,
     decode_png_image,
     decode_ppm_image,
     decode_wav_audio,
@@ -26,6 +27,7 @@ from .binary import (
     image_patch_plan,
     resize_image,
     resize_ppm_image,
+    synth_gif_payloads,
     synth_png_payloads,
     synth_ppm_payload,
     synth_wav_payload,
@@ -38,6 +40,7 @@ __all__ = [
     "audio_segment_plan",
     "decode_audio",
     "decode_image",
+    "decode_gif_image",
     "decode_png_image",
     "decode_ppm_image",
     "decode_wav_audio",
@@ -47,6 +50,7 @@ __all__ = [
     "image_patch_plan",
     "resize_image",
     "resize_ppm_image",
+    "synth_gif_payloads",
     "synth_png_payloads",
     "synth_ppm_payload",
     "synth_wav_payload",

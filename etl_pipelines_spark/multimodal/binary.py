@@ -717,3 +717,249 @@ def decode_png_image(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.select("media_id", "payload").mapInPandas(_decode, schema=out_schema)
+
+
+def _gif_codec():
+    """Factory for (encode, decode) GIF — the third REAL codec next
+    to PPM/WAV/PNG, again zero imaging libraries: GIF's only
+    compression is LZW, implementable exactly from the spec (GIF89a,
+    variable 3..12-bit codes, little-endian bit packing, CLEAR/END
+    control codes). Nested like _png_codec so worker closures pickle
+    the functions by VALUE.
+
+    encode(arr) -> bytes takes an (h, w, 3) uint8 array with <= 256
+    distinct colors and writes a valid single-frame GIF89a using the
+    classic "no-compression" LZW stream: literal index codes at fixed
+    width with a CLEAR emitted before the decoder's table would force
+    a width change — decodable by ANY conformant decoder. decode(buf)
+    -> (h, w, 3) uint8 decodes the FIRST frame of any non-interlaced
+    GIF (real variable-width LZW table growth, global or local
+    palette, extension blocks skipped); interlace raises
+    NotImplementedError (the row-reorder pass, not the codec, is the
+    missing piece)."""
+    import struct
+
+    import numpy as np
+
+    def _lzw_decode(data: bytes, mcs: int, n_pixels: int) -> "np.ndarray":
+        clear = 1 << mcs
+        end = clear + 1
+        out = np.empty(n_pixels, dtype=np.uint8)
+        n_out = 0
+        table: "list[bytes]" = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = mcs + 1
+        prev = b""
+        acc = 0
+        nbits = 0
+        pos = 0
+        while n_out < n_pixels:
+            while nbits < width:
+                if pos >= len(data):
+                    raise ValueError("truncated LZW stream")
+                acc |= data[pos] << nbits
+                nbits += 8
+                pos += 1
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                width = mcs + 1
+                prev = b""
+                continue
+            if code == end:
+                break
+            if prev == b"":
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt LZW code")
+            take = min(len(entry), n_pixels - n_out)
+            out[n_out : n_out + take] = np.frombuffer(entry[:take], np.uint8)
+            n_out += take
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        if n_out != n_pixels:
+            raise ValueError("LZW stream ended early")
+        return out
+
+    def decode(buf: bytes) -> "np.ndarray":
+        if buf[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError("not a GIF")
+        packed = buf[10]
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            gct = np.frombuffer(buf[pos : pos + 3 * n], np.uint8).reshape(-1, 3)
+            pos += 3 * n
+        while True:
+            block = buf[pos]
+            if block == 0x3B:  # trailer before any image
+                raise ValueError("no image frame")
+            if block == 0x21:  # extension: label + sub-blocks
+                pos += 2
+                while buf[pos] != 0:
+                    pos += 1 + buf[pos]
+                pos += 1
+                continue
+            if block != 0x2C:
+                raise ValueError(f"unexpected block 0x{block:02x}")
+            w, h = struct.unpack("<HH", buf[pos + 5 : pos + 9])
+            ipacked = buf[pos + 9]
+            pos += 10
+            if ipacked & 0x40:
+                raise NotImplementedError("interlaced GIF")
+            palette = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                palette = np.frombuffer(
+                    buf[pos : pos + 3 * n], np.uint8
+                ).reshape(-1, 3)
+                pos += 3 * n
+            if palette is None:
+                raise ValueError("no color table")
+            mcs = buf[pos]
+            pos += 1
+            parts = []
+            while buf[pos] != 0:
+                ln = buf[pos]
+                parts.append(buf[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            idx = _lzw_decode(b"".join(parts), mcs, w * h)
+            return palette[idx].reshape(h, w, 3)
+
+    def encode(arr) -> bytes:
+        arr = np.asarray(arr, dtype=np.uint8)
+        h, w, c = arr.shape
+        assert c == 3
+        flat = arr.reshape(-1, 3)
+        colors, idx = np.unique(flat, axis=0, return_inverse=True)
+        n_colors = len(colors)
+        if n_colors > 256:
+            raise ValueError("GIF needs <= 256 colors")
+        depth = 1
+        while (1 << depth) < n_colors:
+            depth += 1
+        depth = max(depth, 1)
+        table_n = 1 << depth
+        mcs = max(depth, 2)
+        clear = 1 << mcs
+        end = clear + 1
+        width = mcs + 1
+        # no-compression stream: CLEAR, then literal codes; re-CLEAR
+        # before the (2^mcs - 2)th literal so the decoder's table
+        # never reaches 2^width and the width never changes
+        bits = []
+        bits.append((clear, width))
+        span = 0
+        for v in idx:
+            if span == (1 << mcs) - 2:
+                bits.append((clear, width))
+                span = 0
+            bits.append((int(v), width))
+            span += 1
+        bits.append((end, width))
+        acc = 0
+        nbits = 0
+        data = bytearray()
+        for code, cw in bits:
+            acc |= code << nbits
+            nbits += cw
+            while nbits >= 8:
+                data.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            data.append(acc & 0xFF)
+        out = bytearray(b"GIF89a")
+        out += struct.pack("<HH", w, h)
+        out += bytes([0x80 | (depth - 1), 0, 0])  # GCT flag + size
+        pal = np.zeros((table_n, 3), np.uint8)
+        pal[:n_colors] = colors
+        out += pal.tobytes()
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out += bytes([mcs])
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00\x3b"
+        return bytes(out)
+
+    return encode, decode
+
+
+def synth_gif_payloads(df: DataFrame) -> DataFrame:
+    """Arrow-batched GIF ENCODER: (media_id, width, height) -> a real
+    LZW GIF payload. Two-color vertical split (left half id-derived
+    color, right half its complement) so the palette, index mapping
+    and per-channel means are all exercised and closed-form."""
+    out_schema = "media_id long, payload binary"
+    encode, _ = _gif_codec()
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid, w, h in zip(pdf["media_id"], pdf["width"], pdf["height"]):
+                w, h = int(w), int(h)
+                c1 = np.array(
+                    [mid % 256, (mid * 5) % 256, (mid * 11) % 256], np.uint8
+                )
+                c2 = 255 - c1
+                arr = np.empty((h, w, 3), np.uint8)
+                arr[:, : w // 2] = c1
+                arr[:, w // 2 :] = c2
+                ids.append(mid)
+                payloads.append(encode(arr))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return df.select("media_id", "width", "height").mapInPandas(
+        _encode, schema=out_schema
+    )
+
+
+def decode_gif_image(df: DataFrame) -> DataFrame:
+    """REAL GIF decode (first frame): LZW with true variable-width
+    table growth, palette lookup, extension skipping. Output: dims +
+    per-channel INTEGER pixel sums — exact BIGINTs (uint8 pixels sum
+    losslessly in int64), so downstream comparisons never touch a
+    float division; derive means as sum/(w*h) when needed. Narrow
+    mapInPandas over the payload column — bytes never leave the
+    Arrow batch."""
+    out_schema = (
+        "media_id long, width int, height int, channels int, "
+        "sum_r long, sum_g long, sum_b long"
+    )
+    _, decode = _gif_codec()
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "width", "height", "channels",
+                "sum_r", "sum_g", "sum_b")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = decode(bytes(payload))
+                h, w, c = img.shape
+                sums = img.reshape(-1, c).astype(np.int64).sum(axis=0)
+                rows["media_id"].append(mid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["channels"].append(c)
+                rows["sum_r"].append(int(sums[0]))
+                rows["sum_g"].append(int(sums[1]))
+                rows["sum_b"].append(int(sums[2]))
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "payload").mapInPandas(
+        _decode, schema=out_schema
+    )

@@ -4298,6 +4298,114 @@ def dd_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dd_neardup_survivors",
+    oracle="""
+WITH RECURSIVE
+sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS shingles
+  FROM documents
+),
+w AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+cnt AS (SELECT doc_id, count(*) AS c FROM w GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM w a JOIN w b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN cnt ca ON ca.doc_id = id_a
+  JOIN cnt cb ON cb.doc_id = id_b
+  WHERE i * 1.0 / (ca.c + cb.c - i) >= 0.8
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(src, comp) AS (
+  SELECT DISTINCT src, src AS comp FROM edges
+  UNION
+  SELECT e.src, r.comp FROM edges e JOIN reach r ON r.src = e.dst
+),
+lab AS (SELECT src AS doc_id, MIN(comp) AS component_id FROM reach GROUP BY 1),
+tokc AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+      AS BIGINT) AS n_tokens
+  FROM documents
+),
+cs AS (
+  SELECT l.component_id, COUNT(*) AS nd, SUM(t.n_tokens) AS nt
+  FROM lab l JOIN tokc t USING (doc_id) GROUP BY 1
+)
+SELECT t.doc_id, t.n_tokens,
+  CAST(COALESCE(cs.nd, 1) AS BIGINT) AS n_docs_represented,
+  CAST(COALESCE(cs.nt, t.n_tokens) AS BIGINT) AS n_tokens_represented
+FROM tokc t
+LEFT JOIN lab l ON l.doc_id = t.doc_id
+LEFT JOIN cs ON cs.component_id = l.component_id
+WHERE l.doc_id IS NULL OR l.doc_id = l.component_id
+ORDER BY t.doc_id
+""",
+)
+def dd_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup dedup pipeline's OUTPUT side: one row per
+    SURVIVING document (cluster canonicals + solo docs) with the
+    doc count and token mass it now represents — the frame a
+    training-data builder actually materializes after
+    pairs → connected components, and the dedup-savings accounting
+    (Σ n_docs_represented = original corpus size) in the same pass.
+
+    Plan: the pair graph and closure reuse dd_neardup_components'
+    audited path (graph = detector output, tiny vs corpus); the
+    corpus-side work is one token-count projection, an anti-join
+    against non-canonical members (broadcast — cluster membership is
+    pair-graph-sized), and a broadcast join of per-cluster stats.
+    Text never shuffles; the corpus crosses no exchange beyond the
+    input spread."""
+    from .textops import tokenize
+
+    d = load_spread(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, n=3, num_hashes=64, bands=16, threshold=0.8, verify=True
+    )
+    comp = neardup_components(pairs).localCheckpoint(eager=False)
+    toks = d.select(
+        "doc_id", F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    cluster_stats = (
+        comp.join(toks, "doc_id")
+        .groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).alias("__nd"),
+            F.sum("n_tokens").alias("__nt"),
+        )
+    )
+    dropped = comp.filter(~F.col("is_canonical")).select("doc_id")
+    canon = comp.filter(F.col("is_canonical")).select("doc_id", "component_id")
+    return (
+        toks.join(F.broadcast(dropped), "doc_id", "left_anti")
+        .join(F.broadcast(canon), "doc_id", "left")
+        .join(F.broadcast(cluster_stats), "component_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("__nd", F.lit(1)).cast("long").alias(
+                "n_docs_represented"
+            ),
+            F.coalesce("__nt", F.col("n_tokens")).cast("long").alias(
+                "n_tokens_represented"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
     "gc_wallet_expansion",
     oracle="""
 WITH daily AS (
@@ -5487,6 +5595,57 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "mm_gif_decode",
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+    CAST(doc_id % 16 + 4 AS BIGINT) AS w,
+    CAST(doc_id % 12 + 4 AS BIGINT) AS h,
+    CAST(doc_id % 256 AS BIGINT) AS c_r,
+    CAST((doc_id * 5) % 256 AS BIGINT) AS c_g,
+    CAST((doc_id * 11) % 256 AS BIGINT) AS c_b
+  FROM documents
+)
+SELECT doc_id AS media_id,
+  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+  CAST(3 AS INT) AS channels,
+  CAST(h * ((w // 2) * c_r + (w - w // 2) * (255 - c_r)) AS BIGINT) AS sum_r,
+  CAST(h * ((w // 2) * c_g + (w - w // 2) * (255 - c_g)) AS BIGINT) AS sum_g,
+  CAST(h * ((w // 2) * c_b + (w - w // 2) * (255 - c_b)) AS BIGINT) AS sum_b
+FROM g
+ORDER BY media_id
+""",
+)
+def mm_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode with no imaging library — the fourth real
+    codec (PPM, WAV, PNG, now GIF): each doc gets a genuine GIF89a
+    (synth_gif_payloads — LZW stream, global color table, two-color
+    vertical split: left half id-derived color, right half its
+    complement) and decode_gif_image runs true variable-width LZW
+    with CLEAR/END handling and palette lookup. The split image
+    makes the per-channel PIXEL SUM a closed-form integer —
+    h·(⌊w/2⌋·c + ⌈w/2⌉·(255−c)) — so the driver verifies decoded
+    pixels through the palette + index path with zero float
+    tolerance (a wrong LZW table rebuild or palette offset corrupts
+    every sum). Exact random round-trips + a true table-growth
+    compressed stream are pytest-gated (tests/test_gif_codec.py).
+    Scale: two chained narrow mapInPandas stages; bytes never leave
+    the Arrow batch."""
+    from .multimodal import decode_gif_image, synth_gif_payloads
+
+    d = load_spread(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    media = synth_gif_payloads(
+        d.select(
+            did.alias("media_id"),
+            (F.pmod(did, 16) + 4).cast("int").alias("width"),
+            (F.pmod(did, 12) + 4).cast("int").alias("height"),
+        )
+    )
+    return decode_gif_image(media).orderBy("media_id")
+
+
+@q(
     "ops_shipment_funnel",
     oracle="""
 WITH milestones AS (
@@ -6577,6 +6736,14 @@ _DRIVER_WINDOW = [
     # (a_dedup_then_agg ceded the slot: r1+r2-green, its idiom also
     # driver-proven via fin_collection_curves)
     "txt_collocations",
+    # new this round: near-dup survivor frame + savings accounting
+    # (w_median_window ceded: r1+r2-green, the window-median idiom
+    # stays driver-proven via a_median_percentiles this window)
+    "dd_neardup_survivors",
+    # new this round: real GIF decode, LZW codec (j_cross_spine
+    # ceded: r1-green and the cross-join date-spine idiom is also
+    # r2-green via m_date_spine)
+    "mm_gif_decode",
     # re-proof rows: rewired onto the two-phase global-rank operator
     "w_percent_rank_spend",
     "dm_rfm_segmentation",
@@ -6609,7 +6776,6 @@ _DRIVER_WINDOW = [
     # p_filter_predicates; slots ceded to the two new txt queries)
     "j_anti_not_in",
     "j_asof_attribution",
-    "j_cross_spine",
     "j_dedup_right",
     "j_dod_delta",
     "j_exists_corr",
@@ -6635,7 +6801,6 @@ _DRIVER_WINDOW = [
     "w_dense_rank_days",
     "w_first_last_ignorenulls",
     "w_lag_lead_gap",
-    "w_median_window",
     "w_nth_value",
     "w_rolling_7d",
     "w_rownum_latest_event",

@@ -144,3 +144,54 @@ def test_no_python_in_training_plan(spark, standardize):
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
     assert "HashAggregate" in plan
+
+
+class TestQualityClassifierPipeline:
+    """End-to-end LLM-data use: corpus -> JVM feature extraction ->
+    DISTRIBUTED training -> in-engine scoring. The classifier learns
+    to imitate the rule-based quality score from cheap text stats —
+    the classic bootstrap for a learned quality filter (rules label,
+    model generalizes) — entirely inside Spark."""
+
+    def test_train_quality_classifier_on_documents(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from etl_pipelines_spark.queries import load
+        from etl_pipelines_spark.textops.analysis import with_quality_score
+        from etl_pipelines_spark.textops.sampling import hash_bucket
+
+        d = with_quality_score(load(spark, sf_dir, "documents"))
+        feats = d.select(
+            "doc_id",
+            F.col("n_tokens").cast("double").alias("f_ntok"),
+            F.col("avg_token_len").alias("f_wlen"),
+            F.col("punct_ratio").alias("f_punct"),
+            F.col("digit_ratio").alias("f_digit"),
+            F.col("stopword_ratio").alias("f_stop"),
+            (F.col("quality_score") >= 1.0).cast("double").alias("label"),
+            hash_bucket(F.col("doc_id")).alias("__b"),
+        ).cache()
+        train = feats.filter(F.col("__b") < 80)
+        test = feats.filter(F.col("__b") >= 80)
+        fcols = ["f_ntok", "f_wlen", "f_punct", "f_digit", "f_stop"]
+        # both classes must exist or the exercise is vacuous
+        classes = {r.label for r in train.select("label").distinct().collect()}
+        assert classes == {0.0, 1.0}
+
+        model, trace = logreg_train_distributed(
+            train, fcols, "label", lr=1.0, iters=60
+        )
+        assert trace[-1] < trace[0]
+        scored = test.withColumn("p", score_expression(model)).collect()
+        acc = sum(
+            1 for r in scored if (r.p >= 0.5) == (r.label >= 0.5)
+        ) / len(scored)
+        # the strict-quality boundary is learnable from the stats
+        # (the stopword-mass rule dominates); held-out accuracy must
+        # be near-perfect, not merely majority-class
+        assert acc >= 0.95, acc
+        train_scored = train.withColumn("p", score_expression(model)).collect()
+        train_acc = sum(
+            1 for r in train_scored if (r.p >= 0.5) == (r.label >= 0.5)
+        ) / len(train_scored)
+        assert train_acc >= 0.98, train_acc
