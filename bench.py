@@ -77,6 +77,7 @@ HEADLINE = [
     "txt_collocations",
     "dd_neardup_survivors",
     "mm_gif_decode",
+    "mm_jpeg_decode",
 ]
 
 

@@ -1,16 +1,20 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata (BASELINE.json north star).
 
-Uncompressed formats decode FOR REAL with numpy as the codec —
-P6 PPM images (decode_ppm_image, resize_ppm_image with true
-nearest-neighbor resampling), PCM WAV audio (decode_wav_audio), and
-PNG (decode_png_image: stdlib zlib + numpy unfiltering incl. Paeth).
-Entropy-codec formats (JPEG/MP3/MP4) stay honestly stubbed
-(NotImplementedError, clearly marked); everything Spark-side —
-schema conventions, Arrow batch shapes, mapInPandas plumbing,
-partitioning — is real and tested either way.
+Five formats decode FOR REAL with numpy as the codec — P6 PPM images
+(decode_ppm_image, resize_ppm_image with true nearest-neighbor
+resampling), PCM WAV audio (decode_wav_audio), PNG
+(decode_png_image: stdlib zlib + numpy unfiltering incl. Paeth), GIF
+(decode_gif_image: full variable-width LZW), and baseline JPEG
+(decode_jpeg_image: canonical Huffman + dequant + exact IDCT +
+chroma upsampling — jpeg.py). Only MP3/MP4 remain stubbed
+(NotImplementedError, clearly marked: polyphase/transform audio
+codecs); everything Spark-side — schema conventions, Arrow batch
+shapes, mapInPandas plumbing, partitioning — is real and tested
+either way.
 """
 
+from .jpeg import decode_jpeg_image, synth_jpeg_payloads
 from .binary import (
     MEDIA_SCHEMA,
     attach_fake_payload,
@@ -41,6 +45,7 @@ __all__ = [
     "decode_audio",
     "decode_image",
     "decode_gif_image",
+    "decode_jpeg_image",
     "decode_png_image",
     "decode_ppm_image",
     "decode_wav_audio",
@@ -51,6 +56,7 @@ __all__ = [
     "resize_image",
     "resize_ppm_image",
     "synth_gif_payloads",
+    "synth_jpeg_payloads",
     "synth_png_payloads",
     "synth_ppm_payload",
     "synth_wav_payload",

@@ -15,10 +15,14 @@ Decode policy (no codec libraries ship in this container):
 - PNG decodes FOR REAL too: stdlib zlib inflates IDAT and numpy
   reverses the scanline filters incl. Paeth (_png_codec,
   decode_png_image, synth_png_payloads) — no imaging library.
-- entropy-codec formats (JPEG/MP3/MP4) stay honestly STUBBED
-  (decode_image / decode_audio / resize_image raise
+- GIF decodes FOR REAL: full variable-width LZW with table growth
+  and mid-stream rebuild (_gif_codec, decode_gif_image).
+- baseline JPEG decodes FOR REAL as well (multimodal/jpeg.py:
+  canonical Huffman + dequant + exact IDCT + chroma upsampling).
+- only transform-audio/video codecs (MP3/MP4) stay honestly STUBBED
+  (decode_audio for compressed input / resize_image raise
   NotImplementedError); their mapInPandas signatures and schemas are
-  the production contract — swap the body for PIL/libvips/ffmpeg.
+  the production contract — swap the body for ffmpeg.
 - fake_feature_extract produces a deterministic byte-histogram
   "embedding" so feature plumbing is exercised without a model.
 """
@@ -93,10 +97,12 @@ def extract_binary_meta(df: DataFrame) -> DataFrame:
 
 
 def decode_image(df: DataFrame) -> DataFrame:
-    """STUB — image decode requires a codec library not present in
-    this container. The mapInPandas signature and output schema are
-    the real contract; swap the body for PIL/libvips in production.
-    """
+    """STUB kept for the generic any-format contract — the engine
+    now decodes PPM, PNG, GIF and baseline JPEG for real
+    (decode_ppm_image / decode_png_image / decode_gif_image /
+    jpeg.decode_jpeg_image); route known formats there (media_catalog
+    sniffs them). This generic entry point remains the swap-in spot
+    for a full PIL/libvips dispatch in production."""
     out_schema = "media_id long, height int, width int, channels int"
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
