@@ -78,6 +78,7 @@ HEADLINE = [
     "dd_neardup_survivors",
     "mm_gif_decode",
     "mm_jpeg_decode",
+    "mm_mp4_meta",
 ]
 
 

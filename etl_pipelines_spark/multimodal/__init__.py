@@ -7,14 +7,18 @@ resampling), PCM WAV audio (decode_wav_audio), PNG
 (decode_png_image: stdlib zlib + numpy unfiltering incl. Paeth), GIF
 (decode_gif_image: full variable-width LZW), and baseline JPEG
 (decode_jpeg_image: canonical Huffman + dequant + exact IDCT +
-chroma upsampling — jpeg.py). Only MP3/MP4 remain stubbed
-(NotImplementedError, clearly marked: polyphase/transform audio
-codecs); everything Spark-side — schema conventions, Arrow batch
-shapes, mapInPandas plumbing, partitioning — is real and tested
-either way.
+chroma upsampling — jpeg.py). MP4 CONTAINERS parse for real too
+(video.py: ISO-BMFF box-tree walk — duration, tracks, codec fourcc,
+dimensions; frame decode is the H.264 line we honestly stub). Only
+MP3 / video-frame decode remain stubbed (NotImplementedError,
+clearly marked: transform codecs); everything Spark-side — schema
+conventions, Arrow batch shapes, mapInPandas plumbing,
+partitioning — is real and tested either way.
 """
 
+from .audio import audio_band_energy
 from .jpeg import decode_jpeg_image, synth_jpeg_payloads
+from .video import extract_mp4_meta, parse_mp4_meta, synth_mp4_payloads
 from .binary import (
     MEDIA_SCHEMA,
     attach_fake_payload,
@@ -41,11 +45,15 @@ from .binary import (
 __all__ = [
     "MEDIA_SCHEMA",
     "attach_fake_payload",
+    "audio_band_energy",
     "audio_segment_plan",
     "decode_audio",
     "decode_image",
     "decode_gif_image",
     "decode_jpeg_image",
+    "extract_mp4_meta",
+    "parse_mp4_meta",
+    "synth_mp4_payloads",
     "decode_png_image",
     "decode_ppm_image",
     "decode_wav_audio",

@@ -299,7 +299,9 @@ def _jpeg_codec():
     def _cat(v):
         return abs(v).bit_length()
 
-    def encode(arr, restart_interval: int = 0) -> bytes:
+    def encode(
+        arr, restart_interval: int = 0, chroma_subsample: bool = False
+    ) -> bytes:
         import numpy as np
 
         arr = np.asarray(arr, dtype=np.uint8)
@@ -320,19 +322,35 @@ def _jpeg_codec():
             chans = [y, cb, cr]
         else:
             chans = [arr[..., 0].astype(np.float64)]
-        ph = -(-h // 8) * 8
-        pw = -(-w // 8) * 8
+        # per-component (h, v) sampling factors: 4:2:0 = Y at 2x2,
+        # chroma at 1x1 (2x2-mean downsampled); else everything 1x1
+        if chroma_subsample and nc == 3:
+            samps = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samps = [(1, 1)] * len(chans)
+        hmax = max(s[0] for s in samps)
+        vmax = max(s[1] for s in samps)
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
         q = 8.0
-        comp_blocks = []
-        for ch in chans:
-            p = np.pad(ch, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
-            blocks = []
-            for y0 in range(0, ph, 8):
-                for x0 in range(0, pw, 8):
-                    f = C @ p[y0 : y0 + 8, x0 : x0 + 8] @ C.T
-                    blocks.append(
-                        np.round(f / q).astype(np.int64)
-                    )
+        comp_blocks = []  # per comp: dict (brow, bcol) -> quantized block
+        for ch, (sh, sv) in zip(chans, samps):
+            fh, fv = hmax // sh, vmax // sv
+            ph_full = mcuy * 8 * vmax
+            pw_full = mcux * 8 * hmax
+            p = np.pad(ch, ((0, ph_full - h), (0, pw_full - w)), mode="edge")
+            if (fh, fv) != (1, 1):
+                p = p.reshape(
+                    ph_full // fv, fv, pw_full // fh, fh
+                ).mean(axis=(1, 3))
+            p = p - 128.0
+            nby, nbx = mcuy * sv, mcux * sh
+            blocks = {}
+            for br in range(nby):
+                for bc in range(nbx):
+                    blk = p[br * 8 : br * 8 + 8, bc * 8 : bc * 8 + 8]
+                    f = C @ blk @ C.T
+                    blocks[(br, bc)] = np.round(f / q).astype(np.int64)
             comp_blocks.append(blocks)
 
         # gather symbol alphabets (shared tables across components);
@@ -341,11 +359,8 @@ def _jpeg_codec():
         # fixed 4-bit table
         dc_syms, ac_syms = set(range(12)), set()
         for blocks in comp_blocks:
-            pred = 0
-            for b in blocks:
+            for b in blocks.values():
                 zz = np.array([b[rc] for rc in ZZ])
-                dc_syms.add(_cat(int(zz[0]) - pred))
-                pred = int(zz[0])
                 run = 0
                 for v in zz[1:]:
                     if v == 0:
@@ -395,35 +410,39 @@ def _jpeg_codec():
             return s
 
         preds = [0] * len(comp_blocks)
-        n_blocks = len(comp_blocks[0])
         n_rst = 0
-        for i in range(n_blocks):  # interleave 4:4:4 MCUs
-            if restart_interval and i and i % restart_interval == 0:
+        for m in range(mcux * mcuy):  # interleaved MCU order
+            if restart_interval and m and m % restart_interval == 0:
                 flush()
                 data.extend([0xFF, 0xD0 + (n_rst % 8)])
                 n_rst += 1
                 preds = [0] * len(comp_blocks)
-            for ci, blocks in enumerate(comp_blocks):
-                b = blocks[i]
-                zz = np.array([b[rc] for rc in ZZ])
-                diff = int(zz[0]) - preds[ci]
-                preds[ci] = int(zz[0])
-                emit(*dc_codes[_cat(diff)])
-                emit_val(diff)
-                run = 0
-                for v in zz[1:]:
-                    v = int(v)
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        emit(*ac_codes[0xF0])
-                        run -= 16
-                    emit(*ac_codes[(run << 4) | _cat(v)])
-                    emit_val(v)
-                    run = 0
-                if run:
-                    emit(*ac_codes[0x00])
+            my, mx = divmod(m, mcux)
+            for ci, (blocks, (sh, sv)) in enumerate(
+                zip(comp_blocks, samps)
+            ):
+                for by in range(sv):
+                    for bx in range(sh):
+                        b = blocks[(my * sv + by, mx * sh + bx)]
+                        zz = np.array([b[rc] for rc in ZZ])
+                        diff = int(zz[0]) - preds[ci]
+                        preds[ci] = int(zz[0])
+                        emit(*dc_codes[_cat(diff)])
+                        emit_val(diff)
+                        run = 0
+                        for v in zz[1:]:
+                            v = int(v)
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                emit(*ac_codes[0xF0])
+                                run -= 16
+                            emit(*ac_codes[(run << 4) | _cat(v)])
+                            emit_val(v)
+                            run = 0
+                        if run:
+                            emit(*ac_codes[0x00])
         flush()
 
         def seg(marker, payload):
@@ -435,8 +454,8 @@ def _jpeg_codec():
         out = bytearray(b"\xff\xd8")
         out += seg(0xDB, bytes([0x00]) + zz_q)
         sof = struct.pack(">BHHB", 8, h, w, len(chans))
-        for ci in range(len(chans)):
-            sof += bytes([ci + 1, 0x11, 0x00])
+        for ci, (sh, sv) in enumerate(samps):
+            sof += bytes([ci + 1, (sh << 4) | sv, 0x00])
         out += seg(0xC0, sof)
         out += seg(
             0xC4,

@@ -1,0 +1,197 @@
+"""MP4/ISO-BMFF container metadata — REAL box-structure parsing
+(ISO 14496-12 is a plain length-prefixed box tree; only the SAMPLE
+DATA inside needs a video codec, and a training-data pipeline's
+video tier runs on container metadata: duration, track layout,
+codec fourcc, dimensions — the columns the reference carries for its
+media URLs, extracted here from the bytes themselves).
+
+parse_mp4_meta walks the box tree (64-bit largesize supported,
+containers recursed): ftyp major brand, mvhd movie duration, per
+track tkhd dimensions (16.16 fixed point), mdhd timescale/duration,
+hdlr handler, stsd first-entry codec fourcc. synth_mp4_payload
+builds a minimal valid structure with id-derived integer fields so
+the registered query's oracle is closed-form integer arithmetic.
+Frame DECODE stays honestly out of scope (that is the entropy-codec
+line: H.264/HEVC); frame-sample PLANNING over this metadata is
+`binary.frame_sample_plan`.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _walk(buf: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        size, btype = struct.unpack(">I4s", buf[pos : pos + 8])
+        hdr = 8
+        if size == 1:
+            size = struct.unpack(">Q", buf[pos + 8 : pos + 16])[0]
+            hdr = 16
+        elif size == 0:  # to end of enclosing box
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError("corrupt box size")
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def parse_mp4_meta(buf: bytes) -> dict:
+    """Container metadata dict; raises ValueError on non-BMFF."""
+    tops = list(_walk(buf, 0, len(buf)))
+    if not tops or tops[0][0] != b"ftyp":
+        raise ValueError("not an ISO-BMFF file (no ftyp)")
+    meta = {
+        "brand": buf[tops[0][1] : tops[0][1] + 4].decode("ascii"),
+        "duration_ms": 0,
+        "tracks": [],
+    }
+
+    def visit(btype, s, e, track):
+        if btype == b"mvhd":
+            ver = buf[s]
+            if ver == 1:
+                ts, dur = struct.unpack(">IQ", buf[s + 20 : s + 32])
+            else:
+                ts, dur = struct.unpack(">II", buf[s + 12 : s + 20])
+            meta["duration_ms"] = dur * 1000 // max(ts, 1)
+        elif btype == b"tkhd":
+            ver = buf[s]
+            # v0: fullbox(4) + creation(4) + modification(4) -> id
+            # at s+12; v1 widens the two times to 8 bytes -> s+20
+            tid_off = s + (20 if ver == 1 else 12)
+            track["track_id"] = struct.unpack(
+                ">I", buf[tid_off : tid_off + 4]
+            )[0]
+            w, h = struct.unpack(">II", buf[e - 8 : e])
+            track["width"], track["height"] = w >> 16, h >> 16
+        elif btype == b"mdhd":
+            ver = buf[s]
+            if ver == 1:
+                ts, dur = struct.unpack(">IQ", buf[s + 20 : s + 32])
+            else:
+                ts, dur = struct.unpack(">II", buf[s + 12 : s + 20])
+            track["duration_ms"] = dur * 1000 // max(ts, 1)
+        elif btype == b"hdlr":
+            track["handler"] = buf[s + 8 : s + 12].decode("ascii")
+        elif btype == b"stsd":
+            n = struct.unpack(">I", buf[s + 4 : s + 8])[0]
+            if n:
+                track["codec"] = buf[s + 12 : s + 16].decode(
+                    "ascii", "replace"
+                )
+
+    def recurse(s, e, track):
+        for btype, bs, be in _walk(buf, s, e):
+            if btype == b"trak":
+                t: dict = {}
+                meta["tracks"].append(t)
+                recurse(bs, be, t)
+            elif btype in _CONTAINERS:
+                recurse(bs, be, track)
+            else:
+                visit(btype, bs, be, track if track is not None else {})
+
+    for btype, s, e in tops:
+        if btype == b"moov":
+            recurse(s, e, None)
+    return meta
+
+
+def _fullbox(version: int = 0, flags: int = 0) -> bytes:
+    return bytes([version]) + flags.to_bytes(3, "big")
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload) + 8) + btype + payload
+
+
+def synth_mp4_payload(
+    media_id: int, duration_s: int, width: int, height: int
+) -> bytes:
+    """Minimal valid ISO-BMFF: ftyp + moov(mvhd, trak(tkhd,
+    mdia(mdhd, hdlr, minf(stbl(stsd[avc1]))))) — all fields
+    id-derived integers so downstream checks are closed-form."""
+    ts = 1000
+    mvhd = _fullbox() + struct.pack(
+        ">IIII", 0, 0, ts, duration_s * ts
+    ) + b"\x00" * 80
+    tkhd = _fullbox(0, 7) + struct.pack(
+        ">IIIII", 0, 0, media_id % 1000 + 1, 0, duration_s * ts
+    ) + b"\x00" * 52 + struct.pack(">II", width << 16, height << 16)
+    mdhd = _fullbox() + struct.pack(">IIII", 0, 0, ts, duration_s * ts) \
+        + b"\x00" * 4
+    hdlr = _fullbox() + b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"\x00"
+    stsd = _fullbox() + struct.pack(">I", 1) + _box(
+        b"avc1", b"\x00" * 78
+    )
+    stbl = _box(b"stbl", _box(b"stsd", stsd))
+    minf = _box(b"minf", stbl)
+    mdia = _box(
+        b"mdia", _box(b"mdhd", mdhd) + _box(b"hdlr", hdlr) + minf
+    )
+    trak = _box(b"trak", _box(b"tkhd", tkhd) + mdia)
+    moov = _box(b"moov", _box(b"mvhd", mvhd) + trak)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    return ftyp + moov
+
+
+def synth_mp4_payloads(df: DataFrame) -> DataFrame:
+    """(media_id, duration_s, width, height) -> real ISO-BMFF bytes."""
+    out_schema = "media_id long, payload binary"
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                synth_mp4_payload(int(m), int(d), int(w), int(h))
+                for m, d, w, h in zip(
+                    pdf["media_id"], pdf["duration_s"],
+                    pdf["width"], pdf["height"],
+                )
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    return df.select(
+        "media_id", "duration_s", "width", "height"
+    ).mapInPandas(_gen, schema=out_schema)
+
+
+def extract_mp4_meta(df: DataFrame) -> DataFrame:
+    """Container metadata extraction as a narrow Arrow map: media_id,
+    brand, duration_ms, n_tracks, handler, codec, width, height —
+    integer/string columns only, exact across engines."""
+    out_schema = (
+        "media_id long, brand string, duration_ms long, n_tracks int, "
+        "handler string, codec string, width int, height int"
+    )
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "brand", "duration_ms", "n_tracks",
+                "handler", "codec", "width", "height")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                m = parse_mp4_meta(bytes(payload))
+                t = m["tracks"][0] if m["tracks"] else {}
+                rows["media_id"].append(mid)
+                rows["brand"].append(m["brand"])
+                rows["duration_ms"].append(m["duration_ms"])
+                rows["n_tracks"].append(len(m["tracks"]))
+                rows["handler"].append(t.get("handler"))
+                rows["codec"].append(t.get("codec"))
+                rows["width"].append(t.get("width", 0))
+                rows["height"].append(t.get("height", 0))
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "payload").mapInPandas(
+        _extract, schema=out_schema
+    )

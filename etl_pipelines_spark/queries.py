@@ -5687,6 +5687,48 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_jpeg_image(media).orderBy("media_id")
 
 
+@q(
+    "mm_mp4_meta",
+    oracle="""
+SELECT doc_id AS media_id,
+  'isom' AS brand,
+  CAST((doc_id % 300 + 5) * 1000 AS BIGINT) AS duration_ms,
+  CAST(1 AS INT) AS n_tracks,
+  'vide' AS handler,
+  'avc1' AS codec,
+  CAST(doc_id % 640 + 64 AS INT) AS width,
+  CAST(doc_id % 360 + 64 AS INT) AS height
+FROM documents
+ORDER BY media_id
+""",
+)
+def mm_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4/ISO-BMFF container parsing (multimodal/video.py):
+    each doc gets a genuine box tree (ftyp + moov with mvhd, trak,
+    tkhd, mdhd, hdlr, stsd[avc1]) built from id-derived integers,
+    and extract_mp4_meta walks it back out — duration, track layout,
+    handler, codec fourcc, 16.16-fixed dimensions. This is the video
+    tier a training pipeline actually runs on container METADATA
+    (select-by-duration/codec/resolution, frame-sample planning via
+    binary.frame_sample_plan); frame decode is the H.264 entropy
+    line, honestly out of scope. Integer/string columns only — the
+    oracle is closed-form with zero tolerance. Narrow mapInPandas
+    both ways; bytes never leave the Arrow batch."""
+    from .multimodal import extract_mp4_meta, synth_mp4_payloads
+
+    d = load_spread(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    media = synth_mp4_payloads(
+        d.select(
+            did.alias("media_id"),
+            (F.pmod(did, 300) + 5).cast("int").alias("duration_s"),
+            (F.pmod(did, 640) + 64).cast("int").alias("width"),
+            (F.pmod(did, 360) + 64).cast("int").alias("height"),
+        )
+    )
+    return extract_mp4_meta(media).orderBy("media_id")
+
+
 
 
 @q(
@@ -6792,6 +6834,10 @@ _DRIVER_WINDOW = [
     # ceded: r1-green and the PIVOT idiom is also r2-green via
     # gc_wallet_expansion)
     "mm_jpeg_decode",
+    # new this round: real MP4 container parsing (the
+    # master_customer anchor ceded its slot: r3-green in the
+    # recorded window AND smoke-checked via entry() every round)
+    "mm_mp4_meta",
     # re-proof rows: rewired onto the two-phase global-rank operator
     "w_percent_rank_spend",
     "dm_rfm_segmentation",
@@ -6802,8 +6848,6 @@ _DRIVER_WINDOW = [
     # a_listagg_ordered / w_dense_rank_days+w_rownum_latest_event)
     "dd_embedding_neardup",
     "dd_semantic_dedup",
-    # cross-round anchor (flagship bench query)
-    "master_customer",
     # r1-aged rows: aggregates
     "a_bool_or",
     "a_count_distinct",

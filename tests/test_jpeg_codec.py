@@ -113,3 +113,36 @@ class TestSparkPlumbing:
             want = r.width * r.height * (r.media_id % 256)
             assert r.channels == 1
             assert (r.sum_r, r.sum_g, r.sum_b) == (want, want, want)
+
+
+class TestChromaSubsampling:
+    """4:2:0 — the decoder's chroma-upsample path driven by a real
+    subsampled stream from the encoder's chroma_subsample option."""
+
+    def test_420_solid_near_exact(self):
+        encode, decode = _jpeg_codec()
+        s = np.zeros((24, 40, 3), np.uint8)
+        s[:] = [180, 40, 220]
+        out = decode(encode(s, chroma_subsample=True)).astype(int)
+        assert out.shape == s.shape
+        assert np.abs(out - s.astype(int)).max() <= 2
+
+    def test_420_tracks_444_on_smooth_image(self):
+        encode, decode = _jpeg_codec()
+        sm = np.zeros((32, 48, 3), np.uint8)
+        yy, xx = np.mgrid[0:32, 0:48]
+        sm[..., 0] = (yy * 4) % 256
+        sm[..., 1] = (xx * 3) % 256
+        sm[..., 2] = 128
+        o444 = decode(encode(sm)).astype(int)
+        o420 = decode(
+            encode(sm, chroma_subsample=True, restart_interval=4)
+        ).astype(int)
+        assert np.abs(o444 - o420).mean() < 4
+
+    def test_420_odd_dimensions(self):
+        encode, decode = _jpeg_codec()
+        rng = np.random.RandomState(9)
+        odd = rng.randint(0, 256, (19, 21, 3)).astype(np.uint8)
+        out = decode(encode(odd, chroma_subsample=True))
+        assert out.shape == odd.shape
