@@ -79,6 +79,7 @@ HEADLINE = [
     "mm_gif_decode",
     "mm_jpeg_decode",
     "mm_mp4_meta",
+    "mon_table_stats",
 ]
 
 

@@ -9,6 +9,7 @@ from .checks import (
     no_missing_dates,
     row_count,
     run_checks,
+    table_stats,
 )
 
 __all__ = [
@@ -22,4 +23,5 @@ __all__ = [
     "no_missing_dates",
     "row_count",
     "run_checks",
+    "table_stats",
 ]

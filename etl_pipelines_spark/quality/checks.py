@@ -198,3 +198,52 @@ def run_checks(
         else:
             raise ValueError(f"unknown check kind: {c.kind}")
     return results
+
+
+def table_stats(
+    df: DataFrame,
+    columns: "list[str] | None" = None,
+    approx: bool = False,
+) -> DataFrame:
+    """ANALYZE-style column profile — the reference's table-health
+    companion to the §5 monitors (Redshift ANALYZE keeps its planner
+    statistics; warehouse teams read the same numbers for drift):
+    one row per column with n_rows, n_nulls, n_distinct and
+    string-rendered min/max, computed in ONE aggregation pass.
+
+    Exactness/scale split: ``approx=False`` uses exact
+    COUNT(DISTINCT) per column — Catalyst compiles multiple
+    distincts into one Expand scan (rows × columns intermediate),
+    which is the ORACLE-comparable form and fine up to mid scale;
+    ``approx=True`` swaps in HLL approx_count_distinct (single
+    pass, fixed sketch state per column) — the 100 TB default,
+    rows-only comparable by nature. min/max casts AFTER aggregation
+    (numeric semantics, string rendering), so profile both legs of
+    a type change before relying on cross-engine hashes for float
+    columns."""
+    cols = columns or df.columns
+    aggs: "list[Column]" = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        nd = (
+            F.approx_count_distinct(c, 0.02)  # 2% rsd: planner-grade
+            if approx else F.countDistinct(c)
+        )
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
+            nd.cast("long").alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__nulls_{c}").alias("n_nulls"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+            F.col(f"__min_{c}").alias("min_value"),
+            F.col(f"__max_{c}").alias("max_value"),
+        )
+        for c in cols
+    ])
+    return one.select(F.explode(rows).alias("s")).select("s.*")

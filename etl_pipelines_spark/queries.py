@@ -6539,6 +6539,43 @@ def mon_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "day")
 
 
+_STATS_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+    "o_orderpriority",
+]
+
+
+@q(
+    "mon_table_stats",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS column_name,
+  COUNT(*) AS n_rows,
+  CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+  CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+  CAST(MIN({c}) AS VARCHAR) AS min_value,
+  CAST(MAX({c}) AS VARCHAR) AS max_value
+FROM orders"""
+        for c in _STATS_COLS
+    ) + "\nORDER BY column_name",
+)
+def mon_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style table profile (quality/checks.table_stats): one
+    row per column with n_rows / n_nulls / exact n_distinct /
+    string-rendered min-max, all from ONE aggregation pass (Catalyst
+    compiles the multi-distinct into a single Expand scan; the
+    oracle's UNION ALL per column is the semantic spelling, one scan
+    per column DuckDB-side). The approx=True HLL form is the 100 TB default —
+    fixed sketch state per column, no Expand blow-up; the exact form
+    here is the oracle-comparable witness. Columns restricted to
+    int/string/date so min/max string rendering is engine-identical
+    (float rendering diverges — profile those via the moments
+    monitors instead)."""
+    from .quality import table_stats
+
+    o = load(spark, sf_dir, "orders")
+    return table_stats(o, columns=_STATS_COLS).orderBy("column_name")
+
+
 from .operators.hll import hll_distinct, hll_distinct_oracle_sql  # noqa: E402
 
 
@@ -6838,6 +6875,11 @@ _DRIVER_WINDOW = [
     # master_customer anchor ceded its slot: r3-green in the
     # recorded window AND smoke-checked via entry() every round)
     "mm_mp4_meta",
+    # new this round: ANALYZE-style table profile (u_union_distinct
+    # ceded: r1-green; the UNION-dedup idiom remains recorded and the
+    # union family is still windowed via u_union_all_pad/u_except/
+    # u_intersect)
+    "mon_table_stats",
     # re-proof rows: rewired onto the two-phase global-rank operator
     "w_percent_rank_spend",
     "dm_rfm_segmentation",
@@ -6886,7 +6928,6 @@ _DRIVER_WINDOW = [
     "u_except",
     "u_intersect",
     "u_union_all_pad",
-    "u_union_distinct",
     # r1-aged rows: window family
     "w_agg_over_partition",
     "w_dense_rank_days",
