@@ -475,3 +475,90 @@ class TestBpeProperties:
             if prev is not None:
                 assert total <= prev, (k, total, prev)
             prev = total
+
+
+class TestCodecProperties:
+    """Pure-python codec laws (no Spark session needed): GIF LZW is
+    lossless for any <=256-color image; JPEG with flat-8 quantization
+    is exact on per-block-flat images and its error is bounded on
+    arbitrary ones."""
+
+    @given(
+        st.integers(1, 24), st.integers(1, 24),
+        st.integers(0, 2**32 - 1),
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_gif_roundtrip_identity(self, h, w, seed):
+        import numpy as np
+
+        from etl_pipelines_spark.multimodal.binary import _gif_codec
+
+        rng = np.random.RandomState(seed)
+        arr = (rng.randint(0, 6, (h, w, 3)) * 51).astype(np.uint8)
+        encode, decode = _gif_codec()
+        assert (decode(encode(arr)) == arr).all()
+
+    @given(
+        st.integers(1, 4), st.integers(1, 4),
+        st.integers(0, 2**32 - 1),
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_jpeg_blockflat_exact(self, bh, bw, seed):
+        import numpy as np
+
+        from etl_pipelines_spark.multimodal.jpeg import _jpeg_codec
+
+        rng = np.random.RandomState(seed)
+        tiles = rng.randint(0, 256, (bh, bw)).astype(np.uint8)
+        arr = np.kron(tiles, np.ones((8, 8), np.uint8))
+        encode, decode = _jpeg_codec()
+        assert (decode(encode(arr))[:, :, 0] == arr).all()
+
+    @given(
+        st.integers(1, 40), st.integers(1, 40),
+        st.integers(0, 2**32 - 1),
+    )
+    @settings(max_examples=20, deadline=None)
+    def test_jpeg_error_bounded(self, h, w, seed):
+        import numpy as np
+
+        from etl_pipelines_spark.multimodal.jpeg import _jpeg_codec
+
+        rng = np.random.RandomState(seed)
+        arr = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        encode, decode = _jpeg_codec()
+        out = decode(encode(arr))[:, :, 0].astype(int)
+        # worst-case IDCT error under flat-8 quantization: each of 64
+        # coefficients off by <=4, spread over the block
+        assert np.abs(out - arr.astype(int)).max() <= 32
+
+    @given(st.integers(1, 16), st.integers(1, 16), st.integers(0, 255))
+    @settings(max_examples=30, deadline=None)
+    def test_jpeg_solid_exact_any_size(self, h, w, v):
+        import numpy as np
+
+        from etl_pipelines_spark.multimodal.jpeg import _jpeg_codec
+
+        arr = np.full((h, w), v, np.uint8)
+        encode, decode = _jpeg_codec()
+        assert (decode(encode(arr))[:, :, 0] == arr).all()
+
+    @given(st.integers(0, 2**32 - 1))
+    @settings(max_examples=20, deadline=None)
+    def test_mp4_meta_roundtrip(self, seed):
+        import random
+
+        from etl_pipelines_spark.multimodal.video import (
+            parse_mp4_meta,
+            synth_mp4_payload,
+        )
+
+        rng = random.Random(seed)
+        mid = rng.randrange(0, 10**9)
+        dur = rng.randrange(1, 100000)
+        w, h = rng.randrange(16, 8192), rng.randrange(16, 8192)
+        m = parse_mp4_meta(synth_mp4_payload(mid, dur, w, h))
+        t = m["tracks"][0]
+        assert m["duration_ms"] == dur * 1000
+        assert (t["width"], t["height"]) == (w, h)
+        assert t["track_id"] == mid % 1000 + 1
