@@ -2320,6 +2320,33 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+from .textops import bitext_mine_forward, bitext_mine_oracle_sql  # noqa: E402
+
+
+@q("emb_bitext_mine", oracle=bitext_mine_oracle_sql())
+def emb_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining, forward-ratio variant (textops/
+    similarity.bitext_mine_forward) — the CCMatrix/LASER recipe for
+    harvesting parallel pairs from two embedding spaces, run here
+    over a parity split of the embeddings table (even ids = the
+    mining shard, odd ids = the other-language index). A query
+    accepts its nearest neighbor iff cos(top1) clears the mean of
+    the next k-1 by the 1.05 margin — the score that rejects hub
+    vectors that are near everything.
+
+    Value-exact across engines by construction: strict-fold cosines
+    → 6dp DECIMAL neighborhood sums (no float accumulation) → accept
+    decided by decimal cross-multiplication (no floats at all) →
+    margin reported as one IEEE division of exact decimals. Queries
+    broadcast; corpus side scans once; per-query top-k window."""
+    e = load_spread(spark, sf_dir, "embeddings")
+    queries = e.filter(
+        (F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 200)
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    corpus = e.filter(F.col("vec_id") % 2 == 1)
+    return bitext_mine_forward(corpus, queries, k=4).orderBy("query_id")
+
+
 from .textops import lsh_topk_oracle_sql  # noqa: E402
 
 
@@ -6880,6 +6907,10 @@ _DRIVER_WINDOW = [
     # union family is still windowed via u_union_all_pad/u_except/
     # u_intersect)
     "mon_table_stats",
+    # new this round: margin-based bitext mining (u_except ceded:
+    # r1-green; EXCEPT stays recorded and the set-op family is still
+    # windowed via u_union_all_pad/u_intersect)
+    "emb_bitext_mine",
     # re-proof rows: rewired onto the two-phase global-rank operator
     "w_percent_rank_spend",
     "dm_rfm_segmentation",
@@ -6925,7 +6956,6 @@ _DRIVER_WINDOW = [
     "q3_top_revenue_orders",
     "q5_regional_revenue",
     # r1-aged rows: set operations
-    "u_except",
     "u_intersect",
     "u_union_all_pad",
     # r1-aged rows: window family

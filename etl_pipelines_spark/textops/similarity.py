@@ -1293,3 +1293,126 @@ SELECT query_id, {id_col}, round(cos_raw, 6) AS cosine, rank
 FROM ranked WHERE rank <= {k}
 ORDER BY query_id, rank
 """
+
+
+def bitext_mine_forward(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 4,
+    margin_num: int = 105,
+    margin_den: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Margin-based bitext mining, forward-ratio variant (Artetxe &
+    Schwenk 2019; the CCMatrix/LASER recipe for mining parallel
+    pairs from two embedding spaces): a query x accepts its nearest
+    corpus neighbor y1 iff cos(x, y1) clears the MEAN of its next
+    (k-1) neighbors by a margin — the score that separates true
+    translations from hubs that are merely near everything.
+
+    Exactness engineering (what makes this hash-comparable across
+    engines where a naive float pipeline is not): per-pair cosines
+    use the strict left-to-right fold; they are then ROUNDED to 6dp
+    and cast DECIMAL(18,6), so the neighborhood sum is exact decimal
+    arithmetic with no float accumulation; the accept decision is
+    the decimal cross-multiplication c1·(k-1)·den ≥ num·Σrest —
+    zero float involvement — and the reported margin is one IEEE
+    division of two exact decimals, rounded.
+
+    Scale shape: this is the per-shard scorer — queries (one mining
+    shard) broadcast against the full other-language corpus, exactly
+    how production mining fans out shard × index; swap the brute
+    scorer for lsh_topk/ivf_topk candidates at billion-vector scale
+    (same margin tail, candidate top-k instead of exact top-k).
+
+    Output: query_id, best_id, best_cosine, margin, accepted."""
+    topk = brute_force_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+    dec = F.round("cosine", 6).cast("decimal(18,6)")
+    r1 = F.when(F.col("rank") == 1, F.col(id_col))
+    agg = topk.groupBy(query_id_col).agg(
+        F.max(r1).alias("best_id"),
+        F.max(F.when(F.col("rank") == 1, dec)).alias("__c1"),
+        F.sum(F.when(F.col("rank") >= 2, dec)).alias("__crest"),
+        F.sum(F.when(F.col("rank") >= 2, F.lit(1)).otherwise(0)).alias(
+            "__nrest"
+        ),
+    )
+    return agg.select(
+        query_id_col,
+        "best_id",
+        F.col("__c1").cast("double").alias("best_cosine"),
+        F.when(
+            F.col("__crest") != 0,
+            F.round(
+                (F.col("__c1") * F.col("__nrest")).cast("double")
+                / F.col("__crest").cast("double"),
+                6,
+            ),
+        ).alias("margin"),  # NULL when the neighborhood sum is 0
+        # (degenerate shard; the decimal accept rule still decides)
+        (
+            F.col("__c1") * F.col("__nrest") * F.lit(margin_den)
+            >= F.lit(margin_num) * F.col("__crest")
+        ).alias("accepted"),
+    )
+
+
+def bitext_mine_oracle_sql(
+    table: str = "embeddings",
+    k: int = 4,
+    margin_num: int = 105,
+    margin_den: int = 100,
+    dim: int = 64,
+    query_pred: str = "vec_id % 2 = 0 AND vec_id < 200",
+    corpus_pred: str = "vec_id % 2 = 1",
+) -> str:
+    """DuckDB oracle for bitext_mine_forward over a parity split of
+    one embeddings table: identical raw-cosine fold, identical 6dp
+    DECIMAL neighborhood arithmetic, identical decimal cross-multiply
+    accept rule."""
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding,
+    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+  FROM {table}
+),
+q AS (SELECT * FROM v WHERE {query_pred}),
+c AS (SELECT * FROM v WHERE {corpus_pred}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cid,
+    list_sum(list_transform(range(1, {dim + 1}),
+      i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+      / (q.nrm * c.nrm) AS cos_raw
+  FROM q CROSS JOIN c
+),
+ranked AS (
+  SELECT query_id, cid, cos_raw,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos_raw DESC, cid) AS rank
+  FROM scored
+),
+top AS (SELECT * FROM ranked WHERE rank <= {k}),
+agg AS (
+  SELECT query_id,
+    MAX(CASE WHEN rank = 1 THEN cid END) AS best_id,
+    MAX(CASE WHEN rank = 1
+        THEN CAST(round(cos_raw, 6) AS DECIMAL(18,6)) END) AS c1,
+    SUM(CASE WHEN rank >= 2
+        THEN CAST(round(cos_raw, 6) AS DECIMAL(18,6)) END) AS crest,
+    SUM(CASE WHEN rank >= 2 THEN 1 ELSE 0 END) AS nrest
+  FROM top GROUP BY query_id
+)
+SELECT query_id, best_id,
+  CAST(c1 AS DOUBLE) AS best_cosine,
+  CASE WHEN crest <> 0 THEN
+    round(CAST(c1 * nrest AS DOUBLE) / CAST(crest AS DOUBLE), 6)
+  END AS margin,
+  c1 * nrest * {margin_den} >= {margin_num} * crest AS accepted
+FROM agg
+ORDER BY query_id
+"""
