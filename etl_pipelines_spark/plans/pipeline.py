@@ -15,6 +15,7 @@ cluster (FAIR-friendly), which is how a 66-group nightly build keeps
 
 from __future__ import annotations
 
+import datetime as dt
 import time
 import traceback
 from concurrent.futures import ThreadPoolExecutor
@@ -79,3 +80,33 @@ class Pipeline:
             self.retries + 1,
             last_err,
         )
+
+
+def backfill(
+    pipeline: Pipeline,
+    ctx: RunContext,
+    start: "dt.date",
+    end: "dt.date",
+) -> "dict[dt.date, list[ModelResult]]":
+    """Airflow-catchup semantics over the Pipeline: run every
+    execution date in [start, end] IN ORDER, each under its own
+    RunContext (reference: the fullload DAG backfilling a snapshot
+    range after an outage).
+
+    Order matters and is honored: later dates may read tables the
+    earlier dates wrote (ctx.read). Idempotence comes from the write
+    modes themselves — snapshot models dynamic-partition-overwrite
+    their own date only, upsert models last-write-win on keys, so
+    re-running any sub-range converges to the same state (tested:
+    tests/test_backfill.py). A failed date records its results and
+    the backfill continues (trigger_rule='all_done' across dates);
+    inspect the returned map to re-run just the failed dates."""
+    import dataclasses
+
+    out: "dict[dt.date, list[ModelResult]]" = {}
+    day = start
+    while day <= end:
+        day_ctx = dataclasses.replace(ctx, run_date=day)
+        out[day] = pipeline.run(day_ctx)
+        day = day + dt.timedelta(days=1)
+    return out

@@ -2,6 +2,7 @@ from .incremental import (
     EVENTS_SCHEMA,
     deduped,
     read_events_stream,
+    run_enriched_append,
     run_incremental_upsert,
     run_streaming_daily_counts,
     run_streaming_scd2,
@@ -29,6 +30,7 @@ __all__ = [
     "encode_events_to_wire",
     "read_events_stream",
     "read_kafka_shaped_stream",
+    "run_enriched_append",
     "run_incremental_upsert",
     "run_view_purchase_attribution",
     "view_purchase_attribution",

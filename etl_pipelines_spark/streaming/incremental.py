@@ -356,3 +356,46 @@ def run_streaming_scd2(
         .start()
     )
     q.awaitTermination(timeout_sec)
+
+
+def run_enriched_append(
+    spark: SparkSession,
+    landing_dir: str,
+    dim_path: str,
+    target_path: str,
+    checkpoint_dir: str,
+    on: "list[str] | None" = None,
+    timeout_sec: int = 300,
+) -> None:
+    """Stream-static ENRICHMENT (the missing St-family member next
+    to dedup/upsert/session/window/join): events stream joined
+    against a slowly-changing dimension table, appended enriched.
+
+    The dimension is re-read from its path INSIDE foreachBatch, so a
+    dimension refresh between micro-batches is guaranteed visible to
+    the next batch — the contract a naively pre-built stream-static
+    join plan does NOT give you when the dim is a fixed file listing
+    (Spark pins the static side's files at analysis time for file
+    sources). The per-batch read costs one listing + broadcast of a
+    dim that is small by definition (it broadcasts); at 100 TB this
+    is the standard micro-batch dimension-refresh idiom.
+
+    Left join: events with no dim row still land (NULL attributes) —
+    late dimension arrivals are the normal case in CDC-fed dims."""
+    on = on or ["user_id"]
+    stream = read_events_stream(spark, landing_dir)
+
+    def enrich(batch: DataFrame, _batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        dim = batch.sparkSession.read.parquet(dim_path)
+        out = batch.join(F.broadcast(dim), on, "left")
+        out.write.mode("append").parquet(target_path)
+
+    q = (
+        stream.writeStream.foreachBatch(enrich)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)

@@ -400,3 +400,48 @@ class TestStreamingDailyCounts:
         # day 1 unchanged — the late event was dropped, not re-emitted
         assert got2[("2024-03-01", "view")] == (2, 3.0)
         assert got2[("2024-03-05", "view")] == (1, 8.0)
+
+
+class TestEnrichedStream:
+    def test_enrichment_and_dim_refresh_between_drains(
+        self, spark, events, tmp_path
+    ):
+        """Stream-static enrichment: (1) events join their dimension
+        attributes; (2) a dimension REFRESH between drains is visible
+        to the next micro-batch (the per-batch dim re-read contract);
+        (3) events with no dim row still land with NULL attributes."""
+        from etl_pipelines_spark.streaming import run_enriched_append
+
+        landing = str(tmp_path / "landing")
+        dim_path = str(tmp_path / "dim")
+        target = str(tmp_path / "enriched")
+        ckpt = str(tmp_path / "ckpt")
+
+        users = events.select("user_id").distinct()
+        # v1 dim covers only half the users
+        half = users.filter(F.col("user_id") % 2 == 0)
+        half.withColumn("segment", F.lit("v1")).write.mode(
+            "overwrite"
+        ).parquet(dim_path)
+
+        _write_landing(events.filter(F.col("event_id") % 2 == 0), landing)
+        run_enriched_append(spark, landing, dim_path, target, ckpt)
+        got1 = spark.read.parquet(target)
+        n_even_users = got1.filter(F.col("user_id") % 2 == 0).count()
+        assert got1.filter(F.col("segment") == "v1").count() == n_even_users
+        assert got1.filter(
+            (F.col("user_id") % 2 == 1) & F.col("segment").isNotNull()
+        ).count() == 0  # uncovered users land with NULL segment
+
+        # dim refresh: now everyone, tagged v2
+        users.withColumn("segment", F.lit("v2")).write.mode(
+            "overwrite"
+        ).parquet(dim_path)
+        _write_landing(events.filter(F.col("event_id") % 2 == 1), landing)
+        run_enriched_append(spark, landing, dim_path, target, ckpt)
+        got2 = spark.read.parquet(target)
+        new_rows = got2.filter(F.col("event_id") % 2 == 1)
+        assert new_rows.filter(F.col("segment") != "v2").count() == 0
+        assert new_rows.filter(F.col("segment").isNull()).count() == 0
+        # first drain's rows keep their v1-era enrichment (append-only)
+        assert got2.filter(F.col("segment") == "v1").count() == n_even_users
