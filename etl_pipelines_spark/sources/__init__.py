@@ -11,7 +11,8 @@ patterns every model ends with.
 from .binaryfile import media_catalog, read_binary_files
 from .catalog import Catalog
 from .writers import (full_refresh, upsert, snapshot, append, compact,
-                      backup_table, restore_missing_snapshots)
+                      backup_table, restore_missing_snapshots,
+                      read_snapshot_as_of)
 from .jsonl import compact_json_hour_partition
 
 __all__ = [
@@ -19,6 +20,7 @@ __all__ = [
     "full_refresh",
     "upsert",
     "snapshot",
+    "read_snapshot_as_of",
     "append",
     "compact",
     "compact_json_hour_partition",

@@ -218,3 +218,27 @@ def compact(
     df.repartition(target_files).write.mode("overwrite").parquet(tmp)
     _atomic_swap(tmp, path)
     return target_files
+
+
+def read_snapshot_as_of(
+    spark: SparkSession,
+    path: str,
+    as_of: str,
+    date_col: str = "date",
+) -> DataFrame:
+    """TIME TRAVEL over a W4 snapshot-history table: the state of the
+    entity as of ``as_of`` = the single newest snapshot partition
+    with date <= as_of (the reference reads
+    subscription_historical WHERE date = <picked day> the same way;
+    SCD2 tables answer the same question via operators.scd2.as_of).
+
+    Scale shape: the date filter is a PARTITION filter — Catalyst
+    prunes to at most the matching partitions at planning time, and
+    the max-date pick is a 1-row aggregate over partition values,
+    never a data scan of history."""
+    df = spark.read.parquet(path)
+    upto = df.filter(F.col(date_col) <= F.lit(as_of).cast("date"))
+    latest = upto.agg(F.max(date_col).alias("__d"))
+    return upto.join(
+        F.broadcast(latest), upto[date_col] == latest["__d"]
+    ).drop("__d")

@@ -562,3 +562,48 @@ class TestCodecProperties:
         assert m["duration_ms"] == dur * 1000
         assert (t["width"], t["height"]) == (w, h)
         assert t["track_id"] == mid % 1000 + 1
+
+
+class TestStarComponentsProperty:
+    """large-star/small-star contraction must agree with union-find
+    on arbitrary graphs — including the chainy graphs it exists for
+    (O(log^2 n) rounds vs propagation's O(diameter))."""
+
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 40), st.integers(0, 40)),
+            min_size=1, max_size=60,
+        )
+    )
+    @settings(
+        max_examples=12, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_matches_union_find(self, spark, edges):
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            return
+        from etl_pipelines_spark.textops.dedup import star_components
+
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r.doc_id: r.component_id for r in star_components(df).collect()
+        }
+        # reference union-find
+        parent: dict[int, int] = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        want = {x: find(x) for x in parent}
+        assert got == want

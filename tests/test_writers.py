@@ -175,3 +175,32 @@ class TestOnFailureRecovery:
 
         # idempotent: nothing left to restore
         assert restore_missing_snapshots(spark, hist_path, backup_path) == 0
+
+
+class TestSnapshotTimeTravel:
+    def test_as_of_returns_newest_covered_snapshot(self, spark, tmp_path):
+        from etl_pipelines_spark.sources.writers import (
+            read_snapshot_as_of,
+            snapshot,
+        )
+
+        path = str(tmp_path / "hist")
+        for day, vals in [
+            ("2024-01-01", [(1, "a")]),
+            ("2024-01-05", [(1, "b"), (2, "x")]),
+            ("2024-01-09", [(1, "c")]),
+        ]:
+            snapshot(
+                spark.createDataFrame(vals, ["id", "v"]), path, day
+            )
+        got = read_snapshot_as_of(spark, path, "2024-01-07")
+        rows = sorted((r.id, r.v) for r in got.collect())
+        assert rows == [(1, "b"), (2, "x")]  # the Jan-5 snapshot
+        # exact-day hit and post-history as_of
+        assert sorted(
+            (r.id, r.v)
+            for r in read_snapshot_as_of(spark, path, "2024-01-09").collect()
+        ) == [(1, "c")]
+        # partition filter must prune at the scan (no full history read)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan
