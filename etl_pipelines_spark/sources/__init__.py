@@ -13,7 +13,7 @@ from .catalog import Catalog
 from .writers import (full_refresh, upsert, snapshot, append, compact,
                       backup_table, restore_missing_snapshots,
                       read_snapshot_as_of)
-from .jsonl import compact_json_hour_partition
+from .jsonl import compact_json_hour_partition, compact_json_with_quarantine
 
 __all__ = [
     "Catalog",
@@ -24,6 +24,7 @@ __all__ = [
     "append",
     "compact",
     "compact_json_hour_partition",
+    "compact_json_with_quarantine",
     "media_catalog",
     "read_binary_files",
 ]

@@ -329,3 +329,51 @@ class TestFormatParity:
             else:
                 got_df = getattr(r, fmt)(path)
             assert sorted(map(str, got_df.collect())) == want, fmt
+
+
+class TestJsonlQuarantine:
+    def test_corrupt_lines_quarantined_good_rows_land(
+        self, spark, tmp_path
+    ):
+        import gzip
+
+        from etl_pipelines_spark.sources import compact_json_with_quarantine
+
+        jdir = tmp_path / "landing"
+        jdir.mkdir()
+        good = [
+            '{"id": 1, "name": "a"}',
+            '{"id": 2, "name": "b"}',
+            '{"id": 3, "name": "c"}',
+        ]
+        bad = ['{"id": 4, "name": ', "not json at all"]
+        (jdir / "part-0.json").write_text("\n".join(good[:2] + bad[:1]))
+        # gzip member: Spark decompresses by extension
+        with gzip.open(jdir / "part-1.json.gz", "wt") as f:
+            f.write("\n".join([good[2], bad[1]]))
+
+        n_good, n_bad = compact_json_with_quarantine(
+            spark,
+            str(jdir),
+            str(tmp_path / "out"),
+            str(tmp_path / "quarantine"),
+            schema="id bigint, name string",
+        )
+        assert (n_good, n_bad) == (3, 2)
+        landed = spark.read.parquet(str(tmp_path / "out"))
+        assert sorted(r.id for r in landed.collect()) == [1, 2, 3]
+        # quarantined originals are verbatim, replayable
+        q = {r.value for r in spark.read.text(str(tmp_path / "quarantine")).collect()}
+        assert q == set(bad)
+
+    def test_all_good_means_empty_quarantine(self, spark, tmp_path):
+        from etl_pipelines_spark.sources import compact_json_with_quarantine
+
+        jdir = tmp_path / "landing2"
+        jdir.mkdir()
+        (jdir / "a.json").write_text('{"id": 1, "name": "x"}')
+        n_good, n_bad = compact_json_with_quarantine(
+            spark, str(jdir), str(tmp_path / "o2"), str(tmp_path / "q2"),
+            schema="id bigint, name string",
+        )
+        assert (n_good, n_bad) == (1, 0)
