@@ -80,6 +80,7 @@ HEADLINE = [
     "mm_jpeg_decode",
     "mm_mp4_meta",
     "mon_table_stats",
+    "txt_quality_buckets",
 ]
 
 

@@ -6248,6 +6248,75 @@ def txt_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "txt_quality_buckets",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, t.token
+  FROM (SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents) d,
+       LATERAL (SELECT unnest(toks) AS token) t
+),
+freq AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM freq),
+lp AS (
+  SELECT token,
+    CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+         AS DECIMAL(18,6)) AS lp
+  FROM freq, tot
+),
+doc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+    CAST(SUM(lp.lp) AS DOUBLE) / COUNT(*) AS avg_logprob
+  FROM tok JOIN lp USING (token)
+  GROUP BY doc_id
+),
+r AS (
+  SELECT *, PERCENT_RANK() OVER (ORDER BY avg_logprob) AS pct FROM doc
+)
+SELECT CAST(LEAST(9, FLOOR(pct * 10)) AS INT) AS decile,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+  MIN(avg_logprob) AS min_lp,
+  MAX(avg_logprob) AS max_lp
+FROM r GROUP BY 1 ORDER BY 1
+""",
+)
+def txt_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-bucketed corpus plan — the CCNet recipe's bucketing
+    step (split the corpus into LM-quality deciles, then sample each
+    bucket differently): per-doc unigram-LM mean logprob
+    (exact-decimal token sums) → EXACT global percent-rank via the
+    two-phase distributed operator (operators/globalrank — histogram
+    → range-partitioned prefix sums; no full-frame single-reducer
+    sort) → decile rollup with doc/token budgets per bucket.
+
+    Third hash-proof of the two-phase rank rewrite (after
+    w_percent_rank_spend / dm_rfm_segmentation): the oracle uses the
+    window-form PERCENT_RANK and must agree bit-for-bit. Composes
+    three audited operators in one DAG; text never crosses a
+    shuffle (tokens + 8-byte decimals only)."""
+    from .operators.globalrank import attach_percent_rank
+    from .textops import unigram_logprob
+
+    d = load(spark, sf_dir, "documents")
+    lp = unigram_logprob(d)
+    ranked = attach_percent_rank(lp, "avg_logprob", "pct")
+    decile = F.least(F.lit(9), F.floor(F.col("pct") * 10)).cast("int")
+    return (
+        ranked.withColumn("decile", decile)
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("avg_logprob").alias("min_lp"),
+            F.max("avg_logprob").alias("max_lp"),
+        )
+        .orderBy("decile")
+    )
+
+
+@q(
     "txt_source_mix",
     oracle="""
 WITH stats AS (
@@ -6911,6 +6980,10 @@ _DRIVER_WINDOW = [
     # r1-green; EXCEPT stays recorded and the set-op family is still
     # windowed via u_union_all_pad/u_intersect)
     "emb_bitext_mine",
+    # new this round: perplexity-decile corpus buckets — 3rd
+    # hash-proof of the two-phase global rank (w_nth_value ceded:
+    # r1-green, recorded)
+    "txt_quality_buckets",
     # re-proof rows: rewired onto the two-phase global-rank operator
     "w_percent_rank_spend",
     "dm_rfm_segmentation",
@@ -6963,7 +7036,6 @@ _DRIVER_WINDOW = [
     "w_dense_rank_days",
     "w_first_last_ignorenulls",
     "w_lag_lead_gap",
-    "w_nth_value",
     "w_rolling_7d",
     "w_rownum_latest_event",
     "w_running_balance",
