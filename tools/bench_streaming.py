@@ -209,6 +209,35 @@ def main() -> None:
     el, st = drain(stateful_writer)
     record("s_stateful_running_stats", el, st)
 
+    # 7. stream-static enrichment (dim re-read per micro-batch)
+    out, ckpt = out_paths("enriched")
+    dim_path = os.path.join(work, "dim")
+    (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select("user_id").distinct()
+        .withColumn("segment", F.pmod("user_id", 5).cast("string"))
+        .write.mode("overwrite").parquet(dim_path)
+    )
+
+    def enriched_writer():
+        stream = read_events_stream(spark, landing)
+
+        def enrich(batch, _bid):
+            dim = batch.sparkSession.read.parquet(dim_path)
+            batch.join(F.broadcast(dim), "user_id", "left").write.mode(
+                "append"
+            ).parquet(out)
+
+        return (
+            stream.writeStream.foreachBatch(enrich)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    el, st = drain(enriched_writer)
+    record("s_enriched_append", el, st)
+
     shutil.rmtree(work, ignore_errors=True)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     doc = {
