@@ -81,6 +81,7 @@ HEADLINE = [
     "mm_mp4_meta",
     "mon_table_stats",
     "txt_quality_buckets",
+    "txt_weighted_sample",
 ]
 
 

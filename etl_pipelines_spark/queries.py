@@ -2653,6 +2653,47 @@ def txt_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "txt_weighted_sample",
+    oracle="""
+WITH w AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+      AS BIGINT) AS n_tokens,
+    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS u
+  FROM documents
+),
+p AS (
+  SELECT doc_id, n_tokens,
+    CAST(u AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS priority
+  FROM w WHERE n_tokens > 0
+)
+SELECT doc_id, n_tokens, round(priority, 6) AS priority
+FROM p ORDER BY priority, doc_id LIMIT 50
+""",
+)
+def txt_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-weighted document sample (textops/
+    sampling.weighted_sample_topk): bottom-k PRIORITY sampling —
+    priority = md5-hash-uniform / weight, k smallest win — so longer
+    documents are proportionally likelier while the draw stays
+    reproducible across runs, engines and partitionings (the
+    weighted member of the hash-sampling family next to with_split /
+    stratified_take / source_mix). Priorities are one IEEE division
+    of exact integers (engine-identical); top-k is
+    TakeOrderedAndProject, no global sort."""
+    from .textops import tokenize, weighted_sample_topk
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    out = weighted_sample_topk(d, "doc_id", "n_tokens", k=50)
+    return out.select(
+        "doc_id", "n_tokens", F.round("__priority", 6).alias("priority")
+    ).orderBy("priority", "doc_id")
+
+
+@q(
     "corpus_curation",
     oracle="""
 WITH corpus AS (
@@ -6984,6 +7025,10 @@ _DRIVER_WINDOW = [
     # hash-proof of the two-phase global rank (w_nth_value ceded:
     # r1-green, recorded)
     "txt_quality_buckets",
+    # new this round: deterministic weighted priority sampling
+    # (u_intersect ceded: r1-green, recorded; set-op family keeps
+    # u_union_all_pad windowed)
+    "txt_weighted_sample",
     # re-proof rows: rewired onto the two-phase global-rank operator
     "w_percent_rank_spend",
     "dm_rfm_segmentation",
@@ -7029,7 +7074,6 @@ _DRIVER_WINDOW = [
     "q3_top_revenue_orders",
     "q5_regional_revenue",
     # r1-aged rows: set operations
-    "u_intersect",
     "u_union_all_pad",
     # r1-aged rows: window family
     "w_agg_over_partition",

@@ -174,3 +174,38 @@ def stratified_take(
         .filter(F.col("__rk") <= n_per_group)
         .drop("__rk")
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic WEIGHTED sampling — bottom-k priority sampling
+    (the Rosén / priority-sample family): each row gets priority
+    u/w where u = its 32-bit md5 hash (the deterministic stand-in
+    for a uniform draw, the same hash-mod philosophy as with_split)
+    and w = its weight; the k SMALLEST priorities win, so inclusion
+    odds grow with weight while the selection stays reproducible
+    across runs, engines, partitionings and insertion order —
+    everything Bernoulli/reservoir sampling is not.
+
+    Exactness: u and w are integers; the ordering key u/w is ONE
+    IEEE division of two exact integers, identical in any engine,
+    with (key) as the total-order tie-break. Scale: priorities are
+    per-row expressions; top-k is orderBy().limit() —
+    TakeOrderedAndProject per-task heaps, no global sort exchange.
+
+    Zero/negative weights are excluded (a zero-weight row must never
+    be sampled; guarding also keeps the division total)."""
+    u = F.conv(
+        F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    pri = u.cast("double") / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__priority", pri)
+        .orderBy("__priority", key)
+        .limit(k)
+    )

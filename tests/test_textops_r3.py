@@ -646,3 +646,46 @@ class TestPackPlan:
         # last doc's offset + len == total stream tokens
         last = out.orderBy(F.desc("tok_offset")).first()
         assert last.tok_offset + last.n_tok == 3
+
+
+class TestWeightedSample:
+    def test_monotone_in_weight_and_zero_excluded(self, spark):
+        from etl_pipelines_spark.textops import weighted_sample_topk
+
+        rows = [(i, (i % 7) + 1) for i in range(200)] + [(999, 0)]
+        df = spark.createDataFrame(rows, ["doc_id", "w"])
+        picked = {
+            r.doc_id for r in weighted_sample_topk(df, "doc_id", "w", 30).collect()
+        }
+        assert 999 not in picked and len(picked) == 30
+        # doubling every weight halves every priority: the SAME set
+        # wins (scale invariance of the ratio order)
+        df2 = df.withColumn("w", F.col("w") * 2)
+        picked2 = {
+            r.doc_id for r in weighted_sample_topk(df2, "doc_id", "w", 30).collect()
+        }
+        assert picked == picked2
+        # raising ONE unpicked doc's weight enough must pull it in
+        loser = min(set(r[0] for r in rows[:-1]) - picked)
+        df3 = df.withColumn(
+            "w", F.when(F.col("doc_id") == loser, 10**9).otherwise(F.col("w"))
+        )
+        picked3 = {
+            r.doc_id for r in weighted_sample_topk(df3, "doc_id", "w", 30).collect()
+        }
+        assert loser in picked3
+
+    def test_heavier_population_overrepresented(self, spark):
+        """Statistical contract: docs with weight 10 should appear in
+        the sample far above their count share vs weight-1 docs."""
+        from etl_pipelines_spark.textops import weighted_sample_topk
+
+        rows = [(i, 10 if i < 200 else 1) for i in range(2000)]
+        df = spark.createDataFrame(rows, ["doc_id", "w"])
+        picked = [
+            r.doc_id for r in weighted_sample_topk(df, "doc_id", "w", 200).collect()
+        ]
+        heavy = sum(1 for d in picked if d < 200)
+        # heavy docs are 10% of the population but ~10x likelier:
+        # expect well above 2x their count share in the sample
+        assert heavy > 40, heavy
