@@ -6341,7 +6341,12 @@ def txt_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .textops import unigram_logprob
 
     d = load(spark, sf_dir, "documents")
-    lp = unigram_logprob(d)
+    # materialize-if-reused: attach_percent_rank consumes the scored
+    # frame TWICE (rank histogram + join side) and Spark plans have
+    # no cross-branch CSE — without the lazy checkpoint the whole
+    # tokenize→count→join LM pipeline runs twice (measured: 23
+    # exchanges → 8)
+    lp = unigram_logprob(d).localCheckpoint(eager=False)
     ranked = attach_percent_rank(lp, "avg_logprob", "pct")
     decile = F.least(F.lit(9), F.floor(F.col("pct") * 10)).cast("int")
     return (
