@@ -82,6 +82,7 @@ HEADLINE = [
     "mon_table_stats",
     "txt_quality_buckets",
     "txt_weighted_sample",
+    "txt_bigram_logprob",
 ]
 
 

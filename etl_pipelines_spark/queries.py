@@ -6289,6 +6289,59 @@ def txt_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "txt_bigram_logprob",
+    oracle="""
+WITH base AS (
+  SELECT doc_id,
+    list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+doc_bigrams AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, len(t)),
+      i -> t[i] || ' ' || t[i + 1])) AS bigram
+  FROM base
+),
+uni AS (
+  SELECT w1, COUNT(*) AS c1
+  FROM (SELECT unnest(t) AS w1 FROM base) GROUP BY w1
+),
+vocab AS (SELECT COUNT(*) AS v FROM uni),
+big AS (
+  SELECT b.bigram,
+    CAST(round(ln(CAST(b.c12 + 1 AS DOUBLE)
+                  / CAST(u.c1 + vocab.v AS DOUBLE)), 6)
+      AS DECIMAL(18,6)) AS lp
+  FROM (SELECT bigram, COUNT(*) AS c12 FROM doc_bigrams GROUP BY bigram) b
+  JOIN uni u ON u.w1 = string_split(b.bigram, ' ')[1]
+  CROSS JOIN vocab
+)
+SELECT d.doc_id,
+  COUNT(*) AS n_bigrams,
+  CAST(SUM(big.lp) AS DOUBLE) / COUNT(*) AS avg_logprob
+FROM doc_bigrams d JOIN big USING (bigram)
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+""",
+)
+def txt_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score with add-1 smoothing (textops/
+    analysis.bigram_logprob) — the conditional-probability step up
+    from txt_unigram_logprob toward CCNet's KenLM: catches documents
+    whose TOKENS are all common but whose SEQUENCE is wrong
+    (shuffled boilerplate, keyword stuffing). Probabilities are
+    ratios of exact smoothed integer counts, so both engines ln()
+    the identical double; per-bigram logs round to 6dp and ride the
+    exact DECIMAL sum (order-independent). The doc-bigram stream
+    joins the count model on the bigram key; the unigram table and
+    the 1-row vocab broadcast."""
+    from .textops import bigram_logprob
+
+    d = load(spark, sf_dir, "documents")
+    return bigram_logprob(d).orderBy("doc_id")
+
+
+@q(
     "txt_quality_buckets",
     oracle="""
 WITH tok AS (
@@ -7034,6 +7087,10 @@ _DRIVER_WINDOW = [
     # (u_intersect ceded: r1-green, recorded; set-op family keeps
     # u_union_all_pad windowed)
     "txt_weighted_sample",
+    # new this round: bigram-LM quality score (a_greatest_least
+    # ceded: r1-green, GREATEST/LEAST also r3-proven inside
+    # master_customer)
+    "txt_bigram_logprob",
     # re-proof rows: rewired onto the two-phase global-rank operator
     "w_percent_rank_spend",
     "dm_rfm_segmentation",
@@ -7047,7 +7104,6 @@ _DRIVER_WINDOW = [
     # r1-aged rows: aggregates
     "a_bool_or",
     "a_count_distinct",
-    "a_greatest_least",
     "a_having_segments",
     "a_listagg_ordered",
     "a_median_percentiles",

@@ -482,3 +482,76 @@ def collocations_topk(
     head = scored.orderBy(F.col("lift_bp").desc(), "bigram").limit(k)
     w = Window.orderBy(F.col("lift_bp").desc(), "bigram")
     return head.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def bigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean BIGRAM log-probability with add-1 smoothing
+    — the next LM up from unigram_logprob toward CCNet's 5-gram
+    KenLM: p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V). Catches what the
+    unigram filter cannot (every token common, the SEQUENCE wrong:
+    shuffled boilerplate, keyword-stuffed spam), which is exactly
+    why LM-based quality filtering moved past bag-of-words.
+
+    Cross-engine exactness: the probability is a ratio of exact
+    INTEGERS (smoothed counts), so both engines ln() the identical
+    double; per-bigram logs round to 6dp, ride the exact
+    DECIMAL(18,6) sum, and divide once at the end — the
+    unigram_logprob discipline, conditional-probability edition.
+
+    Scale: bigrams are a JVM array transform (the collocations
+    spelling; text never explodes beyond 2-token strings); counts
+    map-side combine; the doc-bigram stream joins the bigram-count
+    table on the bigram key (the one unavoidable gram shuffle — the
+    model table IS corpus-sized worst case) and the unigram table on
+    w1 (vocabulary-sized, AQE broadcasts); V and nothing else is a
+    1-row broadcast. Docs with < 2 tokens emit no row (no bigram, no
+    conditional to score)."""
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    toks = tokenize(F.col(text_col))
+    bigrams = F.transform(
+        F.slice(F.col("__t"), 1, F.greatest(F.size("__t") - 1, F.lit(0))),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(F.col("__t"), i + 2)),
+    )
+    base = df.select(F.col(id_col), toks.alias("__t"))
+    doc_bigrams = base.select(
+        id_col, F.explode(bigrams).alias("bigram")
+    )
+    uni = (
+        base.select(F.explode("__t").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("__v"))
+    big = (
+        doc_bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .withColumn("w1", F.element_at(F.split("bigram", " "), 1))
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bigram",
+            F.round(
+                F.log(
+                    (F.col("c12") + 1).cast("double")
+                    / (F.col("c1") + F.col("__v")).cast("double")
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
+    )
+    return (
+        doc_bigrams.join(big, "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.sum("lp").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_logprob"),
+        )
+    )

@@ -689,3 +689,44 @@ class TestWeightedSample:
         # heavy docs are 10% of the population but ~10x likelier:
         # expect well above 2x their count share in the sample
         assert heavy > 40, heavy
+
+
+class TestBigramLogprob:
+    def test_sequence_sensitivity(self, spark):
+        """Same bag of tokens, different order: the doc whose
+        bigrams match the corpus's dominant phrasing must outscore
+        the shuffled one — the thing unigram scoring cannot see."""
+        from etl_pipelines_spark.textops import bigram_logprob
+
+        docs = [(i, "the data pipeline runs fast") for i in range(20)]
+        docs.append((100, "the data pipeline runs fast"))
+        docs.append((101, "fast the runs pipeline data"))
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        out = {r.doc_id: r.avg_logprob for r in bigram_logprob(df).collect()}
+        assert out[100] > out[101]
+
+    def test_closed_form_tiny_corpus(self, spark):
+        from math import log
+
+        from etl_pipelines_spark.textops import bigram_logprob
+
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "a b"), (3, "a c")], ["doc_id", "text"]
+        )
+        out = {r.doc_id: r for r in bigram_logprob(df).collect()}
+        # vocab = {a, b, c} -> V=3; c(a)=3
+        # p(b|a) = (2+1)/(3+3); p(c|a) = (1+1)/(3+3)
+        lp_ab = round(log(3 / 6), 6)
+        lp_ac = round(log(2 / 6), 6)
+        assert abs(out[1].avg_logprob - lp_ab) < 1e-9
+        assert out[1].n_bigrams == 1
+        assert abs(out[3].avg_logprob - lp_ac) < 1e-9
+
+    def test_single_token_docs_emit_nothing(self, spark):
+        from etl_pipelines_spark.textops import bigram_logprob
+
+        df = spark.createDataFrame(
+            [(1, "solo"), (2, "a b")], ["doc_id", "text"]
+        )
+        ids = {r.doc_id for r in bigram_logprob(df).collect()}
+        assert ids == {2}
