@@ -1,7 +1,9 @@
 """Audio FEATURE EXTRACTION on decoded PCM — real DSP, numpy as the
 whole signal chain (the step after decode_wav_audio in an audio
 training pipeline: spectral features for filtering / dedup /
-curriculum, a mel-free cousin of the fbank front-end).
+curriculum, a mel-free cousin of the fbank front-end; SURVEY.md §2
+media tier — the reference carries media as warehouse columns, a
+training pipeline needs features computed from the bytes).
 
 audio_band_energy: per clip, rFFT over the PCM samples → energy
 split into `n_bands` equal frequency bands (fraction of total
