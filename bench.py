@@ -83,6 +83,7 @@ HEADLINE = [
     "txt_quality_buckets",
     "txt_weighted_sample",
     "txt_bigram_logprob",
+    "mon_value_quantiles",
 ]
 
 

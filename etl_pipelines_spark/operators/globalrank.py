@@ -100,3 +100,70 @@ def attach_percent_rank(
         "__pct_rank", out
     )
     return df.join(ranks, col)
+
+
+def exact_quantiles(
+    df: DataFrame,
+    col: str,
+    qs: "list[tuple[int, int]]",
+) -> DataFrame:
+    """EXACT distributed quantiles (PERCENTILE_DISC semantics: the
+    smallest value whose cumulative count reaches ⌈q·n⌉) — the
+    scalable twin of `PERCENTILE_CONT/DISC OVER ()`, which plans as
+    a SinglePartition sort of the whole frame. Built from the same
+    two-phase machinery as percent_rank_map: value histogram (one
+    shuffle, map-side combined) → range partitions → per-partition
+    prefix sums → partition offsets (the only SinglePartition
+    exchange: `shuffle.partitions` rows).
+
+    ``qs`` are RATIONALS [(num, den)] so the target rank
+    ⌈num·n/den⌉ is integer arithmetic — no float q·n boundary can
+    disagree between engines (approx_percentile trades exactness
+    for one pass; this stays exact AND distributed).
+
+    Output: (q, quantile) per requested rational, q rendered as the
+    one IEEE division num/den rounded to 6dp."""
+    order = F.col(col).asc()
+    hist = df.groupBy(col).agg(F.count(F.lit(1)).alias("__cnt"))
+    ranged = hist.repartitionByRange(order).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    within = (
+        Window.partitionBy("__pid")
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pref = ranged.withColumn("__prefix", F.sum("__cnt").over(within))
+    totals = pref.groupBy("__pid").agg(F.sum("__cnt").alias("__ptotal"))
+    woff = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = totals.select(
+        "__pid",
+        (F.sum("__ptotal").over(woff) - F.col("__ptotal")).alias("__offset"),
+        F.sum("__ptotal").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__n"),
+    )
+    cum = pref.join(F.broadcast(offsets), "__pid").select(
+        F.col(col),
+        (F.col("__offset") + F.col("__prefix")).alias("__cum"),
+        "__n",
+    )
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(qs, "num long, den long")
+    need = F.expr("(num * __n + den - 1) div den")
+    return (
+        cum.crossJoin(F.broadcast(qdf))
+        .filter(F.col("__cum") >= need)
+        .groupBy("num", "den")
+        .agg(F.min(col).alias("quantile"))
+        .select(
+            F.round(
+                F.col("num").cast("double") / F.col("den").cast("double"), 6
+            ).alias("q"),
+            "quantile",
+        )
+    )

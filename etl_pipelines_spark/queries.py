@@ -6734,6 +6734,46 @@ def mon_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "day")
 
 
+@q(
+    "mon_value_quantiles",
+    oracle="""
+WITH c AS (SELECT value AS v, COUNT(*) AS cnt FROM events GROUP BY 1),
+o AS (
+  SELECT v,
+    SUM(cnt) OVER (ORDER BY v) AS cum,
+    SUM(cnt) OVER () AS n
+  FROM c
+),
+qs(num, den) AS (VALUES (1, 2), (9, 10), (99, 100), (999, 1000))
+SELECT round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS q,
+  MIN(v) AS quantile
+FROM o CROSS JOIN qs
+WHERE cum >= (num * n + den - 1) // den
+GROUP BY num, den
+ORDER BY q
+""",
+)
+def mon_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p90/p99/p99.9 of the event value — computed
+    DISTRIBUTED (operators/globalrank.exact_quantiles: histogram →
+    range-partitioned prefix sums; the only SinglePartition exchange
+    carries `shuffle.partitions` rows), where the conventional
+    `PERCENTILE_DISC() OVER ()` spelling funnels the whole frame
+    through one reducer — the A7/A8 family's 100 TB form, the same
+    rewrite story as the two-phase PERCENT_RANK. Quantile targets
+    are RATIONALS so the rank threshold ⌈q·n⌉ is pure integer
+    arithmetic; the oracle states the identical DISC semantics
+    explicitly with window cumulative counts (engine-builtin
+    quantile functions vary in boundary convention — we define
+    ours)."""
+    from .operators.globalrank import exact_quantiles
+
+    e = load(spark, sf_dir, "events")
+    return exact_quantiles(
+        e, "value", [(1, 2), (9, 10), (99, 100), (999, 1000)]
+    ).orderBy("q")
+
+
 _STATS_COLS = [
     "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
     "o_orderpriority",
@@ -7091,6 +7131,10 @@ _DRIVER_WINDOW = [
     # ceded: r1-green, GREATEST/LEAST also r3-proven inside
     # master_customer)
     "txt_bigram_logprob",
+    # new this round: exact distributed quantiles — the A7/A8
+    # family's scale form (f_null_conditional ceded: r1-green;
+    # COALESCE/NULLIF idioms ride many other windowed oracles)
+    "mon_value_quantiles",
     # re-proof rows: rewired onto the two-phase global-rank operator
     "w_percent_rank_spend",
     "dm_rfm_segmentation",
@@ -7112,7 +7156,6 @@ _DRIVER_WINDOW = [
     "f_datetime_kitchen_sink",
     "f_json_extract",
     "f_math",
-    "f_null_conditional",
     "f_string_kitchen_sink",
     # r1-aged rows: join family (j_semi_in rotated back out — r1-green
     # single-idiom row, its IN-subquery shape is also exercised by

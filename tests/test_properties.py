@@ -607,3 +607,58 @@ class TestStarComponentsProperty:
                 parent[hi] = lo
         want = {x: find(x) for x in parent}
         assert got == want
+
+
+class TestExactQuantilesProperty:
+    """exact_quantiles (two-phase, distributed) must match the
+    sorted-list DISC reference — smallest value whose cumulative
+    count reaches ceil(q*n) — on arbitrary multisets."""
+
+    @given(
+        st.lists(
+            st.integers(-50, 50), min_size=1, max_size=120
+        ),
+        st.integers(0, 2**31 - 1),
+    )
+    @settings(
+        max_examples=12, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_matches_sorted_reference(self, spark, vals, seed):
+        import math
+
+        from etl_pipelines_spark.operators.globalrank import exact_quantiles
+
+        qs = [(1, 4), (1, 2), (3, 4), (99, 100)]
+        df = spark.createDataFrame([(v,) for v in vals], ["x"]).repartition(5)
+        got = {
+            round(r.q, 6): r.quantile
+            for r in exact_quantiles(df, "x", qs).collect()
+        }
+        s = sorted(vals)
+        n = len(s)
+        for num, den in qs:
+            need = -(-num * n // den)  # ceil
+            want = s[need - 1]
+            assert got[round(num / den, 6)] == want, (num, den, s)
+
+    def test_plan_has_no_full_frame_single_partition_sort(self, spark):
+        import re
+
+        from etl_pipelines_spark.operators.globalrank import exact_quantiles
+
+        df = spark.range(0, 10000).selectExpr("id % 997 AS x")
+        plan = exact_quantiles(df, "x", [(1, 2)])._jdf.queryExecution(
+        ).explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        # SinglePartition exchanges may carry only the partition-total
+        # frame (pid/count columns), never the data column x
+        for m in re.finditer(
+            r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\nArguments: "
+            r"SinglePartition",
+            plan,
+        ):
+            assert "x#" not in m.group(1), m.group(0)
