@@ -662,3 +662,54 @@ class TestExactQuantilesProperty:
             plan,
         ):
             assert "x#" not in m.group(1), m.group(0)
+
+
+class TestCodecBitstreamProperties:
+    """Randomized bitstream-shape coverage beyond the fixed-seed
+    tests: GIF decode vs the reference compressor at every legal
+    min-code-size; JPEG restart intervals drawn at random must be
+    pixel-invisible."""
+
+    @given(st.integers(2, 8), st.integers(0, 2**31 - 1))
+    @settings(max_examples=15, deadline=None)
+    def test_gif_reference_compression_any_mcs(self, mcs, seed):
+        import numpy as np
+
+        from etl_pipelines_spark.multimodal.binary import _gif_codec
+        from tests.test_gif_codec import (
+            _reference_lzw_compress,
+            _wrap_gif,
+        )
+
+        rng = np.random.RandomState(seed)
+        n_colors = 1 << mcs
+        side = 24
+        idx = rng.randint(0, n_colors, side * side).astype(np.uint8)
+        palette = rng.randint(0, 256, (n_colors, 3)).astype(np.uint8)
+        data = _reference_lzw_compress(idx, mcs=mcs)
+        gif = _wrap_gif(side, side, palette, mcs, data)
+        _, decode = _gif_codec()
+        assert (
+            decode(gif) == palette[idx].reshape(side, side, 3)
+        ).all()
+
+    @given(
+        st.integers(1, 9), st.integers(0, 2**31 - 1),
+        st.booleans(),
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_jpeg_random_restart_interval_invisible(
+        self, interval, seed, color
+    ):
+        import numpy as np
+
+        from etl_pipelines_spark.multimodal.jpeg import _jpeg_codec
+
+        rng = np.random.RandomState(seed)
+        shape = (24, 40, 3) if color else (24, 40)
+        arr = rng.randint(0, 256, shape).astype(np.uint8)
+        encode, decode = _jpeg_codec()
+        assert (
+            decode(encode(arr))
+            == decode(encode(arr, restart_interval=interval))
+        ).all()
