@@ -10,6 +10,7 @@ from .checks import (
     row_count,
     run_checks,
     table_stats,
+    value_drift_psi,
 )
 
 __all__ = [
@@ -24,4 +25,5 @@ __all__ = [
     "row_count",
     "run_checks",
     "table_stats",
+    "value_drift_psi",
 ]

@@ -247,3 +247,58 @@ def table_stats(
         for c in cols
     ])
     return one.select(F.explode(rows).alias("s")).select("s.*")
+
+
+def value_drift_psi(
+    df: DataFrame,
+    value_col: Column | str,
+    is_current: Column,
+    bucket_width: float,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Distribution-DRIFT monitor: Population Stability Index between
+    a reference window and a current window of the same column — the
+    §5 companion to volume_anomaly (volume says HOW MUCH arrived,
+    PSI says whether what arrived still LOOKS the same; the classic
+    retrain/alert trigger, PSI > 0.2 = action).
+
+    One scan: fixed-width buckets (clamped to n_buckets) with
+    conditional counts per side, add-1 smoothing over the fixed
+    bucket count, per-bucket PSI term (p−q)·ln(p/q). Smoothed
+    p and q are ratios of exact integers, so both engines ln() the
+    identical double; terms round to 6dp (the unigram-LM discipline
+    — ln lives only at the last step, on engine-identical inputs).
+    Σ psi_term over the output IS the index; per-bucket terms are
+    kept so the alert can say WHERE the mass moved."""
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.greatest(F.lit(0), F.floor(v / F.lit(bucket_width))),
+    ).cast("int")
+    cur = is_current.cast("int")
+    counts = (
+        df.select(bucket.alias("bucket"), cur.alias("__cur"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(1 - F.col("__cur")).alias("ref_n"),
+            F.sum("__cur").alias("cur_n"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("ref_n").alias("__tr"), F.sum("cur_n").alias("__tc")
+    )
+    p = (F.col("ref_n") + 1).cast("double") / (
+        F.col("__tr") + n_buckets
+    ).cast("double")
+    q = (F.col("cur_n") + 1).cast("double") / (
+        F.col("__tc") + n_buckets
+    ).cast("double")
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.col("ref_n").cast("long").alias("ref_n"),
+            F.col("cur_n").cast("long").alias("cur_n"),
+            F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+        )
+    )

@@ -6735,6 +6735,53 @@ def mon_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "mon_value_drift",
+    oracle="""
+WITH b AS (
+  SELECT LEAST(9, GREATEST(0, CAST(FLOOR(value / 50.0) AS BIGINT)))
+    AS bucket,
+    CASE WHEN day(CAST(ts AS TIMESTAMP)) > 15 THEN 1 ELSE 0 END AS cur
+  FROM events
+),
+counts AS (
+  SELECT bucket,
+    CAST(SUM(1 - cur) AS BIGINT) AS ref_n,
+    CAST(SUM(cur) AS BIGINT) AS cur_n
+  FROM b GROUP BY bucket
+),
+tot AS (SELECT SUM(ref_n) AS tr, SUM(cur_n) AS tc FROM counts)
+SELECT CAST(bucket AS INT) AS bucket, ref_n, cur_n,
+  round(
+    (CAST(ref_n + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE)
+     - CAST(cur_n + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE))
+    * ln((CAST(ref_n + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE))
+         / (CAST(cur_n + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE))),
+    6) AS psi_term
+FROM counts CROSS JOIN tot
+ORDER BY bucket
+""",
+)
+def mon_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (quality/checks.value_drift_psi):
+    Population Stability Index of the event value between the first
+    and second half of the month — the §5 member volume_anomaly
+    lacks (volume says HOW MUCH arrived; PSI says whether it still
+    LOOKS the same; PSI > 0.2 is the classic retrain/alert line).
+    Fixed 50-wide buckets clamped to 10, add-1 smoothing, per-bucket
+    (p−q)·ln(p/q): smoothed p/q are ratios of exact integers, so
+    both engines ln() the identical double (the unigram-LM ln
+    discipline); Σ psi_term is the index, per-bucket terms show
+    WHERE the mass moved. One scan, one bucket-grain exchange."""
+    from .quality import value_drift_psi
+
+    e = load(spark, sf_dir, "events")
+    return value_drift_psi(
+        e, "value", F.dayofmonth(F.col("ts").cast("timestamp")) > 15,
+        bucket_width=50.0,
+    ).orderBy("bucket")
+
+
+@q(
     "mon_value_quantiles",
     oracle="""
 WITH c AS (SELECT value AS v, COUNT(*) AS cnt FROM events GROUP BY 1),
@@ -7135,6 +7182,10 @@ _DRIVER_WINDOW = [
     # family's scale form (f_null_conditional ceded: r1-green;
     # COALESCE/NULLIF idioms ride many other windowed oracles)
     "mon_value_quantiles",
+    # new this round: PSI distribution-drift monitor (f_math ceded:
+    # r1-green; the math-function family also rides q1/sketch
+    # oracles)
+    "mon_value_drift",
     # re-proof rows: rewired onto the two-phase global-rank operator
     "w_percent_rank_spend",
     "dm_rfm_segmentation",
@@ -7155,7 +7206,6 @@ _DRIVER_WINDOW = [
     # r1-aged rows: scalar function kitchen sinks
     "f_datetime_kitchen_sink",
     "f_json_extract",
-    "f_math",
     "f_string_kitchen_sink",
     # r1-aged rows: join family (j_semi_in rotated back out — r1-green
     # single-idiom row, its IN-subquery shape is also exercised by

@@ -1,3 +1,10 @@
+"""Quality-layer operators: table profiling and drift."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
 
 
 class TestTableStats:
@@ -28,3 +35,45 @@ class TestTableStats:
         plan = table_stats(df, approx=True)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Expand" not in plan
+
+
+class TestValueDriftPsi:
+    def test_identical_windows_have_near_zero_psi(self, spark):
+        from etl_pipelines_spark.quality import value_drift_psi
+
+        rows = [(float(i % 100), i % 2 == 0) for i in range(2000)]
+        df = spark.createDataFrame(rows, ["value", "cur"])
+        out = value_drift_psi(
+            df, "value", F.col("cur"), bucket_width=10.0
+        ).collect()
+        assert abs(sum(r.psi_term for r in out)) < 1e-6
+
+    def test_shifted_distribution_flags(self, spark):
+        """Reference mass in low buckets, current mass in high
+        buckets: PSI must be large and the biggest terms must sit in
+        the buckets where the mass moved."""
+        from etl_pipelines_spark.quality import value_drift_psi
+
+        rows = [(float(i % 30), False) for i in range(1500)]
+        rows += [(float(60 + i % 30), True) for i in range(1500)]
+        df = spark.createDataFrame(rows, ["value", "cur"])
+        out = {r.bucket: r for r in value_drift_psi(
+            df, "value", F.col("cur"), bucket_width=10.0
+        ).collect()}
+        psi = sum(r.psi_term for r in out.values())
+        assert psi > 0.5  # way past the 0.2 alert line
+        # low buckets: ref-only mass; high buckets: cur-only
+        assert out[0].ref_n > 0 and out[0].cur_n == 0
+        assert out[6].cur_n > 0 and out[6].ref_n == 0
+        assert out[0].psi_term > 0 and out[6].psi_term > 0
+
+    def test_every_term_nonnegative_in_disjoint_case(self, spark):
+        """(p-q)ln(p/q) >= 0 always — same sign factors."""
+        from etl_pipelines_spark.quality import value_drift_psi
+
+        import random
+        rng = random.Random(7)
+        rows = [(rng.uniform(0, 100), rng.random() < 0.5) for _ in range(3000)]
+        df = spark.createDataFrame(rows, ["value", "cur"])
+        for r in value_drift_psi(df, "value", F.col("cur"), 10.0).collect():
+            assert r.psi_term >= 0
