@@ -813,18 +813,22 @@ def star_components(
         )
         return sym2.distinct()
 
+    def _same(a: DataFrame, b: DataFrame) -> bool:
+        return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
     edges = sym
     for _ in range(max_rounds):
-        edges = _star(edges, large=True).localCheckpoint()
-        edges = _star(edges, large=False).localCheckpoint()
-        # fixpoint: every node's neighbors are exactly its component
-        # min (edges form stars) — detected when large-star changes
-        # nothing
-        nxt = _star(edges, large=True).localCheckpoint()
-        if nxt.exceptAll(edges).isEmpty() and edges.exceptAll(nxt).isEmpty():
-            edges = nxt
+        big = _star(edges, large=True).localCheckpoint()
+        small = _star(big, large=False).localCheckpoint()
+        # fixpoint requires BOTH steps stable: large-star can be a
+        # no-op while small-star still has merges to do (a chain like
+        # 0-5-3-4-2 sits large-stable for a round — hypothesis found
+        # exactly this), so testing only one step terminates early
+        # with a split component.
+        if _same(big, edges) and _same(small, big):
+            edges = small
             break
-        edges = nxt
+        edges = small
 
     labels = (
         edges.groupBy("u")
