@@ -713,3 +713,79 @@ class TestCodecBitstreamProperties:
             decode(encode(arr))
             == decode(encode(arr, restart_interval=interval))
         ).all()
+
+
+class TestPipelineInvariants:
+    """Conservation/budget laws on the corpus-pipeline operators."""
+
+    @given(
+        st.lists(st.integers(0, 60), min_size=1, max_size=40),
+        st.integers(8, 64),
+    )
+    @settings(
+        max_examples=10, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_pack_plan_conserves_tokens(self, spark, lens, seq):
+        """Every non-empty doc's tokens land in exactly one
+        contiguous packed span: Σ n_tok == last offset + last len,
+        and chunk spans tile [0, total) with no gaps."""
+        from etl_pipelines_spark.textops.analysis import pack_plan
+
+        docs = [
+            (i, "src", " ".join(["w"] * n)) for i, n in enumerate(lens)
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "source", "text"])
+        out = sorted(
+            pack_plan(df, seq_tokens=seq).collect(),
+            key=lambda r: r.tok_offset,
+        )
+        nonzero = [n for n in lens if n > 0]
+        assert len(out) == len(nonzero)
+        total = 0
+        for r in out:
+            assert r.tok_offset == total  # gapless tiling
+            total += r.n_tok
+        assert total == sum(nonzero)
+        for r in out:
+            assert r.seq_start == r.tok_offset // seq
+            assert r.seq_end == (r.tok_offset + r.n_tok - 1) // seq
+
+    @given(st.integers(0, 2**31 - 1))
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_quarantine_conserves_lines(self, spark, seed):
+        """good + quarantined == total input lines, for any mix of
+        valid and broken JSONL."""
+        import json as _json
+        import os
+        import random
+        import shutil
+        import tempfile
+
+        from etl_pipelines_spark.sources import compact_json_with_quarantine
+
+        rng = random.Random(seed)
+        root = tempfile.mkdtemp()
+        try:
+            lines = []
+            n_bad = 0
+            for i in range(rng.randrange(1, 40)):
+                if rng.random() < 0.3:
+                    lines.append('{"broken: ' + str(i))
+                    n_bad += 1
+                else:
+                    lines.append(_json.dumps({"id": i, "name": f"n{i}"}))
+            os.makedirs(f"{root}/in")
+            with open(f"{root}/in/part.json", "w") as f:
+                f.write("\n".join(lines))
+            ng, nb = compact_json_with_quarantine(
+                spark, f"{root}/in", f"{root}/out", f"{root}/qr",
+                schema="id bigint, name string",
+            )
+            assert ng + nb == len(lines)
+            assert nb == n_bad
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
