@@ -789,3 +789,36 @@ class TestPipelineInvariants:
             assert nb == n_bad
         finally:
             shutil.rmtree(root, ignore_errors=True)
+
+
+class TestSourceMixInvariants:
+    @given(st.integers(0, 2**31 - 1), st.integers(2, 6))
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_budget_and_weight_laws(self, spark, seed, n_sources):
+        """For any corpus: per-source kept tokens never exceed
+        available tokens, keep fractions stay in [0, 10000] bp,
+        weights are a distribution (sum 1), and kept docs are a
+        subset of the source's docs."""
+        import random
+
+        from etl_pipelines_spark.textops.sampling import source_mix
+
+        rng = random.Random(seed)
+        rows = []
+        did = 0
+        for s in range(n_sources):
+            for _ in range(rng.randrange(3, 25)):
+                n = rng.randrange(1, 40)
+                rows.append((did, f"s{s}", " ".join(["w"] * n)))
+                did += 1
+        df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+        out = source_mix(df).collect()
+        assert len(out) == n_sources
+        assert abs(sum(r.weight for r in out) - 1.0) < 1e-6
+        for r in out:
+            assert 0 <= r.keep_bp <= 10000
+            assert 0 <= r.n_docs_kept <= r.n_docs
+            assert 0 <= r.n_tokens_kept <= r.n_tokens
