@@ -817,7 +817,9 @@ class TestSourceMixInvariants:
         df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
         out = source_mix(df).collect()
         assert len(out) == n_sources
-        assert abs(sum(r.weight for r in out) - 1.0) < 1e-6
+        # output weights are rounded to 6dp — the sum can be off by
+        # up to n_sources * 5e-7
+        assert abs(sum(r.weight for r in out) - 1.0) <= n_sources * 1e-6
         for r in out:
             assert 0 <= r.keep_bp <= 10000
             assert 0 <= r.n_docs_kept <= r.n_docs
