@@ -122,7 +122,11 @@ def _jpeg_codec():
             self.nbits = 0
             while self.data[self.pos] != 0xFF:
                 self.pos += 1
-            assert self.data[self.pos + 1] == 0xD0 + (n % 8), "bad restart"
+            # tolerate 0xFF fill bytes before the marker (B.1.1.2)
+            while self.data[self.pos + 1] == 0xFF:
+                self.pos += 1
+            if self.data[self.pos + 1] != 0xD0 + (n % 8):
+                raise ValueError("bad restart marker")
             self.pos += 2
 
     def _decode_huff(br, table):
@@ -147,7 +151,11 @@ def _jpeg_codec():
         frame = None
         restart_interval = 0
         while True:
-            assert buf[pos] == 0xFF, "marker expected"
+            if buf[pos] != 0xFF:
+                raise ValueError("marker expected")
+            # tolerate 0xFF fill bytes before the marker (B.1.1.2)
+            while buf[pos + 1] == 0xFF:
+                pos += 1
             marker = buf[pos + 1]
             pos += 2
             if marker == 0xD9:

@@ -268,21 +268,36 @@ def value_drift_psi(
     p and q are ratios of exact integers, so both engines ln() the
     identical double; terms round to 6dp (the unigram-LM discipline
     — ln lives only at the last step, on engine-identical inputs).
-    Σ psi_term over the output IS the index; per-bucket terms are
-    kept so the alert can say WHERE the mass moved."""
+    Σ psi_term over the output IS the index — the counts are
+    left-joined onto a generated 0..n_buckets-1 spine (a broadcast
+    of n_buckets rows), so buckets empty on BOTH sides still emit
+    their nonzero smoothed term (p=1/(tr+n) ≠ q=1/(tc+n) whenever
+    tr≠tc) instead of being silently dropped from the sum;
+    per-bucket terms are kept so the alert can say WHERE the mass
+    moved."""
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     bucket = F.least(
         F.lit(n_buckets - 1),
         F.greatest(F.lit(0), F.floor(v / F.lit(bucket_width))),
     ).cast("int")
     cur = is_current.cast("int")
-    counts = (
+    spine = (
+        df.sparkSession.range(n_buckets)
+        .select(F.col("id").cast("int").alias("bucket"))
+    )
+    counts = spine.join(
         df.select(bucket.alias("bucket"), cur.alias("__cur"))
         .groupBy("bucket")
         .agg(
             F.sum(1 - F.col("__cur")).alias("ref_n"),
             F.sum("__cur").alias("cur_n"),
-        )
+        ),
+        "bucket",
+        "left",
+    ).select(
+        "bucket",
+        F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
+        F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
     )
     totals = counts.agg(
         F.sum("ref_n").alias("__tr"), F.sum("cur_n").alias("__tc")

@@ -2666,9 +2666,17 @@ p AS (
   SELECT doc_id, n_tokens,
     CAST(u AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS priority
   FROM w WHERE n_tokens > 0
+),
+topk AS (
+  -- top-k on the UNROUNDED priority (matches weighted_sample_topk;
+  -- DuckDB resolves a select-list alias in ORDER BY, so rounding in
+  -- the same query would pick different rows when two priorities
+  -- differ only past 6dp at the k boundary)
+  SELECT doc_id, n_tokens, priority
+  FROM p ORDER BY priority, doc_id LIMIT 50
 )
 SELECT doc_id, n_tokens, round(priority, 6) AS priority
-FROM p ORDER BY priority, doc_id LIMIT 50
+FROM topk ORDER BY priority, doc_id
 """,
 )
 def txt_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6743,11 +6751,19 @@ WITH b AS (
     CASE WHEN day(CAST(ts AS TIMESTAMP)) > 15 THEN 1 ELSE 0 END AS cur
   FROM events
 ),
-counts AS (
+raw AS (
   SELECT bucket,
     CAST(SUM(1 - cur) AS BIGINT) AS ref_n,
     CAST(SUM(cur) AS BIGINT) AS cur_n
   FROM b GROUP BY bucket
+),
+counts AS (
+  -- 0..9 bucket spine: buckets empty on BOTH sides still carry
+  -- their nonzero smoothed PSI term (matches value_drift_psi)
+  SELECT CAST(s.range AS BIGINT) AS bucket,
+    COALESCE(ref_n, 0) AS ref_n,
+    COALESCE(cur_n, 0) AS cur_n
+  FROM range(10) s LEFT JOIN raw ON raw.bucket = s.range
 ),
 tot AS (SELECT SUM(ref_n) AS tr, SUM(cur_n) AS tc FROM counts)
 SELECT CAST(bucket AS INT) AS bucket, ref_n, cur_n,

@@ -817,6 +817,7 @@ def star_components(
         return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
 
     edges = sym
+    converged = False
     for _ in range(max_rounds):
         big = _star(edges, large=True).localCheckpoint()
         small = _star(big, large=False).localCheckpoint()
@@ -827,8 +828,19 @@ def star_components(
         # with a split component.
         if _same(big, edges) and _same(small, big):
             edges = small
+            converged = True
             break
         edges = small
+    if not converged:
+        # an unconverged labeling is OVER-SPLIT (components not yet
+        # merged) — returning it silently would yield wrong groups
+        # undetected; O(log² n) rounds means max_rounds=20 covers any
+        # realistic graph, so exhaustion signals a pathology worth a
+        # loud stop rather than a best-effort answer.
+        raise RuntimeError(
+            f"star_components: no fixpoint within max_rounds={max_rounds}; "
+            "labeling would be over-split — raise max_rounds"
+        )
 
     labels = (
         edges.groupBy("u")

@@ -608,6 +608,21 @@ class TestStarComponentsProperty:
         want = {x: find(x) for x in parent}
         assert got == want
 
+    def test_raises_on_max_rounds_exhaustion(self, spark):
+        """An unconverged labeling is over-split — the loop must stop
+        loudly instead of returning wrong components undetected."""
+        import pytest as _pytest
+
+        from etl_pipelines_spark.textops.dedup import star_components
+
+        # a chain needs >0 rounds to contract, so max_rounds=0 cannot
+        # reach the fixpoint check and must raise
+        df = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3)], "id_a long, id_b long"
+        )
+        with _pytest.raises(RuntimeError, match="max_rounds"):
+            star_components(df, max_rounds=0)
+
 
 class TestExactQuantilesProperty:
     """exact_quantiles (two-phase, distributed) must match the

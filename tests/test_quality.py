@@ -67,6 +67,24 @@ class TestValueDriftPsi:
         assert out[6].cur_n > 0 and out[6].ref_n == 0
         assert out[0].psi_term > 0 and out[6].psi_term > 0
 
+    def test_empty_buckets_still_emit_smoothed_terms(self, spark):
+        """A bucket with zero rows in BOTH windows still carries a
+        nonzero smoothed term whenever the window totals differ
+        (p=1/(tr+n) != q=1/(tc+n)); the output is always exactly
+        n_buckets rows so the sum over psi_term IS the index."""
+        from etl_pipelines_spark.quality import value_drift_psi
+
+        # all mass in bucket 0; 100 ref rows vs 300 cur rows
+        rows = [(1.0, False)] * 100 + [(1.0, True)] * 300
+        df = spark.createDataFrame(rows, ["value", "cur"])
+        out = {r.bucket: r for r in value_drift_psi(
+            df, "value", F.col("cur"), bucket_width=10.0
+        ).collect()}
+        assert sorted(out) == list(range(10))  # full spine
+        for b in range(1, 10):
+            assert out[b].ref_n == 0 and out[b].cur_n == 0
+            assert out[b].psi_term > 0  # 1/110 vs 1/310, p != q
+
     def test_every_term_nonnegative_in_disjoint_case(self, spark):
         """(p-q)ln(p/q) >= 0 always — same sign factors."""
         from etl_pipelines_spark.quality import value_drift_psi
