@@ -84,6 +84,9 @@ HEADLINE = [
     "txt_weighted_sample",
     "txt_bigram_logprob",
     "mon_value_quantiles",
+    # round 5: min-count-pruned bigram LM with unigram backoff — the
+    # bounded-model replacement for the fleet's worst scale slope.
+    "txt_bigram_logprob_pruned",
 ]
 
 

@@ -203,49 +203,197 @@ def mon_event_volume(ctx: RunContext) -> DataFrame:
     return volume_anomaly(ev, F.col("event_date"), ["event_type"])
 
 
-# --- assembly -------------------------------------------------------------
+# --- registry promotion ---------------------------------------------------
+
+def registry_model(name: str, query: str, **kwargs) -> Model:
+    """Promote a registry query into a nightly-pipeline Model.
+
+    The build IS the registry Spark callable run against the raw
+    source dir, so the materialized table is hash-equal to the
+    registry query by construction (single source of truth — the
+    reference's .sql file is simultaneously its model definition AND
+    a runnable query; this keeps that identity). The Model adds what
+    the registry form lacks: a schema-qualified target, a write mode
+    (W1/W2/W4), and a position in the config-ordered layer topology
+    (pipeline_config.json via dag_fullload_pipeline.py:43-80)."""
+    from ..queries import REGISTRY
+
+    spec = REGISTRY[query]
+
+    def build(ctx: RunContext) -> DataFrame:
+        return spec.spark(ctx.spark, ctx.source_dir)
+
+    return Model(name, build, **kwargs)
+
+
+def _promoted_groups() -> "list[TaskGroup]":
+    """The composite registry queries as config-ordered task groups —
+    each group ≅ one pipeline_config.json entry (a Datawarehouse-ETL
+    directory), names kept close to the reference's:
+
+      1_ods_core        → ods (allocation conformance)
+      30_segment_events → segment_events (track-events staging, W2)
+      31_segment_page_view_and_sessions → segment_sessions
+      3_master          → master (wide entities, W1)
+      5_master_historical → master_historical (daily snapshots, W4
+                          + the SCD2 compaction of the snapshots)
+      4_dwh_core / finance / luxco-SPV / grover_card / marketing
+                        → the domain marts (W1)
+      5_dwh_widgets / reporting → reporting marts (W1)
+      8_monitoring      → mon (runs LAST, reads what was built)
+    """
+    return [
+        TaskGroup(
+            "ods",
+            [
+                Model("ods.events", ods_events, write="upsert",
+                      keys=["event_id"], partition_by=["event_date"]),
+                Model("ods.orders", ods_orders),
+                # 1_ods_core/00_allocation.sql: double-QUALIFY
+                # allocation conformance
+                registry_model("ods.allocation", "ops_allocation"),
+            ],
+        ),
+        TaskGroup(
+            "segment_events",
+            [
+                # 30_segment_events/01_track_events.sql: JSON guard →
+                # parse → dedup; DELETE+INSERT upsert in the reference
+                # (05_all_events_incremental.sql:160-170) → W2 keyed
+                # by event_id, partitioned by the collector date
+                registry_model(
+                    "ods.track_events", "wh_track_events",
+                    write="upsert", keys=["event_id"],
+                    partition_by=["collector_date"],
+                ),
+            ],
+        ),
+        TaskGroup(
+            "segment_sessions",
+            [
+                # 31_segment_page_view_and_sessions, file order
+                # 06_page_views → 08_sessions → 13_sessions_union
+                registry_model("dwh.page_views", "wh_page_views"),
+                registry_model("dwh.sessions_mart", "wh_sessions_mart"),
+                registry_model(
+                    "dwh.sessions_union", "sessions_union_stitch"
+                ),
+            ],
+        ),
+        TaskGroup(
+            "master",
+            [
+                Model("master.customer", master_customer),
+                # 3_master/subscription.sql
+                registry_model(
+                    "master.subscription", "master_subscription"
+                ),
+            ],
+        ),
+        TaskGroup(
+            "master_historical",
+            [
+                Model(
+                    "master_historical.customer_historical",
+                    master_customer,
+                    write="snapshot",
+                    date_col="date",
+                ),
+                # 5_master_historical/subscription_historical.sql
+                registry_model(
+                    "master_historical.subscription_historical",
+                    "master_subscription",
+                    write="snapshot", date_col="date",
+                ),
+                # SCD2 compaction of the daily snapshots
+                registry_model(
+                    "master_historical.customer_scd2", "scd2_history"
+                ),
+            ],
+        ),
+        TaskGroup(
+            "dwh_core",
+            [
+                Model("dwh.daily_kpi", dwh_daily_kpi),
+                Model("dwh.sessions", dwh_sessions),
+                registry_model(
+                    "dwh.shipment_funnel", "ops_shipment_funnel"
+                ),
+            ],
+        ),
+        TaskGroup(
+            "dwh_finance",
+            [
+                # finance / luxco / SPV marts
+                registry_model(
+                    "dwh.collection_curves", "fin_collection_curves"
+                ),
+                registry_model(
+                    "dwh.payment_retries", "pay_retry_payments"
+                ),
+                registry_model(
+                    "dwh.luxco_report", "luxco_multigrain_union"
+                ),
+                registry_model(
+                    "dwh.spv_price_outliers", "spv_price_outliers"
+                ),
+            ],
+        ),
+        TaskGroup(
+            "dwh_grover_card",
+            [
+                registry_model(
+                    "dwh.gc_account_balance", "gc_account_balance"
+                ),
+                registry_model(
+                    "dwh.gc_wallet_expansion", "gc_wallet_expansion"
+                ),
+            ],
+        ),
+        TaskGroup(
+            "dwh_marketing",
+            [
+                registry_model(
+                    "dwh.affiliate_payout", "mkt_affiliate_payout"
+                ),
+                registry_model(
+                    "dwh.order_attribution", "braze_order_attribution"
+                ),
+                # 2_ods_marketing/00_customer_rfm_segmentation.sql
+                registry_model(
+                    "dwh.rfm_segmentation", "dm_rfm_segmentation"
+                ),
+                Model("dwh.rfm_segments", dwh_rfm_segments),
+            ],
+        ),
+        TaskGroup(
+            "reporting",
+            [
+                # 5_dwh_widgets/toptenproducts
+                registry_model("reporting.top_products", "top_products"),
+                registry_model(
+                    "reporting.sustainability_seasonality",
+                    "sust_seasonality",
+                ),
+            ],
+        ),
+        TaskGroup(
+            "mon",
+            [
+                Model("mon.customer_duplicates", mon_duplicates),
+                Model("mon.order_missing_dates", mon_missing_dates),
+                Model("mon.event_volume", mon_event_volume),
+                # ANALYZE-style source profile (quality/table_stats)
+                registry_model("mon.table_stats", "mon_table_stats"),
+            ],
+        ),
+    ]
+
 
 def build_warehouse_pipeline(**kwargs) -> Pipeline:
-    """The config-ordered group list (≅ pipeline_config.json)."""
-    return Pipeline(
-        name="fullload",
-        groups=[
-            TaskGroup(
-                "ods",
-                [
-                    Model("ods.events", ods_events, write="upsert",
-                          keys=["event_id"], partition_by=["event_date"]),
-                    Model("ods.orders", ods_orders),
-                ],
-            ),
-            TaskGroup("master", [Model("master.customer", master_customer)]),
-            TaskGroup(
-                "master_historical",
-                [
-                    Model(
-                        "master_historical.customer_historical",
-                        master_customer,
-                        write="snapshot",
-                        date_col="date",
-                    )
-                ],
-            ),
-            TaskGroup(
-                "dwh",
-                [
-                    Model("dwh.daily_kpi", dwh_daily_kpi),
-                    Model("dwh.sessions", dwh_sessions),
-                    Model("dwh.rfm_segments", dwh_rfm_segments),
-                ],
-            ),
-            TaskGroup(
-                "mon",
-                [
-                    Model("mon.customer_duplicates", mon_duplicates),
-                    Model("mon.order_missing_dates", mon_missing_dates),
-                    Model("mon.event_volume", mon_event_volume),
-                ],
-            ),
-        ],
-        **kwargs,
-    )
+    """The config-ordered group list (≅ pipeline_config.json): 11
+    layer groups / 31 models — ods and segment staging first, then
+    master entities, their daily-snapshot history, the domain marts
+    (core, finance/luxco/SPV, grover-card, marketing), reporting,
+    and monitoring last so the monitors read what the run built."""
+    return Pipeline(name="fullload", groups=_promoted_groups(), **kwargs)

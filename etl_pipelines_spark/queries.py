@@ -6350,6 +6350,78 @@ def txt_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "txt_bigram_logprob_pruned",
+    oracle="""
+WITH base AS (
+  SELECT doc_id,
+    list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+doc_bigrams AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, len(t)),
+      i -> t[i] || ' ' || t[i + 1])) AS bigram
+  FROM base
+),
+db AS (
+  SELECT doc_id, bigram, string_split(bigram, ' ')[2] AS w2
+  FROM doc_bigrams
+),
+uni AS (
+  SELECT w1, COUNT(*) AS c1
+  FROM (SELECT unnest(t) AS w1 FROM base) GROUP BY w1
+),
+tot AS (SELECT COUNT(*) AS v, CAST(SUM(c1) AS BIGINT) AS n FROM uni),
+big AS (
+  SELECT b.bigram,
+    CAST(round(ln(CAST(b.c12 + 1 AS DOUBLE)
+                  / CAST(u.c1 + tot.v AS DOUBLE)), 6)
+      AS DECIMAL(18,6)) AS lp_model
+  FROM (SELECT bigram, COUNT(*) AS c12 FROM doc_bigrams
+        GROUP BY bigram) b
+  JOIN uni u ON u.w1 = string_split(b.bigram, ' ')[1]
+  CROSS JOIN tot
+  WHERE b.c12 >= 2
+),
+backoff AS (
+  SELECT u.w1 AS w2,
+    CAST(round(ln(CAST(u.c1 + 1 AS DOUBLE)
+                  / CAST(tot.n + tot.v AS DOUBLE)), 6)
+      AS DECIMAL(18,6)) AS lp_backoff
+  FROM uni u CROSS JOIN tot
+)
+SELECT d.doc_id,
+  COUNT(*) AS n_bigrams,
+  CAST(SUM(CASE WHEN big.lp_model IS NULL THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_backoff,
+  CAST(SUM(COALESCE(big.lp_model, backoff.lp_backoff)) AS DOUBLE)
+    / COUNT(*) AS avg_logprob
+FROM db d
+LEFT JOIN big ON big.bigram = d.bigram
+JOIN backoff ON backoff.w2 = d.w2
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+""",
+)
+def txt_bigram_logprob_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-count-pruned bigram LM with unigram backoff (textops/
+    analysis.bigram_logprob_pruned) — the 100 TB form of
+    txt_bigram_logprob: the unpruned model table is corpus-sized
+    (singleton bigrams grow ~linearly, the fleet's worst measured
+    scale slope, BENCH_SF1 4.55×); pruning c12 < 2 bounds the model
+    at the distribution's head, and pruned bigrams back off to the
+    add-1 smoothed unigram probability of their second word —
+    KenLM's --prune recipe with the interpolation weight left out so
+    every probability stays a ratio of exact integers (ln on
+    engine-identical doubles, 6dp DECIMAL sum, one division).
+    n_backoff is emitted so the score's provenance is auditable."""
+    from .textops import bigram_logprob_pruned
+
+    d = load(spark, sf_dir, "documents")
+    return bigram_logprob_pruned(d, min_count=2).orderBy("doc_id")
+
+
+@q(
     "txt_quality_buckets",
     oracle="""
 WITH tok AS (

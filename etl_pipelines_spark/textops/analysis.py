@@ -555,3 +555,104 @@ def bigram_logprob(
             ).alias("avg_logprob"),
         )
     )
+
+
+def bigram_logprob_pruned(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """bigram_logprob with KenLM-style min-count pruning — the form
+    that survives 100 TB. The unpruned model table is corpus-sized
+    (Heaps' law: singleton bigrams grow ~linearly with the corpus,
+    and they were the measured worst scale slope in the fleet,
+    BENCH_SF1 4.55×); pruning bigrams with c12 < min_count bounds
+    the model at the head of the distribution, and pruned/unseen
+    bigrams back off to the add-1 smoothed UNIGRAM probability of
+    their second word: lp = ln((c(w2)+1)/(N+V)) — KenLM's
+    prune-to-backoff recipe (--prune), interpolation weights left
+    out so both engines score ratios of exact integers.
+
+    Cross-engine exactness: both the retained-bigram and the backoff
+    probability are integer ratios, ln() on engine-identical
+    doubles, rounded to 6dp, summed as DECIMAL(18,6), ONE division
+    at the end — the house discipline.
+
+    Scale: same join shape as the unpruned form, but the model side
+    of the bigram join is now bounded (min-count filter happens
+    map-side-combined BEFORE any join); the backoff join is on the
+    vocabulary-sized unigram table (AQE broadcasts it). Docs with
+    < 2 tokens emit no row."""
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    toks = tokenize(F.col(text_col))
+    bigrams = F.transform(
+        F.slice(F.col("__t"), 1, F.greatest(F.size("__t") - 1, F.lit(0))),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(F.col("__t"), i + 2)),
+    )
+    base = df.select(F.col(id_col), toks.alias("__t"))
+    doc_bigrams = base.select(
+        id_col,
+        F.explode(bigrams).alias("bigram"),
+    ).withColumn("w2", F.element_at(F.split("bigram", " "), 2))
+    uni = (
+        base.select(F.explode("__t").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    tot = uni.agg(
+        F.count(F.lit(1)).alias("__v"),
+        F.sum("c1").alias("__n"),
+    )
+    big = (
+        doc_bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= min_count)  # the prune — before any join
+        .withColumn("w1", F.element_at(F.split("bigram", " "), 1))
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bigram",
+            F.round(
+                F.log(
+                    (F.col("c12") + 1).cast("double")
+                    / (F.col("c1") + F.col("__v")).cast("double")
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lp_model"),
+        )
+    )
+    backoff = (
+        uni.select(F.col("w1").alias("w2"), F.col("c1").alias("c2"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w2",
+            F.round(
+                F.log(
+                    (F.col("c2") + 1).cast("double")
+                    / (F.col("__n") + F.col("__v")).cast("double")
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lp_backoff"),
+        )
+    )
+    return (
+        doc_bigrams.join(big, "bigram", "left")
+        .join(backoff, "w2")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("lp_model").isNull(), 1).otherwise(0)
+            ).alias("n_backoff"),
+            (
+                F.sum(F.coalesce("lp_model", "lp_backoff")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_logprob"),
+        )
+    )

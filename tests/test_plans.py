@@ -52,7 +52,10 @@ class TestWarehousePipeline:
     def test_snapshot_is_idempotent_and_accumulates(self, ctx):
         pipe = build_warehouse_pipeline()
         pipe.run(ctx)
-        hist_model = pipe.groups[2].models[0]
+        hist_group = next(
+            g for g in pipe.groups if g.name == "master_historical"
+        )
+        hist_model = hist_group.models[0]
         # re-run same day: no double rows
         n1 = ctx.read("master_historical.customer_historical").count()
         hist_model.materialize(ctx)
@@ -104,6 +107,64 @@ class TestWarehousePipeline:
         )
         results = pipe.run(ctx)
         assert [r.status for r in results] == ["failed", "skipped"]
+
+    def test_promoted_models_hash_equal_their_registry_queries(self, ctx):
+        """Every registry-promoted model's MATERIALIZED table must be
+        value-identical to the registry query it was promoted from
+        (sorted-row comparison ≅ the driver's hash gate) — the
+        pipeline adds write modes and layer order, never semantics.
+        Snapshot models carry the extra run-date partition column,
+        compared after dropping it."""
+        from etl_pipelines_spark.queries import REGISTRY
+
+        promoted = {
+            "ods.allocation": "ops_allocation",
+            "ods.track_events": "wh_track_events",
+            "dwh.page_views": "wh_page_views",
+            "dwh.sessions_mart": "wh_sessions_mart",
+            "dwh.sessions_union": "sessions_union_stitch",
+            "master.subscription": "master_subscription",
+            "master_historical.subscription_historical":
+                "master_subscription",
+            "master_historical.customer_scd2": "scd2_history",
+            "dwh.shipment_funnel": "ops_shipment_funnel",
+            "dwh.collection_curves": "fin_collection_curves",
+            "dwh.payment_retries": "pay_retry_payments",
+            "dwh.luxco_report": "luxco_multigrain_union",
+            "dwh.spv_price_outliers": "spv_price_outliers",
+            "dwh.gc_account_balance": "gc_account_balance",
+            "dwh.gc_wallet_expansion": "gc_wallet_expansion",
+            "dwh.affiliate_payout": "mkt_affiliate_payout",
+            "dwh.order_attribution": "braze_order_attribution",
+            "dwh.rfm_segmentation": "dm_rfm_segmentation",
+            "reporting.top_products": "top_products",
+            "reporting.sustainability_seasonality": "sust_seasonality",
+            "mon.table_stats": "mon_table_stats",
+        }
+        pipe = build_warehouse_pipeline()
+        results = pipe.run(ctx)
+        status = {r.name: r.status for r in results}
+        assert all(s == "success" for s in status.values()), status
+        # the pipeline contains every promoted table exactly once
+        model_names = [m.name for g in pipe.groups for m in g.models]
+        assert len(model_names) == len(set(model_names))
+        assert set(promoted) <= set(model_names)
+
+        def canon(df, drop=()):
+            cols = sorted(c for c in df.columns if c not in drop)
+            return sorted(
+                repr(tuple(r[c] for c in cols)) for r in df.collect()
+            )
+
+        for table, query in promoted.items():
+            want = canon(REGISTRY[query].spark(ctx.spark, ctx.source_dir))
+            drop = (
+                ("date",)
+                if table.startswith("master_historical.subscription")
+                else ()
+            )
+            got = canon(ctx.read(table), drop=drop)
+            assert got == want, f"{table} != registry {query}"
 
     def test_parallel_group_matches_sequential(self, ctx):
         pipe = build_warehouse_pipeline(parallel_within_group=True)

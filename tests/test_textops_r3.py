@@ -730,3 +730,68 @@ class TestBigramLogprob:
         )
         ids = {r.doc_id for r in bigram_logprob(df).collect()}
         assert ids == {2}
+
+
+class TestBigramLogprobPruned:
+    def test_closed_form_prune_and_backoff(self, spark):
+        """c12 >= min_count bigrams score from the model; pruned
+        singletons back off to the add-1 unigram probability of
+        their second word (KenLM --prune shape)."""
+        from math import log
+
+        from etl_pipelines_spark.textops import bigram_logprob_pruned
+
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "a b"), (3, "a c")], ["doc_id", "text"]
+        )
+        out = {
+            r.doc_id: r
+            for r in bigram_logprob_pruned(df, min_count=2).collect()
+        }
+        # vocab {a,b,c} -> V=3, N=6 tokens; c(a)=3, c(b)=2, c(c)=1
+        # "a b" c12=2 survives: lp = ln((2+1)/(3+3))
+        lp_ab = round(log(3 / 6), 6)
+        assert abs(out[1].avg_logprob - lp_ab) < 1e-9
+        assert out[1].n_backoff == 0
+        # "a c" c12=1 pruned: backoff ln((c(c)+1)/(N+V)) = ln(2/9)
+        lp_backoff_c = round(log(2 / 9), 6)
+        assert abs(out[3].avg_logprob - lp_backoff_c) < 1e-9
+        assert out[3].n_backoff == 1
+
+    def test_min_count_one_matches_unpruned(self, spark):
+        """With min_count=1 nothing is pruned: scores must equal the
+        unpruned model exactly (backoff path never taken)."""
+        from etl_pipelines_spark.textops import (
+            bigram_logprob,
+            bigram_logprob_pruned,
+        )
+
+        docs = [
+            (i, t)
+            for i, t in enumerate(
+                ["a b c a b", "b c d", "x y", "a c b a", "d d d"]
+            )
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        want = {
+            r.doc_id: (r.n_bigrams, r.avg_logprob)
+            for r in bigram_logprob(df).collect()
+        }
+        got = {
+            r.doc_id: (r.n_bigrams, r.avg_logprob)
+            for r in bigram_logprob_pruned(df, min_count=1).collect()
+        }
+        assert got == want
+
+    def test_model_table_is_bounded_by_prune(self, spark):
+        """The point of pruning: singleton bigrams (the corpus-sized
+        tail) never reach the join. All-unique text -> every doc
+        scores fully from backoff."""
+        from etl_pipelines_spark.textops import bigram_logprob_pruned
+
+        docs = [(i, f"u{i} v{i} w{i}") for i in range(30)]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        out = bigram_logprob_pruned(df, min_count=2).collect()
+        assert len(out) == 30
+        for r in out:
+            assert r.n_backoff == r.n_bigrams == 2
