@@ -85,8 +85,10 @@ HEADLINE = [
     "txt_bigram_logprob",
     "mon_value_quantiles",
     # round 5: min-count-pruned bigram LM with unigram backoff — the
-    # bounded-model replacement for the fleet's worst scale slope.
+    # bounded-model replacement for the fleet's worst scale slope —
+    # and real MP3 frame-header metadata (Arrow tail).
     "txt_bigram_logprob_pruned",
+    "mm_mp3_meta",
 ]
 
 

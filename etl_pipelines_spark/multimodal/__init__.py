@@ -9,9 +9,12 @@ resampling), PCM WAV audio (decode_wav_audio), PNG
 (decode_jpeg_image: canonical Huffman + dequant + exact IDCT +
 chroma upsampling — jpeg.py). MP4 CONTAINERS parse for real too
 (video.py: ISO-BMFF box-tree walk — duration, tracks, codec fourcc,
-dimensions; frame decode is the H.264 line we honestly stub). Only
-MP3 / video-frame decode remain stubbed (NotImplementedError,
-clearly marked: transform codecs); everything Spark-side — schema
+dimensions; frame decode is the H.264 line we honestly stub), and
+so do MP3 CONTAINERS (mp3.py: frame-header walk — duration, bitrate,
+sample rate, channels, ID3 skip; PCM decode is the Huffman+filterbank
+line, stubbed). Only the transform-codec decodes (MP3 PCM, video
+frames) remain stubbed (NotImplementedError, clearly marked);
+everything Spark-side — schema
 conventions, Arrow batch shapes, mapInPandas plumbing,
 partitioning — is real and tested either way.
 """
@@ -19,6 +22,7 @@ partitioning — is real and tested either way.
 from .audio import audio_band_energy
 from .jpeg import decode_jpeg_image, synth_jpeg_payloads
 from .video import extract_mp4_meta, parse_mp4_meta, synth_mp4_payloads
+from .mp3 import extract_mp3_meta, parse_mp3_meta, synth_mp3_payloads
 from .binary import (
     MEDIA_SCHEMA,
     attach_fake_payload,
@@ -51,6 +55,9 @@ __all__ = [
     "decode_image",
     "decode_gif_image",
     "decode_jpeg_image",
+    "extract_mp3_meta",
+    "parse_mp3_meta",
+    "synth_mp3_payloads",
     "extract_mp4_meta",
     "parse_mp4_meta",
     "synth_mp4_payloads",

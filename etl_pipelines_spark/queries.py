@@ -5805,6 +5805,64 @@ def mm_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_mp4_meta(media).orderBy("media_id")
 
 
+def _mp3_oracle() -> str:
+    """mm_mp3_meta oracle rendered from the SAME Python bitrate /
+    sample-rate tables the synthesizer and parser use (multimodal/
+    mp3.py) — one source of truth, two renderings (the occupancy-
+    ladder discipline). DuckDB lists are 1-based: the 14 non-free
+    V1 bitrates index directly by br_idx ∈ 1..14."""
+    from .multimodal.mp3 import BITRATE_KBPS_V1, SAMPLE_RATES
+
+    brs = ", ".join(str(k) for k in BITRATE_KBPS_V1[1:])
+    srs = ", ".join(str(s) for s in SAMPLE_RATES[1])
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+    CAST(doc_id % 120 + 8 AS BIGINT) AS n_frames,
+    [{brs}][CAST(doc_id % 14 + 1 AS INT)] AS bitrate_kbps,
+    [{srs}][CAST(doc_id % 3 + 1 AS INT)] AS sample_rate,
+    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS channels,
+    doc_id % 2 = 0 AS has_id3
+  FROM documents
+)
+SELECT media_id, 'MPEG1' AS version, n_frames,
+  CAST(bitrate_kbps AS INT) AS bitrate_kbps,
+  CAST(sample_rate AS INT) AS sample_rate,
+  CAST(channels AS INT) AS channels,
+  CAST(n_frames * 1152 * 1000 // sample_rate AS BIGINT) AS duration_ms,
+  has_id3
+FROM m ORDER BY media_id
+"""
+
+
+@q("mm_mp3_meta", oracle=_mp3_oracle())
+def mm_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP3 frame-header parsing (multimodal/mp3.py): each doc
+    gets a genuine CBR MPEG-1 Layer III stream (id-derived bitrate/
+    sample-rate table indices, mono/stereo mode, ID3v2 tag on even
+    ids) and extract_mp3_meta walks the frames back out — syncword,
+    table lookups, padding-aware frame length, exact integer
+    duration (total_samples·1000 // sample_rate), ID3 syncsafe skip.
+    The audio tier a training pipeline actually selects on is this
+    container metadata (duration/bitrate/channel filters before any
+    decode); PCM decode is the Huffman+hybrid-filterbank line,
+    honestly stubbed. Oracle closed-form over the SAME Python
+    bitrate/sample-rate tables rendered as SQL list literals.
+    Narrow mapInPandas both ways; bytes never leave the Arrow
+    batch."""
+    from .multimodal import extract_mp3_meta, synth_mp3_payloads
+
+    d = load_spread(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    media = synth_mp3_payloads(
+        d.select(
+            did.alias("media_id"),
+            (F.pmod(did, 120) + 8).cast("int").alias("n_frames"),
+        )
+    )
+    return extract_mp3_meta(media).orderBy("media_id")
+
+
 
 
 @q(

@@ -48,6 +48,117 @@ class TestMp4Parser:
             parse_mp4_meta(bytes(buf))
 
 
+class TestMp3Parser:
+    def test_roundtrip_fields(self):
+        from etl_pipelines_spark.multimodal.mp3 import (
+            BITRATE_KBPS_V1,
+            SAMPLE_RATES,
+            parse_mp3_meta,
+            synth_mp3_payload,
+        )
+
+        for mid in (0, 1, 13, 14, 27, 997):
+            m = parse_mp3_meta(synth_mp3_payload(mid, n_frames=12))
+            assert m["version"] == "MPEG1"
+            assert m["n_frames"] == 12
+            assert m["bitrate_kbps"] == BITRATE_KBPS_V1[mid % 14 + 1]
+            sr = SAMPLE_RATES[1][mid % 3]
+            assert m["sample_rate"] == sr
+            assert m["channels"] == (1 if mid % 2 == 0 else 2)
+            assert m["has_id3"] == (mid % 2 == 0)
+            assert m["duration_ms"] == 12 * 1152 * 1000 // sr
+
+    def test_every_bitrate_samplerate_combination(self):
+        """Property over the full table cross-product: frame length
+        144000·kbps/sr (+pad) must walk back to the exact frame
+        count for every legal (bitrate, sample-rate) pair — the
+        table-driven failure mode (wrong row → lost sync)."""
+        from etl_pipelines_spark.multimodal.mp3 import (
+            BITRATE_KBPS_V1,
+            SAMPLE_RATES,
+            parse_mp3_meta,
+        )
+
+        for br_idx in range(1, 15):
+            for sr_idx in range(3):
+                kbps = BITRATE_KBPS_V1[br_idx]
+                sr = SAMPLE_RATES[1][sr_idx]
+                flen = 144000 * kbps // sr
+                hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0])
+                buf = (hdr + b"\x00" * (flen - 4)) * 7
+                m = parse_mp3_meta(buf)
+                assert m["n_frames"] == 7, (br_idx, sr_idx)
+                assert m["bitrate_kbps"] == kbps
+                assert m["sample_rate"] == sr
+
+    def test_padding_bit_lengthens_frame(self):
+        """Padding adds exactly one byte per padded frame; the walk
+        must consume it or every later frame loses sync."""
+        from etl_pipelines_spark.multimodal.mp3 import parse_mp3_meta
+
+        flen = 144000 * 128 // 44100  # br_idx 9, sr_idx 0
+        plain = bytes([0xFF, 0xFB, (9 << 4), 0]) + b"\x00" * (flen - 4)
+        padded = bytes([0xFF, 0xFB, (9 << 4) | 2, 0]) + b"\x00" * (flen - 3)
+        m = parse_mp3_meta(padded + plain + padded)
+        assert m["n_frames"] == 3
+
+    def test_vbr_stream_counts_every_frame_bitrate(self):
+        """Bitrate may change per frame (VBR); the walk must use each
+        frame's OWN table row."""
+        from etl_pipelines_spark.multimodal.mp3 import (
+            BITRATE_KBPS_V1,
+            parse_mp3_meta,
+        )
+
+        frames = []
+        for br_idx in (1, 9, 14, 5):
+            flen = 144000 * BITRATE_KBPS_V1[br_idx] // 44100
+            frames.append(
+                bytes([0xFF, 0xFB, (br_idx << 4), 0]) + b"\x00" * (flen - 4)
+            )
+        m = parse_mp3_meta(b"".join(frames))
+        assert m["n_frames"] == 4
+        assert m["bitrate_kbps"] == BITRATE_KBPS_V1[1]  # first frame
+
+    def test_mpeg2_halves_samples_per_frame(self):
+        """MPEG-2 Layer III: 576 samples/frame and the V2 bitrate
+        table; duration must reflect both."""
+        from etl_pipelines_spark.multimodal.mp3 import parse_mp3_meta
+
+        # version bits 10 (MPEG2), layer III, br_idx 4 (32 kbps V2),
+        # sr_idx 1 (24000 Hz)
+        flen = 72000 * 32 // 24000
+        hdr = bytes([0xFF, 0xF3, (4 << 4) | (1 << 2), 0])
+        buf = (hdr + b"\x00" * (flen - 4)) * 10
+        m = parse_mp3_meta(buf)
+        assert m["version"] == "MPEG2"
+        assert m["n_frames"] == 10
+        assert m["sample_rate"] == 24000
+        assert m["duration_ms"] == 10 * 576 * 1000 // 24000
+
+    def test_garbage_raises(self):
+        from etl_pipelines_spark.multimodal.mp3 import (
+            parse_mp3_meta,
+            synth_mp3_payload,
+        )
+
+        with pytest.raises(ValueError):
+            parse_mp3_meta(b"RIFF" + b"\x00" * 40)
+        # truncated final frame
+        buf = synth_mp3_payload(3, n_frames=2)
+        with pytest.raises(ValueError):
+            parse_mp3_meta(buf[:-5])
+        # invalid bitrate index 15
+        with pytest.raises(ValueError):
+            parse_mp3_meta(bytes([0xFF, 0xFB, 0xF0, 0]) + b"\x00" * 100)
+
+    def test_free_format_is_honest_stub(self):
+        from etl_pipelines_spark.multimodal.mp3 import parse_mp3_meta
+
+        with pytest.raises(NotImplementedError):
+            parse_mp3_meta(bytes([0xFF, 0xFB, 0x00, 0]) + b"\x00" * 100)
+
+
 class TestAudioBandEnergy:
     def _wav(self, samples, rate=8000):
         x = np.asarray(samples)
