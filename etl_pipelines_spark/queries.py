@@ -7278,111 +7278,76 @@ def skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _DRIVER_WINDOW = [
-    # new this round: real PNG decode (zlib+numpy codec), tf-idf
-    # keyword extraction, concatenate-and-chop sequence packing
-    "mm_png_decode",
-    "txt_tfidf_topterms",
-    "txt_pack_plan",
-    # new this round: integer-exact PMI collocation mining
-    # (a_dedup_then_agg ceded the slot: r1+r2-green, its idiom also
-    # driver-proven via fin_collection_curves)
-    "txt_collocations",
-    # new this round: near-dup survivor frame + savings accounting
-    # (w_median_window ceded: r1+r2-green, the window-median idiom
-    # stays driver-proven via a_median_percentiles this window)
-    "dd_neardup_survivors",
-    # new this round: real GIF decode, LZW codec (j_cross_spine
-    # ceded: r1-green and the cross-join date-spine idiom is also
-    # r2-green via m_date_spine)
-    "mm_gif_decode",
-    # new this round: real baseline JPEG decode (a_pivot_status
-    # ceded: r1-green and the PIVOT idiom is also r2-green via
-    # gc_wallet_expansion)
-    "mm_jpeg_decode",
-    # new this round: real MP4 container parsing (the
-    # master_customer anchor ceded its slot: r3-green in the
-    # recorded window AND smoke-checked via entry() every round)
-    "mm_mp4_meta",
-    # new this round: ANALYZE-style table profile (u_union_distinct
-    # ceded: r1-green; the UNION-dedup idiom remains recorded and the
-    # union family is still windowed via u_union_all_pad/u_except/
-    # u_intersect)
-    "mon_table_stats",
-    # new this round: margin-based bitext mining (u_except ceded:
-    # r1-green; EXCEPT stays recorded and the set-op family is still
-    # windowed via u_union_all_pad/u_intersect)
-    "emb_bitext_mine",
-    # new this round: perplexity-decile corpus buckets — 3rd
-    # hash-proof of the two-phase global rank (w_nth_value ceded:
-    # r1-green, recorded)
-    "txt_quality_buckets",
-    # new this round: deterministic weighted priority sampling
-    # (u_intersect ceded: r1-green, recorded; set-op family keeps
-    # u_union_all_pad windowed)
+    # --- round-5 window: FRESHNESS rotation (VERDICT r4 "Next round"
+    # #2) — every row whose newest driver evidence is round 1 or
+    # round 2 re-enters the window (15 r1-aged + 30 r2-aged = the
+    # complete aged set), plus this round's changed/new queries and
+    # one r3-aged diagnostic anchor. Rotated out: the 50 round-4
+    # names, every one green in the committed CORRECTNESS_r04.json.
+    #
+    # r1-aged (last driver-checked round 1):
+    "a_dedup_then_agg",
+    "a_greatest_least",
+    "a_listagg",
+    "a_pivot_status",
+    "f_math",
+    "f_null_conditional",
+    "j_cross_spine",
+    "j_semi_in",
+    "p_distinct",
+    "u_except",
+    "u_intersect",
+    "u_union_distinct",
+    "w_median_window",
+    "w_nth_value",
+    "w_rank_top_orders",
+    # r2-aged (last driver-checked round 2; dd_simhash is the
+    # designed no_oracle row — its windowing refreshes the driver's
+    # rows-only record, its hash twin dd_simhash_md5 is r3-green):
+    "braze_order_attribution",
+    "dd_ngram_jaccard",
+    "dd_simhash",
+    "fin_collection_curves",
+    "gc_wallet_expansion",
+    "luxco_multigrain_union",
+    "m_date_spine",
+    "m_explode_split",
+    "m_posexplode",
+    "m_scalar_subquery",
+    "master_subscription",
+    "mm_binary_meta",
+    "mm_frame_plan",
+    "mm_resize_dims",
+    "mon_duplicate_keys",
+    "mon_freshness",
+    "mon_missing_dates",
+    "ops_allocation",
+    "ops_shipment_funnel",
+    "pay_retry_payments",
+    "s_event_dedup_incremental",
+    "s_page_view_end",
+    "s_sessionize_gap",
+    "spv_price_outliers",
+    "top_products",
+    "txt_fingerprint",
+    "txt_quality",
+    "w_percentile_window",
+    "wh_page_views",
+    "wh_sessions_mart",
+    # re-proof rows — implementation or oracle changed this round
+    # (ADVICE fixes: unrounded-priority top-k subquery; PSI bucket
+    # spine), so their r4-green hashes need re-proving:
     "txt_weighted_sample",
-    # new this round: bigram-LM quality score (a_greatest_least
-    # ceded: r1-green, GREATEST/LEAST also r3-proven inside
-    # master_customer)
-    "txt_bigram_logprob",
-    # new this round: exact distributed quantiles — the A7/A8
-    # family's scale form (f_null_conditional ceded: r1-green;
-    # COALESCE/NULLIF idioms ride many other windowed oracles)
-    "mon_value_quantiles",
-    # new this round: PSI distribution-drift monitor (f_math ceded:
-    # r1-green; the math-function family also rides q1/sketch
-    # oracles)
     "mon_value_drift",
-    # re-proof rows: rewired onto the two-phase global-rank operator
-    "w_percent_rank_spend",
-    "dm_rfm_segmentation",
-    # re-proof rows: rewired onto corpus-size-adaptive bucket
-    # geometry (occupancy ladder) — need hash re-proof vs their
-    # ladder-aware oracles (a_listagg and w_rank_top_orders ceded
-    # the slots: both r1-green, and their idioms stay windowed via
-    # a_listagg_ordered / w_dense_rank_days+w_rownum_latest_event)
-    "dd_embedding_neardup",
-    "dd_semantic_dedup",
-    # r1-aged rows: aggregates
-    "a_bool_or",
-    "a_count_distinct",
-    "a_having_segments",
-    "a_listagg_ordered",
-    "a_median_percentiles",
-    "a_unpivot_measures",
-    # r1-aged rows: scalar function kitchen sinks
-    "f_datetime_kitchen_sink",
-    "f_json_extract",
-    "f_string_kitchen_sink",
-    # r1-aged rows: join family (j_semi_in rotated back out — r1-green
-    # single-idiom row, its IN-subquery shape is also exercised by
-    # p_filter_predicates; slots ceded to the two new txt queries)
-    "j_anti_not_in",
-    "j_asof_attribution",
-    "j_dedup_right",
-    "j_dod_delta",
-    "j_exists_corr",
-    "j_full_outer_calendar",
-    "j_range_bands",
-    "j_right_parts",
-    # r1-aged rows: projection/predicates (p_distinct ceded: its
-    # DISTINCT idiom is re-proven via u_union_distinct this window)
-    "p_case_nested",
-    "p_filter_predicates",
-    "p_like_ilike",
-    "p_regex",
-    # r1-aged rows: TPC-H-style composites
-    "q3_top_revenue_orders",
-    "q5_regional_revenue",
-    # r1-aged rows: set operations
-    "u_union_all_pad",
-    # r1-aged rows: window family
-    "w_agg_over_partition",
-    "w_dense_rank_days",
-    "w_first_last_ignorenulls",
-    "w_lag_lead_gap",
-    "w_rolling_7d",
-    "w_rownum_latest_event",
-    "w_running_balance",
+    # new this round: min-count-pruned bigram LM with unigram
+    # backoff (the bounded-model form of the fleet's worst measured
+    # scale slope) and real MP3 frame-header metadata:
+    "txt_bigram_logprob_pruned",
+    "mm_mp3_meta",
+    # r3-aged diagnostic anchor: the unexplained r4 bench regression
+    # row — fresh correctness evidence alongside the r5 perf
+    # diagnosis (VERDICT r4 "Next round" #6):
+    "scd2_history",
 ]
 
 
