@@ -18,7 +18,18 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+# Python WORKERS don't see the driver's sys.path — closures over
+# package functions (the Arrow-map codecs) unpickle by module
+# reference in the worker, so the package must be importable there.
+# Exporting PYTHONPATH before the JVM starts covers any launch cwd.
+if _REPO not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _REPO + os.pathsep + os.environ["PYTHONPATH"]
+        if os.environ.get("PYTHONPATH")
+        else _REPO
+    )
 
 from etl_pipelines_spark import session as _session  # noqa: E402
 from etl_pipelines_spark.queries import REGISTRY  # noqa: E402

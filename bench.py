@@ -14,7 +14,17 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+# python WORKERS unpickle package closures by module reference; make
+# the repo importable there regardless of launch cwd (set before the
+# JVM starts so the worker daemon inherits it).
+if _REPO not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _REPO + os.pathsep + os.environ["PYTHONPATH"]
+        if os.environ.get("PYTHONPATH")
+        else _REPO
+    )
 
 from pyspark.sql import SparkSession  # noqa: E402
 
@@ -95,12 +105,23 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Scale-bench hooks (tools/bench_scale10.py): restrict to a
+    # comma-separated query subset / fewer reps / skip the pipeline.
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    headline = (
+        [q for q in HEADLINE if q in set(subset.split(","))]
+        if subset
+        else HEADLINE
+    )
+    reps_override = os.environ.get("SPARK_GRAFT_BENCH_REPS")
+    skip_rebuild = os.environ.get("SPARK_GRAFT_SKIP_REBUILD") == "1"
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("etl_pipelines_spark-bench")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.scheduler.mode", "FAIR")
         .getOrCreate()
     )
     _session.configure(spark)
@@ -126,12 +147,14 @@ def main() -> None:
     # An explicit JVM GC before each query keeps inherited heap debt
     # from billing the wrong query.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         spark._jvm.System.gc()
         # Python-tail queries (Arrow batches, numpy sketching) carry
         # worker-pool and allocator noise that best-of-3 does not
         # drown; give them 5 reps.
         reps = 5 if name.split("_")[0] in ("dd", "ann", "ml", "scd2", "emb") else 3
+        if reps_override:
+            reps = int(reps_override)
         best = float("inf")
         for _ in range(reps):
             df = REGISTRY[name].spark(spark, sf_dir)
@@ -156,26 +179,37 @@ def main() -> None:
     from etl_pipelines_spark.plans.model import RunContext
     from etl_pipelines_spark.sources.catalog import Catalog
 
-    wh_dir = tempfile.mkdtemp(prefix="bench_wh_")
-    spark._jvm.System.gc()
-    try:
-        ctx = RunContext(
-            spark=spark,
-            catalog=Catalog(spark, wh_dir),
-            source_dir=sf_dir,
-            run_date=dt.date(1998, 8, 2),
-        )
-        pipe = build_warehouse_pipeline(parallel_within_group=True)
-        t0 = time.perf_counter()
-        results = pipe.run(ctx)
-        elapsed = time.perf_counter() - t0
-        if all(r.status == "success" for r in results):
-            timings["wh_full_rebuild"] = round(elapsed, 3)
-        else:
-            failed = [r.name for r in results if r.status != "success"]
-            print(f"wh_full_rebuild FAILED models: {failed}", file=sys.stderr)
-    finally:
-        shutil.rmtree(wh_dir, ignore_errors=True)
+    # Best-of-2 into fresh warehouse dirs: the 31-model DAG run has
+    # ±30% wall variance from thread/GC scheduling on local[N]; the
+    # min is the stable figure (same rule as the per-query reps).
+    best = float("inf")
+    ok = False
+    for _rep in range(0 if skip_rebuild else 2):
+        wh_dir = tempfile.mkdtemp(prefix="bench_wh_")
+        spark._jvm.System.gc()
+        try:
+            ctx = RunContext(
+                spark=spark,
+                catalog=Catalog(spark, wh_dir),
+                source_dir=sf_dir,
+                run_date=dt.date(1998, 8, 2),
+            )
+            pipe = build_warehouse_pipeline(parallel_within_group=True)
+            t0 = time.perf_counter()
+            results = pipe.run(ctx)
+            elapsed = time.perf_counter() - t0
+            if all(r.status == "success" for r in results):
+                ok = True
+                best = min(best, elapsed)
+            else:
+                failed = [r.name for r in results if r.status != "success"]
+                print(
+                    f"wh_full_rebuild FAILED models: {failed}", file=sys.stderr
+                )
+        finally:
+            shutil.rmtree(wh_dir, ignore_errors=True)
+    if ok:
+        timings["wh_full_rebuild"] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

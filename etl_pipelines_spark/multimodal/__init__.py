@@ -21,7 +21,14 @@ partitioning — is real and tested either way.
 
 from .audio import audio_band_energy
 from .jpeg import decode_jpeg_image, synth_jpeg_payloads
-from .video import extract_mp4_meta, parse_mp4_meta, synth_mp4_payloads
+from .video import (
+    extract_mp4_frames,
+    extract_mp4_meta,
+    parse_mp4_frames,
+    parse_mp4_meta,
+    synth_mp4_framed_payloads,
+    synth_mp4_payloads,
+)
 from .mp3 import extract_mp3_meta, parse_mp3_meta, synth_mp3_payloads
 from .binary import (
     MEDIA_SCHEMA,
@@ -58,8 +65,11 @@ __all__ = [
     "extract_mp3_meta",
     "parse_mp3_meta",
     "synth_mp3_payloads",
+    "extract_mp4_frames",
     "extract_mp4_meta",
+    "parse_mp4_frames",
     "parse_mp4_meta",
+    "synth_mp4_framed_payloads",
     "synth_mp4_payloads",
     "decode_png_image",
     "decode_ppm_image",

@@ -120,11 +120,20 @@ def _jpeg_codec():
             """Byte-align and consume the RSTn marker."""
             self.acc = 0
             self.nbits = 0
-            while self.data[self.pos] != 0xFF:
+            while (
+                self.pos < len(self.data) and self.data[self.pos] != 0xFF
+            ):
                 self.pos += 1
-            # tolerate 0xFF fill bytes before the marker (B.1.1.2)
-            while self.data[self.pos + 1] == 0xFF:
+            # tolerate 0xFF fill bytes before the marker (B.1.1.2);
+            # bounded — a truncated stream / trailing 0xFF padding
+            # must surface as the decoder's ValueError, not IndexError
+            while (
+                self.pos + 1 < len(self.data)
+                and self.data[self.pos + 1] == 0xFF
+            ):
                 self.pos += 1
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated stream at restart marker")
             if self.data[self.pos + 1] != 0xD0 + (n % 8):
                 raise ValueError("bad restart marker")
             self.pos += 2
@@ -153,9 +162,12 @@ def _jpeg_codec():
         while True:
             if buf[pos] != 0xFF:
                 raise ValueError("marker expected")
-            # tolerate 0xFF fill bytes before the marker (B.1.1.2)
-            while buf[pos + 1] == 0xFF:
+            # tolerate 0xFF fill bytes before the marker (B.1.1.2);
+            # bounded so 0xFF-padded truncation raises ValueError
+            while pos + 1 < len(buf) and buf[pos + 1] == 0xFF:
                 pos += 1
+            if pos + 1 >= len(buf):
+                raise ValueError("truncated stream in marker segment")
             marker = buf[pos + 1]
             pos += 2
             if marker == 0xD9:

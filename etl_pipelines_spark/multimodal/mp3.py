@@ -46,7 +46,9 @@ _VERSION_BITS = {0b00: 25, 0b10: 2, 0b11: 1}  # 0b01 reserved
 
 def _id3v2_len(buf: bytes) -> int:
     """Length of a leading ID3v2 tag (0 if absent) — 10-byte header
-    + syncsafe 28-bit size (ID3v2.4 §3.1)."""
+    + syncsafe 28-bit size (ID3v2.4 §3.1) + 10-byte footer when
+    header flag bit 4 is set (§3.4: the footer is NOT counted in the
+    syncsafe size)."""
     if buf[:3] != b"ID3" or len(buf) < 10:
         return 0
     size = 0
@@ -54,7 +56,8 @@ def _id3v2_len(buf: bytes) -> int:
         if b & 0x80:
             raise ValueError("corrupt ID3v2 syncsafe size")
         size = (size << 7) | b
-    return 10 + size
+    footer = 10 if buf[5] & 0x10 else 0
+    return 10 + size + footer
 
 
 def _frame_header(buf: bytes, pos: int):
@@ -98,8 +101,17 @@ def parse_mp3_meta(buf: bytes) -> dict:
         raise ValueError("no MP3 syncword")
     n_frames = 0
     total_samples = 0
+    kbps_sum = 0
     first = None
+    is_cbr = True
+    has_id3v1 = False
     while pos + 4 <= len(buf):
+        # trailing 128-byte ID3v1 'TAG' block (very common on real
+        # files) — record and stop, it is not frame data
+        if buf[pos : pos + 3] == b"TAG" and len(buf) - pos == 128:
+            has_id3v1 = True
+            pos = len(buf)
+            break
         if buf[pos] != 0xFF or (buf[pos + 1] & 0xE0) != 0xE0:
             raise ValueError(f"lost sync at byte {pos}")
         ver, kbps, sr, ch, frame_len, samples = _frame_header(buf, pos)
@@ -107,10 +119,13 @@ def parse_mp3_meta(buf: bytes) -> dict:
             first = (ver, kbps, sr, ch)
         elif (ver, sr) != (first[0], first[2]):
             raise ValueError("version/sample-rate change mid-stream")
+        if kbps != first[1]:
+            is_cbr = False
         if pos + frame_len > len(buf):
             raise ValueError("truncated final frame")
         n_frames += 1
         total_samples += samples
+        kbps_sum += kbps
         pos += frame_len
     if pos != len(buf):
         raise ValueError("trailing garbage after last frame")
@@ -118,11 +133,16 @@ def parse_mp3_meta(buf: bytes) -> dict:
     return {
         "version": {1: "MPEG1", 2: "MPEG2", 25: "MPEG2.5"}[ver],
         "n_frames": n_frames,
-        "bitrate_kbps": kbps,  # first frame (CBR synth -> constant)
+        # first-frame bitrate; meaningful alone only when is_cbr —
+        # VBR selection filters should use avg_bitrate_kbps
+        "bitrate_kbps": kbps,
+        # exact per-frame average, the honest figure for VBR streams
+        "avg_bitrate_kbps": kbps_sum / n_frames,
+        "is_cbr": is_cbr,
         "sample_rate": sr,
         "channels": ch,
         "duration_ms": total_samples * 1000 // sr,
-        "has_id3": id3 > 0,
+        "has_id3": id3 > 0 or has_id3v1,
     }
 
 
@@ -178,21 +198,22 @@ def extract_mp3_meta(df: DataFrame) -> DataFrame:
     integer/string/bool columns only, exact across engines."""
     out_schema = (
         "media_id long, version string, n_frames long, "
-        "bitrate_kbps int, sample_rate int, channels int, "
-        "duration_ms long, has_id3 boolean"
+        "bitrate_kbps int, is_cbr boolean, sample_rate int, "
+        "channels int, duration_ms long, has_id3 boolean"
     )
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: dict = {k: [] for k in (
                 "media_id", "version", "n_frames", "bitrate_kbps",
-                "sample_rate", "channels", "duration_ms", "has_id3")}
+                "is_cbr", "sample_rate", "channels", "duration_ms",
+                "has_id3")}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 m = parse_mp3_meta(bytes(payload))
                 rows["media_id"].append(mid)
                 for k in ("version", "n_frames", "bitrate_kbps",
-                          "sample_rate", "channels", "duration_ms",
-                          "has_id3"):
+                          "is_cbr", "sample_rate", "channels",
+                          "duration_ms", "has_id3"):
                     rows[k].append(m[k])
             yield pd.DataFrame(rows)
 

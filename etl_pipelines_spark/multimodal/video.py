@@ -105,6 +105,118 @@ def parse_mp4_meta(buf: bytes) -> dict:
     return meta
 
 
+def parse_mp4_frames(buf: bytes) -> list[dict]:
+    """PER-FRAME metadata from the first track's sample tables — the
+    container tier below parse_mp4_meta (VERDICT r5 #8): stts
+    (time-to-sample) gives each frame's timestamp/duration, stsz its
+    byte size, stsc+stco its byte offset (chunk walk, ISO 14496-12
+    §8.7.4-8.7.5). This is everything a frame-extraction stage needs
+    to SEEK — which bytes to hand the (stubbed) codec for which
+    timestamp — derived from the real box tree, no codec required.
+    Returns [{frame_idx, ts_ms, duration_ms, byte_offset,
+    byte_size}]; raises ValueError on non-BMFF or absent/inconsistent
+    tables."""
+    tops = list(_walk(buf, 0, len(buf)))
+    if not tops or tops[0][0] != b"ftyp":
+        raise ValueError("not an ISO-BMFF file (no ftyp)")
+    state: dict = {}
+
+    def recurse(s, e, in_trak):
+        for btype, bs, be in _walk(buf, s, e):
+            if btype == b"trak":
+                if "stsz" not in state:  # first track wins
+                    recurse(bs, be, True)
+            elif btype in _CONTAINERS:
+                recurse(bs, be, in_trak)
+            elif not in_trak:
+                continue
+            elif btype == b"mdhd":
+                ver = buf[bs]
+                if ver == 1:
+                    ts = struct.unpack(">I", buf[bs + 20 : bs + 24])[0]
+                else:
+                    ts = struct.unpack(">I", buf[bs + 12 : bs + 16])[0]
+                state["timescale"] = ts
+            elif btype == b"stts":
+                n = struct.unpack(">I", buf[bs + 4 : bs + 8])[0]
+                state["stts"] = [
+                    struct.unpack(">II", buf[bs + 8 + 8 * i : bs + 16 + 8 * i])
+                    for i in range(n)
+                ]
+            elif btype == b"stsz":
+                uniform, n = struct.unpack(">II", buf[bs + 4 : bs + 12])
+                if uniform:
+                    state["stsz"] = [uniform] * n
+                else:
+                    state["stsz"] = list(
+                        struct.unpack(f">{n}I", buf[bs + 12 : bs + 12 + 4 * n])
+                    )
+            elif btype == b"stsc":
+                n = struct.unpack(">I", buf[bs + 4 : bs + 8])[0]
+                state["stsc"] = [
+                    struct.unpack(
+                        ">III", buf[bs + 8 + 12 * i : bs + 20 + 12 * i]
+                    )
+                    for i in range(n)
+                ]
+            elif btype == b"stco":
+                n = struct.unpack(">I", buf[bs + 4 : bs + 8])[0]
+                state["stco"] = list(
+                    struct.unpack(f">{n}I", buf[bs + 8 : bs + 8 + 4 * n])
+                )
+
+    for btype, s, e in tops:
+        if btype == b"moov":
+            recurse(s, e, False)
+    missing = [k for k in ("stts", "stsz", "stsc", "stco") if k not in state]
+    if missing:
+        raise ValueError(f"no sample tables (missing {missing})")
+    ts_scale = state.get("timescale", 1000) or 1000
+    sizes = state["stsz"]
+
+    # stsc run-length expansion -> samples per chunk (§8.7.4: each
+    # entry applies from first_chunk until the next entry's).
+    n_chunks = len(state["stco"])
+    spc: list[int] = []
+    stsc = state["stsc"]
+    for i, (first, per, _desc) in enumerate(stsc):
+        last = (stsc[i + 1][0] - 1) if i + 1 < len(stsc) else n_chunks
+        spc.extend([per] * (last - first + 1))
+    if sum(spc) != len(sizes):
+        raise ValueError("stsc/stco sample count != stsz count")
+
+    # byte offsets: walk chunks, samples laid consecutively
+    offsets: list[int] = []
+    si = 0
+    for c, base in enumerate(state["stco"]):
+        off = base
+        for _ in range(spc[c]):
+            offsets.append(off)
+            off += sizes[si]
+            si += 1
+
+    # timestamps: stts (count, delta) runs, cumulative
+    frames: list[dict] = []
+    cum = 0
+    idx = 0
+    for count, delta in state["stts"]:
+        for _ in range(count):
+            if idx >= len(sizes):
+                raise ValueError("stts sample count > stsz count")
+            frames.append({
+                "frame_idx": idx,
+                "ts_ms": cum * 1000 // ts_scale,
+                "duration_ms": delta * 1000 // ts_scale,
+                "byte_offset": offsets[idx],
+                "byte_size": sizes[idx],
+            })
+            cum += delta
+            idx += 1
+    if idx != len(sizes):
+        raise ValueError("stts sample count != stsz count")
+    return frames
+
+
 def _fullbox(version: int = 0, flags: int = 0) -> bytes:
     return bytes([version]) + flags.to_bytes(3, "big")
 
@@ -114,11 +226,22 @@ def _box(btype: bytes, payload: bytes) -> bytes:
 
 
 def synth_mp4_payload(
-    media_id: int, duration_s: int, width: int, height: int
+    media_id: int,
+    duration_s: int,
+    width: int,
+    height: int,
+    frames: "tuple[int, int, list[int]] | None" = None,
 ) -> bytes:
     """Minimal valid ISO-BMFF: ftyp + moov(mvhd, trak(tkhd,
     mdia(mdhd, hdlr, minf(stbl(stsd[avc1]))))) — all fields
-    id-derived integers so downstream checks are closed-form."""
+    id-derived integers so downstream checks are closed-form.
+
+    ``frames=(n, delta, sizes)`` additionally writes real sample
+    tables — stts (one run of n x delta timescale units), stsz
+    (per-sample sizes), stsc (all samples in one chunk), stco
+    (chunk at byte 4096) — for the per-frame metadata tier
+    (parse_mp4_frames). Omitted -> byte-identical to the legacy
+    payload (mm_mp4_meta fixtures unchanged)."""
     ts = 1000
     mvhd = _fullbox() + struct.pack(
         ">IIII", 0, 0, ts, duration_s * ts
@@ -132,7 +255,21 @@ def synth_mp4_payload(
     stsd = _fullbox() + struct.pack(">I", 1) + _box(
         b"avc1", b"\x00" * 78
     )
-    stbl = _box(b"stbl", _box(b"stsd", stsd))
+    stbl_children = _box(b"stsd", stsd)
+    if frames is not None:
+        n, delta, sizes = frames
+        assert len(sizes) == n
+        stts = _fullbox() + struct.pack(">III", 1, n, delta)
+        stsz = _fullbox() + struct.pack(">II", 0, n) + struct.pack(
+            f">{n}I", *sizes
+        )
+        stsc = _fullbox() + struct.pack(">IIII", 1, 1, n, 1)
+        stco = _fullbox() + struct.pack(">II", 1, 4096)
+        stbl_children += (
+            _box(b"stts", stts) + _box(b"stsz", stsz)
+            + _box(b"stsc", stsc) + _box(b"stco", stco)
+        )
+    stbl = _box(b"stbl", stbl_children)
     minf = _box(b"minf", stbl)
     mdia = _box(
         b"mdia", _box(b"mdhd", mdhd) + _box(b"hdlr", hdlr) + minf
@@ -163,6 +300,65 @@ def synth_mp4_payloads(df: DataFrame) -> DataFrame:
     return df.select(
         "media_id", "duration_s", "width", "height"
     ).mapInPandas(_gen, schema=out_schema)
+
+
+def synth_mp4_framed_payloads(df: DataFrame) -> DataFrame:
+    """(media_id, n_frames, delta) -> ISO-BMFF bytes WITH sample
+    tables; per-sample sizes are the closed form
+    100 + ((media_id + i) % 7) * 10 so the oracle can regenerate
+    them relationally."""
+    out_schema = "media_id long, payload binary"
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for m, n, d in zip(
+                pdf["media_id"], pdf["n_frames"], pdf["delta"]
+            ):
+                m, n, d = int(m), int(n), int(d)
+                sizes = [100 + ((m + i) % 7) * 10 for i in range(n)]
+                payloads.append(
+                    synth_mp4_payload(
+                        m, max(n * d // 1000, 1), 640, 480,
+                        frames=(n, d, sizes),
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    return df.select("media_id", "n_frames", "delta").mapInPandas(
+        _gen, schema=out_schema
+    )
+
+
+def extract_mp4_frames(df: DataFrame) -> DataFrame:
+    """Per-frame seek metadata as a narrow Arrow map, one output row
+    per sample: (media_id, frame_idx, ts_ms, duration_ms,
+    byte_offset, byte_size) — integers only, exact across engines.
+    Payload bytes never leave the Arrow batch; the fan-out happens
+    map-side so no shuffle carries video bytes."""
+    out_schema = (
+        "media_id long, frame_idx int, ts_ms long, duration_ms int, "
+        "byte_offset long, byte_size int"
+    )
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict = {k: [] for k in (
+                "media_id", "frame_idx", "ts_ms", "duration_ms",
+                "byte_offset", "byte_size")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for fr in parse_mp4_frames(bytes(payload)):
+                    rows["media_id"].append(mid)
+                    for k in ("frame_idx", "ts_ms", "duration_ms",
+                              "byte_offset", "byte_size"):
+                        rows[k].append(fr[k])
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "payload").mapInPandas(
+        _extract, schema=out_schema
+    )
 
 
 def extract_mp4_meta(df: DataFrame) -> DataFrame:

@@ -102,7 +102,16 @@ class ModelResult:
 class TaskGroup:
     """Ordered set of models, mirroring one pipeline_config.json
     entry (a Datawarehouse-ETL directory). Models inside a group run
-    in listed order (the reference's 00_/01_ file-name prefixes)."""
+    in listed order (the reference's 00_/01_ file-name prefixes).
+
+    ``after`` declares which groups this one depends on — the
+    pipeline_config.json dependency edges that Airflow uses to run
+    independent subtrees CONCURRENTLY (dag_fullload_pipeline.py
+    builds task-group edges, not a flat chain). ``None`` means
+    "after every group listed before me" (the conservative flat
+    chain); an explicit list lets the runner schedule independent
+    layers side by side."""
 
     name: str
     models: list[Model] = field(default_factory=list)
+    after: list[str] | None = None

@@ -33,30 +33,150 @@ class Pipeline:
     parallel_within_group: bool = False
     max_parallel: int = 4
 
+    def levels(self) -> "list[list[TaskGroup]]":
+        """Topological levels of the group DAG (TaskGroup.after edges)
+        — groups in one level have no path between them and may run
+        concurrently, the way Airflow schedules independent task
+        groups of the fullload DAG side by side. A group with
+        ``after=None`` depends on every group listed before it (flat
+        chain), so legacy pipelines degenerate to one group per
+        level."""
+        level_of: dict[str, int] = {}
+        out: list[list[TaskGroup]] = []
+        for i, g in enumerate(self.groups):
+            deps = (
+                [x.name for x in self.groups[:i]]
+                if g.after is None
+                else g.after
+            )
+            unknown = [d for d in deps if d not in level_of]
+            if unknown:
+                raise ValueError(
+                    f"group {g.name}: unknown/later dependency {unknown}"
+                )
+            lvl = 1 + max((level_of[d] for d in deps), default=-1)
+            level_of[g.name] = lvl
+            while len(out) <= lvl:
+                out.append([])
+            out[lvl].append(g)
+        return out
+
+    def _deps(self) -> "dict[str, set[str]]":
+        deps: dict[str, set[str]] = {}
+        seen: set[str] = set()
+        for i, g in enumerate(self.groups):
+            d = (
+                {x.name for x in self.groups[:i]}
+                if g.after is None
+                else set(g.after)
+            )
+            unknown = d - seen
+            if unknown:
+                raise ValueError(
+                    f"group {g.name}: unknown/later dependency {sorted(unknown)}"
+                )
+            deps[g.name] = d
+            seen.add(g.name)
+        return deps
+
     def run(self, ctx: RunContext) -> list[ModelResult]:
-        results: list[ModelResult] = []
-        failed_any = False
-        for group in self.groups:
-            if self.parallel_within_group and len(group.models) > 1:
-                with ThreadPoolExecutor(max_workers=self.max_parallel) as ex:
-                    group_results = list(
-                        ex.map(lambda m: self._run_model(m, ctx), group.models)
-                    )
-            else:
-                group_results = [self._run_model(m, ctx) for m in group.models]
-            results.extend(group_results)
-            if any(r.status == "failed" for r in group_results):
-                failed_any = True
-                if not self.continue_on_failure:
-                    remaining = [
-                        m
-                        for g in self.groups[self.groups.index(group) + 1 :]
-                        for m in g.models
-                    ]
+        if self.parallel_within_group:
+            results = self._run_dag(ctx)
+        else:
+            # Sequential mode: flat topological order (levels in
+            # order, groups and models in listed order) — the
+            # deterministic debugging path.
+            results = []
+            stop = False
+            for level in self.levels():
+                if stop:
                     results.extend(
-                        ModelResult(m.name, "skipped", 0.0, 0) for m in remaining
+                        ModelResult(m.name, "skipped", 0.0, 0)
+                        for g in level
+                        for m in g.models
                     )
-                    break
+                    continue
+                for g in level:
+                    for m in g.models:
+                        results.append(self._run_model(m, ctx))
+                if not self.continue_on_failure and any(
+                    r.status == "failed" for r in results
+                ):
+                    stop = True
+        # Models cache()/localCheckpoint() intermediates (the
+        # reference's TEMP TABLE idiom); their tables are parquet
+        # now, so the blocks are dead weight — leave the session
+        # clean rather than letting 31 models' caches linger.
+        try:
+            ctx.spark.catalog.clearCache()
+        except Exception:
+            pass
+        return results
+
+    def _run_dag(self, ctx: RunContext) -> list[ModelResult]:
+        """Airflow-faithful DAG execution: a group's models are
+        submitted to the shared worker pool the moment every group
+        it depends on has finished — independent subtrees overlap
+        instead of waiting at a global level barrier (the fullload
+        DAG's trigger_rule/dependency semantics,
+        dag_fullload_pipeline.py:43-80)."""
+        from concurrent.futures import FIRST_COMPLETED, wait
+
+        deps = self._deps()
+        results: list[ModelResult] = []
+        done_groups: set[str] = set()
+        remaining = {g.name: len(g.models) for g in self.groups}
+        pending = list(self.groups)
+        failed = False
+        future_group: dict = {}
+
+        with ThreadPoolExecutor(max_workers=self.max_parallel) as ex:
+
+            def submit_ready() -> None:
+                nonlocal pending
+                progressed = True
+                while progressed:
+                    progressed = False
+                    ready = [
+                        g for g in pending if deps[g.name] <= done_groups
+                    ]
+                    if not ready:
+                        return
+                    pending = [g for g in pending if g not in ready]
+                    for g in ready:
+                        if not g.models:  # empty group: complete now
+                            done_groups.add(g.name)
+                            progressed = True
+                            continue
+                        for m in g.models:
+                            fut = ex.submit(self._run_model, m, ctx)
+                            future_group[fut] = g.name
+
+            submit_ready()
+            while future_group:
+                done, _ = wait(
+                    set(future_group), return_when=FIRST_COMPLETED
+                )
+                for fut in done:
+                    gname = future_group.pop(fut)
+                    r = fut.result()
+                    results.append(r)
+                    if r.status == "failed":
+                        failed = True
+                    remaining[gname] -= 1
+                    if remaining[gname] == 0:
+                        done_groups.add(gname)
+                if not (failed and not self.continue_on_failure):
+                    submit_ready()
+
+        if failed and not self.continue_on_failure:
+            done_names = {r.name for r in results}
+            results.extend(
+                ModelResult(m.name, "skipped", 0.0, 0)
+                for g in self.groups
+                for m in g.models
+                if m.name not in done_names
+            )
         return results
 
     def _run_model(self, model: Model, ctx: RunContext) -> ModelResult:

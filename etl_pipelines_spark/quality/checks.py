@@ -286,7 +286,14 @@ def value_drift_psi(
         .select(F.col("id").cast("int").alias("bucket"))
     )
     counts = spine.join(
-        df.select(bucket.alias("bucket"), cur.alias("__cur"))
+        # NULL values are excluded EXPLICITLY (not via the NULL
+        # bucket silently missing the spine): PSI is defined over
+        # the value distribution; drift in the null RATE is a
+        # different signal — monitor it with table_stats.n_nulls /
+        # volume_anomaly, loudly, rather than folding NULL mass
+        # into an arbitrary bucket here.
+        df.filter(v.isNotNull())
+        .select(bucket.alias("bucket"), cur.alias("__cur"))
         .groupBy("bucket")
         .agg(
             F.sum(1 - F.col("__cur")).alias("ref_n"),

@@ -3474,8 +3474,6 @@ def dm_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums, partition-total offsets), so no full-frame SinglePartition
     sort remains; the oracle keeps the window form and the driver's
     hash compare proves the rewrite is value-invisible."""
-    from .operators.globalrank import attach_percent_rank
-
     run_date = F.lit("1998-08-02").cast("date")
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
@@ -3498,6 +3496,20 @@ def dm_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "monetary",
         recency.alias("recency_days"),
     )
+    return dm_rfm_segmentation_core(prep).orderBy("c_custkey")
+
+
+def dm_rfm_segmentation_core(prep: DataFrame) -> DataFrame:
+    """Unordered scoring core of dm_rfm_segmentation over a prepared
+    (c_custkey, frequency, monetary, recency_days) frame. The
+    registry form derives that frame from the raw customer x orders
+    rollup; the nightly layered build derives it from the already-
+    materialized master.customer entity (frequency = LEAST(n_orders,
+    10), monetary = total_spend, recency vs last_order_at) — the
+    2_ods_marketing mart reading 3_master, as the reference's layer
+    topology prescribes, instead of re-aggregating raw orders."""
+    from .operators.globalrank import attach_percent_rank
+
     prep = attach_percent_rank(prep, "frequency", "frequency_rank")
     prep = attach_percent_rank(prep, "recency_days", "recency_rank", ascending=False)
     prep = attach_percent_rank(prep, "monetary", "monetary_rank")
@@ -3537,7 +3549,6 @@ def dm_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("hibernating")
             .alias("segment"),
         )
-        .orderBy("c_custkey")
     )
 
 
@@ -3589,7 +3600,15 @@ def wh_sessions_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     every §2.9/§2.6 idiom a real reporting session table uses, in one
     oracle-checked dataflow. One shuffle on user_id serves the lag
     window, the running sum, the attribute window and the rollup."""
-    e = load(spark, sf_dir, "events")
+    return wh_sessions_mart_core(load(spark, sf_dir, "events")).orderBy(
+        "user_id", "session_seq"
+    )
+
+
+def wh_sessions_mart_core(e: DataFrame) -> DataFrame:
+    """Unordered core of wh_sessions_mart; the nightly layered build
+    feeds it conformed ods.events instead of a fresh raw scan.
+    Requires: user_id, ts, event_id, event_type, value."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
     is_new = F.when(
@@ -3621,7 +3640,6 @@ def wh_sessions_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("first_event_type").alias("first_event_type"),
             F.min("last_event_type").alias("last_event_type"),
         )
-        .orderBy("user_id", "session_seq")
     )
 
 
@@ -3686,7 +3704,15 @@ def sessions_union_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
     (platforms partition the events), but one event scan and one
     shuffle instead of two of each. The UNION in the reference SQL is
     a logical shape; the NULL padding is a post-agg CASE."""
-    e = load(spark, sf_dir, "events")
+    return sessions_union_stitch_core(load(spark, sf_dir, "events")).orderBy(
+        "user_id", "session_start", "platform"
+    )
+
+
+def sessions_union_stitch_core(e: DataFrame) -> DataFrame:
+    """Unordered core of sessions_union_stitch; the nightly layered
+    build feeds it conformed ods.events. Requires: user_id, ts,
+    event_id, event_type."""
     # Whitelist BOTH platforms' event types with a pushable filter on
     # the SOURCE column (a filter on the computed platform tag would
     # not reach the parquet scan): the oracle whitelists app types,
@@ -3734,7 +3760,7 @@ def sessions_union_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("platform") == "app", F.col("__pu"))
         .otherwise(F.lit(None).cast("long"))
         .alias("n_purchases"),
-    ).orderBy("user_id", "session_start", "platform")
+    )
 
 
 @q(
@@ -3789,12 +3815,19 @@ def spv_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     group median, rank survivors. Trailing window pinned to the logical
     run date (1998-08-02 - 14d). part broadcasts; the only shuffle is
     the (brand, container) window grain, shared by median and rank."""
-    l = load(spark, sf_dir, "lineitem").filter(
+    return spv_price_outliers_core(
+        load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "part")
+    ).orderBy("p_brand", "p_type", "price_rank")
+
+
+def spv_price_outliers_core(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Unordered core of spv_price_outliers (raw lineitem + part —
+    no conformed layer exists for either; the scan is shared with
+    nothing upstream by design)."""
+    l = lineitem.filter(
         F.col("l_shipdate") >= F.lit("1998-07-20").cast("timestamp_ntz")
     )
-    p = load(spark, sf_dir, "part").select(
-        "p_partkey", "p_brand", "p_type", "p_retailprice"
-    )
+    p = part.select("p_partkey", "p_brand", "p_type", "p_retailprice")
     s = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select(
         "l_orderkey",
         "l_linenumber",
@@ -3838,7 +3871,6 @@ def spv_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .over(grp.orderBy("coeff", "l_orderkey", "l_linenumber"))
             .alias("price_rank"),
         )
-        .orderBy("p_brand", "p_type", "price_rank")
     )
 
 
@@ -3892,12 +3924,24 @@ def master_subscription(spark: SparkSession, sf_dir: str) -> DataFrame:
     CASE tier mapping (:151-163). Dims broadcast; the lineitem
     rollup and the orders side shuffle once on orderkey; both
     customer-grain windows share one shuffle on customer_id."""
-    o = load(spark, sf_dir, "orders")
-    c = load(spark, sf_dir, "customer")
-    n = load(spark, sf_dir, "nation")
-    r = load(spark, sf_dir, "region")
+    return master_subscription_core(
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "region"),
+        load(spark, sf_dir, "lineitem"),
+    ).orderBy("subscription_id")
+
+
+def master_subscription_core(
+    o: DataFrame, c: DataFrame, n: DataFrame, r: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """Unordered core of master_subscription; the nightly layered
+    build feeds it conformed ods.orders plus the raw dims + lineitem
+    (3_master reads staging + spectrum in the reference too)."""
     li = (
-        load(spark, sf_dir, "lineitem")
+        lineitem
         .groupBy("l_orderkey")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
@@ -3954,7 +3998,6 @@ def master_subscription(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monthly_value",
             F.col("committed_sub_value") / duration,
         )
-        .orderBy("subscription_id")
     )
 
 
@@ -3996,7 +4039,17 @@ def wh_page_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "events"),
         keys=["event_id"],
         order_by=[F.col("ts").desc()],
-    ).filter(F.col("event_type").isin("view", "click"))
+    )
+    return wh_page_views_core(ev).orderBy("user_id", "view_start", "event_id")
+
+
+def wh_page_views_core(ev: DataFrame) -> DataFrame:
+    """Unordered core of wh_page_views over an ALREADY-DEDUPED events
+    frame: the registry form dedups its raw scan; the nightly layered
+    build passes the conformed ods.events, whose W2 build applied the
+    identical keep-latest-ts rule — true layering, the dedup runs
+    once per night instead of once per downstream mart."""
+    ev = ev.filter(F.col("event_type").isin("view", "click"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     cap = F.col("ts") + F.expr("INTERVAL 30 MINUTES")
     view_end = F.least(F.coalesce(F.lead("ts").over(w), cap), cap)
@@ -4015,7 +4068,6 @@ def wh_page_views(spark: SparkSession, sf_dir: str) -> DataFrame:
             "time_engaged_sec",
             RF.datediff("second", F.col("view_start"), F.col("view_end")),
         )
-        .orderBy("user_id", "view_start", "event_id")
     )
 
 
@@ -4050,8 +4102,14 @@ def top_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     a single-reducer total order on the small part-grain rollup (the
     reference accepts the same); the brand rank shares the rollup's
     shuffle."""
-    li = load(spark, sf_dir, "lineitem")
-    p = load(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    return top_products_core(
+        load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "part")
+    ).orderBy("p_brand", "brand_rank", "p_partkey")
+
+
+def top_products_core(li: DataFrame, part: DataFrame) -> DataFrame:
+    """Unordered core of top_products (raw lineitem + part)."""
+    p = part.select("p_partkey", "p_name", "p_brand")
     rev = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_partkey", "p_name", "p_brand")
@@ -4073,7 +4131,7 @@ def top_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.filter(
         (F.col("brand_rank") <= 2) | (F.col("overall_rank") <= 10)
-    ).orderBy("p_brand", "brand_rank", "p_partkey")
+    )
 
 
 @q(
@@ -4112,9 +4170,16 @@ def braze_order_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest touch, hash customer + channel. The range condition rides
     on the user/custkey equi-join (hash join + residual filter — no
     BNLJ); ROW_NUMBER dedups on the orderkey grain."""
-    o = load(spark, sf_dir, "orders")
+    return braze_order_attribution_core(
+        load(spark, sf_dir, "orders"), load(spark, sf_dir, "events")
+    ).orderBy("o_orderkey")
+
+
+def braze_order_attribution_core(o: DataFrame, events: DataFrame) -> DataFrame:
+    """Unordered core of braze_order_attribution; the nightly layered
+    build feeds it conformed ods.orders + ods.events."""
     e = (
-        load(spark, sf_dir, "events")
+        events
         .filter(F.col("event_type").isin("click", "view"))
         # the synthetic events table lives 23 years after the orders
         # epoch; shift touches back so the at-or-before-order window
@@ -4143,7 +4208,6 @@ def braze_order_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             _d(F.col("o_totalprice")).cast("double").alias("order_value"),
         )
-        .orderBy("o_orderkey")
     )
 
 
@@ -4183,12 +4247,24 @@ def luxco_multigrain_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape). The joined base is computed once and cached so the three
     grains re-aggregate the in-memory base instead of re-scanning and
     re-joining; each grain is a partial-agg + tiny shuffle."""
-    o = load(spark, sf_dir, "orders").filter(
+    return luxco_multigrain_union_core(
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "region"),
+    ).orderBy(
+        "grain", F.coalesce("region", F.lit("")), F.coalesce("nation", F.lit(""))
+    )
+
+
+def luxco_multigrain_union_core(
+    orders: DataFrame, c: DataFrame, n: DataFrame, r: DataFrame
+) -> DataFrame:
+    """Unordered core of luxco_multigrain_union; the nightly layered
+    build feeds it conformed ods.orders + the raw dims."""
+    o = orders.filter(
         F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp_ntz")
     )
-    c = load(spark, sf_dir, "customer")
-    n = load(spark, sf_dir, "nation")
-    r = load(spark, sf_dir, "region")
     base = (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -4225,9 +4301,7 @@ def luxco_multigrain_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         "n_orders",
     )
-    return nation_g.unionByName(region_g).unionByName(total_g).orderBy(
-        "grain", F.coalesce("region", F.lit("")), F.coalesce("nation", F.lit(""))
-    )
+    return nation_g.unionByName(region_g).unionByName(total_g)
 
 
 @q(
@@ -4266,8 +4340,25 @@ def fin_collection_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
     collected per cohort (running total) and RANK of months by
     collection volume. The months_since grain is tiny, so the window
     work rides one small shuffle after map-side partial aggregation."""
-    o = load(spark, sf_dir, "orders")
-    li = load(spark, sf_dir, "lineitem")
+    return fin_collection_curves_core(
+        load(spark, sf_dir, "orders"), load(spark, sf_dir, "lineitem")
+    ).orderBy("priority", "months_since")
+
+
+def fin_collection_curves_core(
+    o: DataFrame, li: DataFrame, pk_unique: bool = False
+) -> DataFrame:
+    """Unordered core of fin_collection_curves; the nightly layered
+    build feeds it conformed ods.orders + raw lineitem.
+
+    ``pk_unique=True`` (the layered path) skips the DISTINCT: the
+    feed is unique per (l_orderkey, l_linenumber) by key constraint
+    — orders is PK-unique per orderkey and lineitem per (orderkey,
+    linenumber), so the 1:N join cannot duplicate — making the
+    reference's defensive DISTINCT (asset_collection_curves.sql:8, a
+    guard against dirty landing-zone feeds) a full-corpus shuffle
+    for nothing. The registry form keeps it for oracle parity; the
+    equality test proves the skip is value-invisible."""
     dist = (
         o.join(li, li.l_orderkey == o.o_orderkey)
         .select(
@@ -4278,8 +4369,9 @@ def fin_collection_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_linenumber",
             _d(F.col("l_extendedprice")).alias("val"),
         )
-        .distinct()
     )
+    if not pk_unique:
+        dist = dist.distinct()
     curve = (
         dist.groupBy(
             F.col("o_orderpriority").alias("priority"),
@@ -4309,7 +4401,6 @@ def fin_collection_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
             .over(wp.orderBy(F.col("collected").desc(), "months_since"))
             .alias("month_rank"),
         )
-        .orderBy("priority", "months_since")
     )
 
 
@@ -4515,7 +4606,14 @@ def gc_wallet_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan/join). Deltas go through decimal so subtraction is exact.
     Scale: the pivoted frame is day-grain (tiny); the one real shuffle
     is the daily rollup."""
-    o = load(spark, sf_dir, "orders")
+    return gc_wallet_expansion_core(load(spark, sf_dir, "orders")).orderBy(
+        "fact_date"
+    )
+
+
+def gc_wallet_expansion_core(o: DataFrame) -> DataFrame:
+    """Unordered core of gc_wallet_expansion; the nightly layered
+    build feeds it conformed ods.orders."""
     daily = o.groupBy(
         F.to_date("o_orderdate").alias("fact_date"), "o_orderstatus"
     ).agg(F.sum(_d(F.col("o_totalprice"))).cast("double").alias("v"))
@@ -4546,7 +4644,7 @@ def gc_wallet_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "filled_value",
         dod("open_value").alias("open_delta_dod"),
         dod("filled_value").alias("filled_delta_dod"),
-    ).orderBy("fact_date")
+    )
 
 
 @q(
@@ -4681,7 +4779,14 @@ def gc_account_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     day-grain frame (thousands of rows per decade), single
     partition by design — matching the reference, whose recursive
     CTE was inherently sequential over the same frame."""
-    e = load(spark, sf_dir, "events")
+    return gc_account_balance_core(load(spark, sf_dir, "events")).orderBy(
+        "fact_date"
+    )
+
+
+def gc_account_balance_core(e: DataFrame) -> DataFrame:
+    """Unordered core of gc_account_balance; the nightly layered
+    build feeds it conformed ods.events."""
 
     def tsum(tp: str) -> F.Column:
         return F.coalesce(
@@ -4719,7 +4824,7 @@ def gc_account_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("balance").cast("double").alias("eod_balance"),
         rolling_avg(w7).alias("seven_day_rolling_avg"),
         rolling_avg(w30).alias("thirty_day_rolling_avg"),
-    ).orderBy("fact_date")
+    )
 
 
 @q(
@@ -4832,14 +4937,27 @@ def wh_track_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage, and the only shuffle is the dedup window's hash partition
     by event_id — at 100 TB that is one shuffle of already-filtered,
     column-pruned rows; amount stays decimal until the final cast."""
-    e = load(spark, sf_dir, "events")
+    return wh_track_events_core(load(spark, sf_dir, "events")).orderBy(
+        "event_id"
+    )
+
+
+def wh_track_events_core(e: DataFrame, pre_deduped: bool = False) -> DataFrame:
+    """Unordered core of wh_track_events. The nightly layered build
+    feeds it the conformed ods.events (which carries props through)
+    with ``pre_deduped=True``: the ods build already applied the
+    identical keep-latest-ts message-id dedup, so re-shuffling on
+    event_id here would repeat work the layer below paid for.
+    Requires: event_id, ts, user_id, event_type, value, props."""
     parsed = (
         e.withColumn("ctx", F.from_json("props", "k INT"))
         .filter(RF.is_valid_json("props"))
         .filter(F.col("user_id").cast("string").rlike("^[0-9]+$"))
     )
-    deduped = dedupe_latest(
-        parsed, ["event_id"], [F.col("ts").desc()]
+    deduped = (
+        parsed
+        if pre_deduped
+        else dedupe_latest(parsed, ["event_id"], [F.col("ts").desc()])
     )
     k = F.col("ctx.k")
     return deduped.select(
@@ -4861,7 +4979,7 @@ def wh_track_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("low")
         .alias("ctx_band"),
         _d(F.col("value")).cast("double").alias("amount"),
-    ).orderBy("event_id")
+    )
 
 
 @q(
@@ -4913,7 +5031,17 @@ def ops_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     join (keys are non-null by schema), and the merge is a
     unionByName. At 100 TB each shuffle carries only the event-type
     slice, and the anti-join side is the deduped (small) set."""
-    e = load(spark, sf_dir, "events")
+    return ops_allocation_core(load(spark, sf_dir, "events")).orderBy(
+        "allocation_uid", "event_id"
+    )
+
+
+def ops_allocation_core(e: DataFrame) -> DataFrame:
+    """Unordered core of ops_allocation, shared by the registry form
+    (raw scan + ORDER BY) and the nightly-pipeline layered build
+    (conformed ods.events input, no output sort — a materialized
+    table needs no total order). Requires columns: event_id, ts,
+    user_id, event_type, value, props."""
     k = F.get_json_object("props", "$.k").cast("int")
 
     repl = (
@@ -4976,19 +5104,15 @@ def ops_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn_first")
     )
 
-    return (
-        repl.unionByName(regular)
-        .select(
-            "allocation_uid",
-            "event_id",
-            "allocated_at",
-            F.col("amount").cast("double").alias("amount"),
-            "replacement_for",
-            F.when(F.col("replacement_for").isNull(), "regular")
-            .otherwise("replacement")
-            .alias("allocation_kind"),
-        )
-        .orderBy("allocation_uid", "event_id")
+    return repl.unionByName(regular).select(
+        "allocation_uid",
+        "event_id",
+        "allocated_at",
+        F.col("amount").cast("double").alias("amount"),
+        "replacement_for",
+        F.when(F.col("replacement_for").isNull(), "regular")
+        .otherwise("replacement")
+        .alias("allocation_kind"),
     )
 
 
@@ -5060,7 +5184,15 @@ def sust_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, so the orders fact is scanned once per grain with no
     shuffle except the final per-grain aggregation; COUNT(DISTINCT
     o_orderkey) folds into the groupBy hash aggregate."""
-    o = load(spark, sf_dir, "orders")
+    return sust_seasonality_core(load(spark, sf_dir, "orders")).orderBy(
+        "grain", "acquisition_month", "o_orderpriority"
+    )
+
+
+def sust_seasonality_core(o: DataFrame) -> DataFrame:
+    """Unordered core of sust_seasonality; the nightly layered build
+    feeds it conformed ods.orders."""
+    spark = o.sparkSession
     spine = date_spine(spark, "1995-01-01", "2001-12-31", "datum")
     first_mondays = (
         spine.filter(
@@ -5113,9 +5245,7 @@ def sust_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("o_orderkey").alias("num_orders"))
         .select(F.lit("ex_promo").alias("grain"), "*")
     )
-    return raw_.unionByName(promo_numbers).orderBy(
-        "grain", "acquisition_month", "o_orderpriority"
-    )
+    return raw_.unionByName(promo_numbers)
 
 
 @q(
@@ -5174,12 +5304,21 @@ def pay_retry_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts. The window shuffles on (user, status) once; ties on
     the DATE-truncated order key are made deterministic with unique
     tiebreakers on both sides."""
-    e = load(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("purchase", "error")
-    )
-    o = load(spark, sf_dir, "orders")
-    c = load(spark, sf_dir, "customer")
+    return pay_retry_payments_core(
+        load(spark, sf_dir, "events"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "customer"),
+    ).orderBy("group_id", "status", "rownum", "event_id", "order_id")
 
+
+def pay_retry_payments_core(
+    events: DataFrame, o: DataFrame, c: DataFrame
+) -> DataFrame:
+    """Unordered core of pay_retry_payments; the nightly layered
+    build feeds it conformed ods.events + ods.orders + the raw
+    customer dim. Requires events: user_id, ts, event_id,
+    event_type, props; orders: all raw columns."""
+    e = events.filter(F.col("event_type").isin("purchase", "error"))
     joined = e.join(o, on=[e.user_id == o.o_custkey], how="left").join(
         F.broadcast(c), on=[o.o_custkey == c.c_custkey], how="left"
     )
@@ -5239,7 +5378,7 @@ def pay_retry_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("status") == "error") & (F.col("rownum") == 1)).alias(
             "is_first_failed"
         ),
-    ).orderBy("group_id", "status", "rownum", "event_id", "order_id")
+    )
 
 
 @q(
@@ -5316,10 +5455,26 @@ def mkt_affiliate_payout(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: the feed and source dims are tiny (broadcast); lineitem
     shuffles once to the (order, campaign, category) rollup; the
     share window reuses the order-grain partitioning."""
-    o = load(spark, sf_dir, "orders")
-    li = load(spark, sf_dir, "lineitem")
-    p = load(spark, sf_dir, "part")
+    return mkt_affiliate_payout_core(
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "part"),
+    ).orderBy("o_orderkey", "category")
 
+
+def mkt_affiliate_payout_core(
+    o: DataFrame, li: DataFrame, p: DataFrame, pk_unique: bool = False
+) -> DataFrame:
+    """Unordered core of mkt_affiliate_payout; the nightly layered
+    build feeds it conformed ods.orders + raw lineitem/part.
+
+    ``pk_unique=True``: orders is PK-unique per o_orderkey, so the
+    reference's two-feed UNION-dedup-then-rejoin
+    (affiliates_metrics_paid_orders.sql:17-34, two order scans + a
+    DISTINCT shuffle + a self-join) collapses to ONE predicate
+    filter — same row set by key constraint, proven value-equal by
+    the promoted-model test. The registry form keeps the literal
+    multi-feed shape for oracle parity."""
     wsrc = Window.partitionBy()
     qual_src = (
         li.groupBy("l_suppkey")
@@ -5329,14 +5484,21 @@ def mkt_affiliate_payout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_lines") * F.col("n_supp") > F.col("total_lines"))
         .select("l_suppkey")
     )
-    feed = (
-        o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
-        .select("o_orderkey")
-        .union(o.filter(F.col("o_orderstatus") == "F").select("o_orderkey"))
-        .distinct()
-    )
+    if pk_unique:
+        fed = o.filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            | (F.col("o_orderstatus") == "F")
+        )
+    else:
+        feed = (
+            o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+            .select("o_orderkey")
+            .union(o.filter(F.col("o_orderstatus") == "F").select("o_orderkey"))
+            .distinct()
+        )
+        fed = feed.join(o, "o_orderkey")
     lines = (
-        feed.join(o, "o_orderkey")
+        fed
         .join(li, li.l_orderkey == F.col("o_orderkey"))
         .join(F.broadcast(p), p.p_partkey == li.l_partkey)
         .join(
@@ -5394,7 +5556,7 @@ def mkt_affiliate_payout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_price_cat")
             * (rate * F.col("any_qualified_source"))
         ).alias("commission"),
-    ).orderBy("o_orderkey", "category")
+    )
 
 
 from .operators.scd2 import scd2_merge  # noqa: E402
@@ -5460,9 +5622,72 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     every per-snapshot cumulative rollup (and each merge's user_id
     join) reuses that one partitioning — 4 full event scans and
     their 4 corpus-sized shuffles become 1 at any scale."""
-    e = load(spark, sf_dir, "events").select(
-        F.to_date("ts").alias("d"), "user_id", "event_type"
+    return scd2_history_core(load(spark, sf_dir, "events")).orderBy(
+        "user_id", "valid_from"
     )
+
+
+def scd2_history_relational(events: DataFrame) -> DataFrame:
+    """Batch/backfill form of scd2_history: the SAME intervals the
+    scd2_merge replay produces (value-equality is what the driver's
+    oracle proves for the registry form, and tests pin this form to
+    the registry output), derived in ONE relational pass — daily
+    partials x snapshot dates -> cumulative counts -> LAG change
+    flags -> LEAD valid_to. This is what a full REBUILD should run
+    at 100 TB: no iterative merge chain (4 sequential jobs + a
+    compile-heavy lineage), just one shuffle on the business key;
+    the incremental nightly run still uses operators/scd2.scd2_merge
+    to consume one increment against stored history."""
+    daily = (
+        events.select(F.to_date("ts").alias("d"), "user_id", "event_type")
+        .groupBy("user_id", "d")
+        .agg(
+            F.count(F.lit(1)).alias("__ne"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("__np"),
+        )
+    )
+    dates = F.array(
+        *[F.lit(ds).cast("date") for ds in _SCD2_SNAPSHOT_DATES]
+    )
+    snap = (
+        daily.select(
+            "user_id", "__ne", "__np",
+            F.explode(F.filter(dates, lambda sd: F.col("d") <= sd)).alias("sd"),
+        )
+        .groupBy("user_id", "sd")
+        .agg(
+            F.sum("__ne").alias("n_events"),
+            F.sum("__np").alias("n_purchases"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("sd")
+    flagged = snap.withColumn(
+        "__chg",
+        F.lag("n_events").over(w).isNull()
+        | (F.lag("n_events").over(w) != F.col("n_events"))
+        | (F.lag("n_purchases").over(w) != F.col("n_purchases")),
+    )
+    # valid_to = the NEXT CHANGE's valid_from: LEAD runs over the
+    # change rows only (unchanged snapshots never open/close rows in
+    # the merge replay), sharing the same user_id shuffle.
+    return (
+        flagged.filter("__chg")
+        .withColumn("__next", F.lead("sd").over(w))
+        .select(
+            "user_id",
+            "n_events",
+            "n_purchases",
+            F.col("sd").alias("valid_from"),
+            F.col("__next").alias("valid_to"),
+        )
+    )
+
+
+def scd2_history_core(events: DataFrame) -> DataFrame:
+    """Unordered core of scd2_history; the nightly layered build
+    feeds it conformed ods.events. Requires: ts, user_id,
+    event_type."""
+    e = events.select(F.to_date("ts").alias("d"), "user_id", "event_type")
     daily = (
         e.groupBy("user_id", "d")
         .agg(
@@ -5507,7 +5732,7 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             hist = hist.localCheckpoint(eager=False)
     return hist.select(
         "user_id", "n_events", "n_purchases", "valid_from", "valid_to"
-    ).orderBy("user_id", "valid_from")
+    )
 
 
 @q(
@@ -5805,6 +6030,61 @@ def mm_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_mp4_meta(media).orderBy("media_id")
 
 
+@q(
+    "mm_video_frames",
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id,
+    CAST(doc_id % 24 + 2 AS INT) AS n,
+    CAST(40 * (doc_id % 3 + 1) AS INT) AS delta
+  FROM documents WHERE doc_id % 5 = 0
+),
+frames AS (
+  SELECT media_id, delta, CAST(u.i AS INT) AS frame_idx,
+    100 + ((media_id + u.i) % 7) * 10 AS sz
+  FROM media, LATERAL (SELECT unnest(range(0, n)) AS i) u
+)
+SELECT media_id, frame_idx,
+  CAST(frame_idx * delta AS BIGINT) AS ts_ms,
+  CAST(delta AS INT) AS duration_ms,
+  CAST(4096 + COALESCE(SUM(sz) OVER (
+    PARTITION BY media_id ORDER BY frame_idx
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+    AS byte_offset,
+  CAST(sz AS INT) AS byte_size
+FROM frames
+ORDER BY media_id, frame_idx
+""",
+)
+def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL per-frame video metadata (VERDICT r5 #8): each doc gets
+    an ISO-BMFF payload WITH genuine sample tables — stts run, stsz
+    per-sample sizes, stsc/stco chunk map — and
+    multimodal/video.parse_mp4_frames walks them back into the
+    per-frame seek plan (timestamp, duration, byte offset/size from
+    the §8.7.4-8.7.5 chunk algorithm): everything a frame-extraction
+    stage needs to hand bytes to a codec, container-honest like
+    mm_mp3_meta's tier — the H.264 sample DECODE stays the stubbed
+    codec line. The oracle regenerates the closed-form tables
+    relationally (running byte offset = window sum of prior sample
+    sizes). Narrow Arrow map; payload bytes never shuffle — the
+    per-frame fan-out happens map-side."""
+    from .multimodal import extract_mp4_frames, synth_mp4_framed_payloads
+
+    d = load_spread(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    did = F.col("doc_id")
+    media = synth_mp4_framed_payloads(
+        d.select(
+            did.alias("media_id"),
+            (F.pmod(did, 24) + 2).cast("int").alias("n_frames"),
+            (40 * (F.pmod(did, 3) + 1)).cast("int").alias("delta"),
+        )
+    )
+    return extract_mp4_frames(media).orderBy("media_id", "frame_idx")
+
+
 def _mp3_oracle() -> str:
     """mm_mp3_meta oracle rendered from the SAME Python bitrate /
     sample-rate tables the synthesizer and parser use (multimodal/
@@ -5827,6 +6107,7 @@ WITH m AS (
 )
 SELECT media_id, 'MPEG1' AS version, n_frames,
   CAST(bitrate_kbps AS INT) AS bitrate_kbps,
+  TRUE AS is_cbr,
   CAST(sample_rate AS INT) AS sample_rate,
   CAST(channels AS INT) AS channels,
   CAST(n_frames * 1152 * 1000 // sample_rate AS BIGINT) AS duration_ms,
@@ -5931,8 +6212,14 @@ def ops_shipment_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     attach broadcasts. Exactness: hour diffs are longs (boundary
     semantics shim); median/p80 go through ROUND(…, 6) on both
     engines — the established float-parity idiom."""
-    e = load(spark, sf_dir, "events")
-    c = load(spark, sf_dir, "customer")
+    return ops_shipment_funnel_core(
+        load(spark, sf_dir, "events"), load(spark, sf_dir, "customer")
+    ).orderBy("fact_week", "segment")
+
+
+def ops_shipment_funnel_core(e: DataFrame, c: DataFrame) -> DataFrame:
+    """Unordered core of ops_shipment_funnel; the nightly layered
+    build feeds it conformed ods.events + the raw customer dim."""
 
     def first_ts(tp: str) -> F.Column:
         return F.min(F.when(F.col("event_type") == tp, F.col("ts")))
@@ -5993,7 +6280,7 @@ def ops_shipment_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     week = F.date_trunc("week", F.col("signup_at")).cast("date").alias("fact_week")
     detailed = rollup(funnel.groupBy(week, "segment"), F.col("segment"))
     total = rollup(funnel.groupBy(week), F.lit("Total"))
-    return detailed.unionByName(total).orderBy("fact_week", "segment")
+    return detailed.unionByName(total)
 
 
 @q(
@@ -7278,76 +7565,71 @@ def skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _DRIVER_WINDOW = [
-    # --- round-5 window: FRESHNESS rotation (VERDICT r4 "Next round"
-    # #2) — every row whose newest driver evidence is round 1 or
-    # round 2 re-enters the window (15 r1-aged + 30 r2-aged = the
-    # complete aged set), plus this round's changed/new queries and
-    # one r3-aged diagnostic anchor. Rotated out: the 50 round-4
-    # names, every one green in the committed CORRECTNESS_r04.json.
+    # --- round-6 window: FRESHNESS rotation (VERDICT r5 "Next round"
+    # #7) — the complete r3-aged cohort (47 rows whose newest driver
+    # evidence is round 3) re-enters the window, plus this round's
+    # changed queries. Rotated out: the round-5 names, every one
+    # green in the committed CORRECTNESS_r05.json. Union coverage
+    # across r1-r6 windows stays total (test-pinned in
+    # tests/test_registry_window.py).
     #
-    # r1-aged (last driver-checked round 1):
-    "a_dedup_then_agg",
-    "a_greatest_least",
-    "a_listagg",
-    "a_pivot_status",
-    "f_math",
-    "f_null_conditional",
-    "j_cross_spine",
-    "j_semi_in",
-    "p_distinct",
-    "u_except",
-    "u_intersect",
-    "u_union_distinct",
-    "w_median_window",
-    "w_nth_value",
-    "w_rank_top_orders",
-    # r2-aged (last driver-checked round 2; dd_simhash is the
-    # designed no_oracle row — its windowing refreshes the driver's
-    # rows-only record, its hash twin dd_simhash_md5 is r3-green):
-    "braze_order_attribution",
-    "dd_ngram_jaccard",
-    "dd_simhash",
-    "fin_collection_curves",
-    "gc_wallet_expansion",
-    "luxco_multigrain_union",
-    "m_date_spine",
-    "m_explode_split",
-    "m_posexplode",
-    "m_scalar_subquery",
-    "master_subscription",
-    "mm_binary_meta",
-    "mm_frame_plan",
-    "mm_resize_dims",
-    "mon_duplicate_keys",
-    "mon_freshness",
-    "mon_missing_dates",
-    "ops_allocation",
-    "ops_shipment_funnel",
-    "pay_retry_payments",
-    "s_event_dedup_incremental",
-    "s_page_view_end",
-    "s_sessionize_gap",
-    "spv_price_outliers",
-    "top_products",
-    "txt_fingerprint",
-    "txt_quality",
-    "w_percentile_window",
-    "wh_page_views",
-    "wh_sessions_mart",
-    # re-proof rows — implementation or oracle changed this round
-    # (ADVICE fixes: unrounded-priority top-k subquery; PSI bucket
-    # spine), so their r4-green hashes need re-proving:
-    "txt_weighted_sample",
-    "mon_value_drift",
-    # new this round: min-count-pruned bigram LM with unigram
-    # backoff (the bounded-model form of the fleet's worst measured
-    # scale slope) and real MP3 frame-header metadata:
-    "txt_bigram_logprob_pruned",
+    # r3-aged (last driver-checked round 3):
+    "a_rollup_multigrain",
+    "ann_brute_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "ann_pq_adc",
+    "corpus_curation",
+    "dd_exact_dedup_survivors",
+    "dd_exact_dup_groups",
+    "dd_line_dedup",
+    "dd_minhash_lsh",
+    "dd_neardup_components",
+    "dd_simhash_md5",
+    "emb_pq_encode",
+    "gc_account_balance",
+    "j_bloom_prefilter",
+    "master_customer",
+    "mkt_affiliate_payout",
+    "ml_churn_score",
+    "ml_mlp_score",
+    "ml_price_score",
+    "mm_audio_segments",
+    "mm_patch_plan",
+    "mm_ppm_decode",
+    "mm_wav_decode",
+    "mon_cms_heavyhitters",
+    "mon_hll_distinct",
+    "mon_volume_anomaly",
+    "q1_pricing_summary",
+    "sessions_union_stitch",
+    "skew_salted_rollup",
+    "sust_seasonality",
+    "txt_bpe_encode",
+    "txt_chunk_plan",
+    "txt_contamination",
+    "txt_gopher_filter",
+    "txt_hash_split",
+    "txt_langid",
+    "txt_ngram_decontam",
+    "txt_pii_redact",
+    "txt_repetition",
+    "txt_source_mix",
+    "txt_stratified_sample",
+    "txt_unigram_logprob",
+    "txt_vocab_topk",
+    "w_time_range_rolling",
+    "wh_daily_kpi",
+    "wh_track_events",
+    # re-proof rows — output schema or implementation changed this
+    # round (mm_mp3_meta grew the is_cbr VBR-honesty column per r5
+    # ADVICE; scd2_history's registry body was refactored into the
+    # shared core the re-layered pipeline uses):
     "mm_mp3_meta",
-    # r3-aged diagnostic anchor: the unexplained r4 bench regression
-    # row — fresh correctness evidence alongside the r5 perf
-    # diagnosis (VERDICT r4 "Next round" #6):
     "scd2_history",
+    # new this round: MP4 per-frame metadata from the stsz/stts
+    # sample tables (VERDICT r5 "Next round" #8):
+    "mm_video_frames",
 ]
 
 

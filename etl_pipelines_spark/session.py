@@ -56,6 +56,12 @@ _DEFAULT_CONF: dict[str, str] = {
     # 'epoch'), and the UTC session makes the two types value-equal
     # here anyway. Spark 4 defaults this to true (-> NTZ).
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # FAIR job scheduling: the nightly pipeline materializes many
+    # independent models concurrently (plans/pipeline.py DAG runner);
+    # FIFO lets one long stage convoy every other model's short
+    # stages. Static conf — applies at session creation, silently
+    # skipped on a live session.
+    "spark.scheduler.mode": "FAIR",
     "spark.ui.enabled": "false",
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
 }

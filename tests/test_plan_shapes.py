@@ -32,6 +32,18 @@ PY_NODES = (
 
 
 class TestPlanShapes:
+    @pytest.fixture(autouse=True)
+    def _isolated_cache(self, spark):
+        """Plan locks are exact node-count assertions; a cache entry
+        left by ANY earlier test substitutes InMemoryRelation into
+        these plans and shifts exchange counts (the r5 full-suite
+        flake on test_ops_allocation_caches_reused_branch). Clear
+        the session cache around every plan-shape test so the locks
+        see the same plan standalone and mid-suite."""
+        spark.catalog.clearCache()
+        yield
+        spark.catalog.clearCache()
+
     @pytest.mark.parametrize(
         "name",
         ["q5_regional_revenue", "master_subscription", "spv_price_outliers",

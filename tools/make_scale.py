@@ -14,17 +14,20 @@ with the statistics that MATTER for the measured queries held fixed:
   (orders per customer, lineitems per order, events per user).
 - region/nation stay fixed (they are fixed-size in TPC-H too);
   customer/supplier/part scale with the factor, as TPC-H scales them.
-- documents: the text of replica r is caesar-shifted by r (letters
-  only; length, punctuation, whitespace and digits untouched), so
-  replicas share ZERO shingles — the near-duplicate rate per doc
-  stays what it was at sf0.1 instead of every doc gaining 9 fake
-  near-dups, which would quadratically inflate LSH verify work and
-  fake a bad slope. Word-length/punct statistics (quality filters)
-  are preserved exactly; stopword-based scores shift for r > 0 —
-  acceptable because no scale-bench query selects on them.
-- embeddings: replica r rolls each vector by r positions — same
-  norm and component distribution, uncorrelated direction, so the
-  sign-LSH bucket occupancy and near-dup rate stay flat.
+- documents: the text of replica r goes through a per-replica AFFINE
+  letter bijection (letters only; length, punctuation, whitespace
+  and digits untouched), so replicas share ~ZERO shingles — the
+  near-duplicate rate per doc stays what it was at sf0.1 instead of
+  every doc gaining fake near-dups, which would quadratically
+  inflate LSH verify work and fake a bad slope. 312 distinct maps
+  cover factor 100 (caesar's 26 would repeat and mint exact twins).
+  Word-length/punct statistics (quality filters) are preserved
+  exactly; stopword-based scores shift for r > 0 — acceptable
+  because no scale-bench query selects on them.
+- embeddings: replica r rolls each vector by r mod dim and negates
+  every second dim-cycle (2*dim=128 distinct variants at dim 64) —
+  same norm and component distribution, uncorrelated direction, so
+  the sign-LSH bucket occupancy and near-dup rate stay flat.
 - timestamps/dates are unchanged: scale adds DENSITY to the same
   time window (how a bigger corpus actually looks), so calendar
   aggregations grow rows-per-group, not groups.
@@ -48,13 +51,42 @@ TABLES = [
 FIXED = {"region", "nation"}
 
 
-def _caesar_table(r: int) -> dict[int, int]:
+# Units mod 26 — multipliers for the affine letter maps below.
+_UNITS_26 = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
+
+
+def _letter_table(r: int) -> dict[int, int]:
+    """Per-replica AFFINE letter bijection i -> (a*i + b) mod 26
+    (r=0 -> identity). Caesar (a=1) gives only 26 distinct maps, so
+    at factor > 26 replicas r and r+26 would share every shingle
+    and each doc would gain exact twins — faking a quadratic
+    near-dup blow-up at the sf10 decade. Affine maps give 12*26 =
+    312 distinct bijections; any two replicas differ by a
+    non-identity affine map (at most ONE fixed letter), so shingle
+    overlap stays ~zero while length/punct/digit statistics are
+    preserved exactly (same acceptance as caesar for stopword-based
+    scores)."""
+    a = _UNITS_26[r % len(_UNITS_26)]
+    b = (r // len(_UNITS_26)) % 26
     lower, upper = string.ascii_lowercase, string.ascii_uppercase
     t = {}
     for alpha in (lower, upper):
         for i, ch in enumerate(alpha):
-            t[ord(ch)] = ord(alpha[(i + r) % 26])
+            t[ord(ch)] = ord(alpha[(a * i + b) % 26])
     return t
+
+
+def _embedding_variant(v: "np.ndarray", r: int) -> "np.ndarray":
+    """Replica-r embedding: roll by r mod dim, negate every second
+    dim-cycle. Plain roll repeats after dim (=64) replicas — r and
+    r+dim would be IDENTICAL vectors, faking exact near-dups at
+    factor 100. The sign flip doubles the family to 2*dim distinct
+    variants with the same norm and component distribution (sign-LSH
+    occupancy and near-dup rate stay flat)."""
+    out = np.roll(v, r % v.shape[0])
+    if (r // v.shape[0]) % 2:
+        out = -out
+    return out
 
 
 def scale(src: str, dst: str, factor: int) -> None:
@@ -91,10 +123,10 @@ def scale(src: str, dst: str, factor: int) -> None:
                 if col in key_caps:
                     rep[col] = pdf[col] + r * caps[key_caps[col]]
             if t == "documents" and r:
-                rep["text"] = pdf["text"].str.translate(_caesar_table(r))
+                rep["text"] = pdf["text"].str.translate(_letter_table(r))
             if t == "embeddings" and r:
                 rep["embedding"] = pdf["embedding"].map(
-                    lambda v, r=r: np.roll(np.asarray(v), r)
+                    lambda v, r=r: _embedding_variant(np.asarray(v), r)
                 )
             parts.append(rep)
         out = pd.concat(parts, ignore_index=True)
