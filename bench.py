@@ -99,6 +99,8 @@ HEADLINE = [
     # and real MP3 frame-header metadata (Arrow tail).
     "txt_bigram_logprob_pruned",
     "mm_mp3_meta",
+    # round 6: MP4 per-frame sample-table metadata (Arrow tail).
+    "mm_video_frames",
 ]
 
 

@@ -14,9 +14,11 @@ from .writers import (full_refresh, upsert, snapshot, append, compact,
                       backup_table, restore_missing_snapshots,
                       read_snapshot_as_of)
 from .jsonl import compact_json_hour_partition, compact_json_with_quarantine
+from . import txlog
 
 __all__ = [
     "Catalog",
+    "txlog",
     "full_refresh",
     "upsert",
     "snapshot",
