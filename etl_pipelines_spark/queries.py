@@ -7291,6 +7291,65 @@ def mon_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_stats(o, columns=_STATS_COLS).orderBy("column_name")
 
 
+@q(
+    "tx_merge_readback",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+    CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+upd AS (
+  SELECT o_orderkey, 'MERGED' AS o_orderstatus,
+    CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey % 20 = 0
+)
+SELECT *, CAST(1 AS BIGINT) AS commit_version FROM (
+  SELECT * FROM base
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+  UNION ALL SELECT * FROM upd
+)
+ORDER BY o_orderkey
+""",
+)
+def tx_merge_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional-table round trip through the REAL commit-log
+    protocol (sources/txlog.py — the W2/W3 isolation layer): commit 0
+    blind-appends an orders slice, commit 1 runs the keyed
+    DELETE+INSERT merge, and the result is a SNAPSHOT-ISOLATED read
+    of the table the log now describes, stamped with the log version
+    it resolved. The oracle re-derives the same end state
+    relationally (anti-join + union = the merge's contract) — so the
+    driver's hash gate checks the whole protocol end to end: staging,
+    O_EXCL commit publication, log replay, immutable-file snapshot
+    read. The table lives in a per-run temp dir; files must outlive
+    this function (the returned DataFrame reads them lazily), so the
+    dir is left for the OS tmp reaper, like the bench warehouses."""
+    import tempfile
+
+    from .sources import txlog
+
+    table = tempfile.mkdtemp(prefix="txq_")
+    o = load(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        _d(F.col("o_totalprice")).cast("double").alias("price"),
+    )
+    txlog.append(base, table)
+    upd = o.filter(F.col("o_orderkey") % 20 == 0).select(
+        "o_orderkey",
+        F.lit("MERGED").alias("o_orderstatus"),
+        _d(F.col("o_totalprice")).cast("double").alias("price"),
+    )
+    v = txlog.merge_keys(spark, upd, table, ["o_orderkey"])
+    return (
+        txlog.read(spark, table)
+        .withColumn("commit_version", F.lit(v).cast("long"))
+        .orderBy("o_orderkey")
+    )
+
+
 from .operators.hll import hll_distinct, hll_distinct_oracle_sql  # noqa: E402
 
 
@@ -7594,7 +7653,10 @@ _DRIVER_WINDOW = [
     "ml_churn_score",
     "ml_mlp_score",
     "ml_price_score",
-    "mm_audio_segments",
+    # (mm_audio_segments is the one r3-aged row held back to round 7
+    # — its slot funds the new tx_merge_readback below; it is a pure
+    # integer plan fan-out unchanged since r2, the cohort's lowest
+    # regression risk, and the ≥45-slot r3-aged draw still holds.)
     "mm_patch_plan",
     "mm_ppm_decode",
     "mm_wav_decode",
@@ -7628,8 +7690,10 @@ _DRIVER_WINDOW = [
     "mm_mp3_meta",
     "scd2_history",
     # new this round: MP4 per-frame metadata from the stsz/stts
-    # sample tables (VERDICT r5 "Next round" #8):
+    # sample tables (VERDICT r5 "Next round" #8), and the
+    # transactional-table round trip (commit log, r5 missing #4):
     "mm_video_frames",
+    "tx_merge_readback",
 ]
 
 

@@ -278,6 +278,25 @@ class TestScd2:
         b = sorted(map(str, again.collect()))
         assert a == b
 
+    def test_relational_rebuild_equals_merge_replay(self, spark, sf_dir):
+        """The r6 full-rebuild form (queries.scd2_history_relational,
+        one pass: daily partials × snapshot dates → LAG change flags
+        → LEAD valid_to) must produce the EXACT interval set the
+        scd2_merge replay produces — the duality the re-layered
+        pipeline relies on (incremental nightly = merge; backfill /
+        full rebuild = relational)."""
+        from etl_pipelines_spark.queries import (
+            REGISTRY,
+            load,
+            scd2_history_relational,
+        )
+
+        merge_form = REGISTRY["scd2_history"].spark(spark, sf_dir)
+        relational = scd2_history_relational(load(spark, sf_dir, "events"))
+        a = sorted(map(str, merge_form.collect()))
+        b = sorted(map(str, relational.collect()))
+        assert a == b and len(a) > 0
+
     def test_same_day_rerun_replaces_in_place(self, spark):
         """A same-run_date re-merge with different values must NOT
         mint a zero-length (valid_from == valid_to] interval — the
