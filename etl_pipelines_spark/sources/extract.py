@@ -70,6 +70,77 @@ def sql_pull(
     return spark.createDataFrame(pdf)
 
 
+def jdbc_pull(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    driver: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    options: "dict[str, str] | None" = None,
+) -> DataFrame:
+    """S7 through Spark's REAL JDBC source (upgrades the injected-
+    executor form above from shape-faithful to wire-faithful; proven
+    in-repo against the embedded Derby engine Spark ships —
+    tests/test_sources.py::TestJdbcDerby — production swaps the URL/
+    driver for Postgres/Redshift/MySQL, same code path).
+
+    ``table`` may be a table name OR a pushdown subquery
+    ``"(SELECT ...) AS src"`` — the reference's extract SQL runs
+    database-side either way, and Catalyst additionally pushes
+    filters/column pruning into the JDBC scan (PushedFilters shows
+    in the plan; test-asserted).
+
+    100 TB posture: a single-connection JDBC read is one executor
+    doing all the work. ``partition_column``+bounds+``num_partitions``
+    split the pull into N concurrent range queries (Spark's stride
+    partitioning) — the knob the reference's pandas `pd.read_sql`
+    never had; for tables without a numeric key, pass
+    ``options={"fetchsize": ...}`` and land once, then let the
+    warehouse re-partition."""
+    r = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", driver)
+    )
+    if partition_column is not None:
+        r = (
+            r.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 4))
+        )
+    for k, v in (options or {}).items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def jdbc_push(
+    df: DataFrame,
+    url: str,
+    table: str,
+    driver: str,
+    mode: str = "overwrite",
+    options: "dict[str, str] | None" = None,
+) -> None:
+    """Reverse-ETL companion to jdbc_pull: land a DataFrame in an
+    RDBMS table through Spark's JDBC sink (executor-parallel INSERT
+    batches; `batchsize` in options tunes round trips)."""
+    w = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", driver)
+        .mode(mode)
+    )
+    for k, v in (options or {}).items():
+        w = w.option(k, v)
+    w.save()
+
+
 # ---------------------------------------------------------------- S8
 
 # fetch(cursor) -> (rows, next_cursor); next_cursor None = done.

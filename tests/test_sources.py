@@ -189,6 +189,80 @@ class TestSqlPull:
         assert df is None
 
 
+class TestJdbcDerby:
+    """S7 through Spark's REAL JDBC source — wire-faithful, driven
+    against the embedded Derby engine Spark ships (no fake: actual
+    JDBC driver, actual SQL database, actual connection). Production
+    swaps URL/driver; the code path is identical."""
+
+    DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+    def _url(self, name):
+        return f"jdbc:derby:memory:{name};create=true"
+
+    def test_push_then_pull_roundtrip(self, spark):
+        from etl_pipelines_spark.sources.extract import jdbc_pull, jdbc_push
+
+        url = self._url("t_round")
+        src = spark.range(20).selectExpr(
+            "id", "cast(id * 2.5 as double) as amount"
+        )
+        jdbc_push(src, url, "payments", self.DRIVER)
+        back = jdbc_pull(spark, url, "payments", self.DRIVER)
+        assert back.count() == 20
+        got = {r.id: r.amount for r in back.collect()}
+        assert got == {i: i * 2.5 for i in range(20)}
+
+    def test_filter_pushdown_reaches_the_database(self, spark):
+        """The predicate must appear as PushedFilters on the JDBC
+        scan — the database does the filtering, not Spark (the whole
+        point of a JDBC extract vs pull-everything pandas)."""
+        from etl_pipelines_spark.sources.extract import jdbc_pull, jdbc_push
+
+        url = self._url("t_push")
+        jdbc_push(spark.range(50).selectExpr("id"), url, "t", self.DRIVER)
+        q = jdbc_pull(spark, url, "t", self.DRIVER).filter("id >= 40")
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan and "GreaterThanOrEqual(id,40)" in plan
+        assert q.count() == 10
+
+    def test_subquery_pushdown_form(self, spark):
+        """dbtable as '(SELECT ...) alias' runs database-side —
+        the reference's extract-SQL idiom."""
+        from etl_pipelines_spark.sources.extract import jdbc_pull, jdbc_push
+
+        url = self._url("t_sub")
+        jdbc_push(
+            spark.range(10).selectExpr("id", "id % 2 as k"),
+            url, "t2", self.DRIVER,
+        )
+        # Spark's JDBC writer quotes identifiers, so Derby stores
+        # case-sensitive lowercase names — the subquery must quote
+        # them back (the usual cross-dialect identifier gotcha).
+        back = jdbc_pull(
+            spark, url,
+            '(SELECT "k", COUNT(*) AS n FROM t2 GROUP BY "k") src',
+            self.DRIVER,
+        )
+        assert {(r["k"], r["N"]) for r in back.collect()} == {(0, 5), (1, 5)}
+
+    def test_partitioned_parallel_read(self, spark):
+        """partitionColumn/bounds/numPartitions split the pull into
+        N concurrent range queries — the scan must carry N input
+        partitions (the 100 TB single-connection fix)."""
+        from etl_pipelines_spark.sources.extract import jdbc_pull, jdbc_push
+
+        url = self._url("t_par")
+        jdbc_push(spark.range(100).selectExpr("id"), url, "t", self.DRIVER)
+        back = jdbc_pull(
+            spark, url, "t", self.DRIVER,
+            partition_column="id", lower_bound=0, upper_bound=100,
+            num_partitions=4,
+        )
+        assert back.rdd.getNumPartitions() == 4
+        assert back.count() == 100
+
+
 class TestPagedApiExtract:
     """S8: cursor-paged bulk export with explicit schema."""
 

@@ -155,6 +155,67 @@ class TestConcurrency:
                 txlog._try_commit = orig  # type: ignore
 
 
+class TestLogFoldProperty:
+    """Property (hypothesis): for ANY operation sequence, the table
+    state at every version equals a plain dict fold of the committed
+    prefix — the log IS the table (the core table-format law), and
+    time travel is exactly prefix replay."""
+
+    def test_random_histories_fold(self, spark, tmp_path):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        op = st.tuples(
+            st.sampled_from(["append", "merge", "overwrite"]),
+            st.lists(
+                st.tuples(st.integers(0, 5), st.integers(0, 99)),
+                min_size=1, max_size=3,
+            ),
+        )
+
+        case_no = [0]
+
+        @settings(
+            max_examples=8, deadline=None,
+            suppress_health_check=list(HealthCheck),
+        )
+        @given(st.lists(op, min_size=1, max_size=4))
+        def run(history):
+            case_no[0] += 1
+            table = str(tmp_path / f"t{case_no[0]}")
+            state: dict[int, int] = {}
+            states = []
+            for kind, rows in history:
+                df = spark.createDataFrame(
+                    [(k, str(v)) for k, v in dict(rows).items()],
+                    "k INT, v STRING",
+                )
+                if kind == "append":
+                    txlog.append(df, table)
+                    for k, v in dict(rows).items():
+                        # blind append can duplicate keys; model as
+                        # multiset via list per key
+                        state.setdefault(k, [])
+                        state[k].append(str(v))
+                elif kind == "merge":
+                    txlog.merge_keys(spark, df, table, ["k"])
+                    for k, v in dict(rows).items():
+                        state[k] = [str(v)]
+                else:
+                    txlog.overwrite(df, table)
+                    state = {k: [str(v)] for k, v in dict(rows).items()}
+                states.append({k: sorted(vs) for k, vs in state.items()})
+            # every version's read equals the folded prefix
+            for ver, want in enumerate(states):
+                got: dict[int, list] = {}
+                for r in txlog.read(spark, table, as_of_version=ver).collect():
+                    got.setdefault(r.k, []).append(r.v)
+                got = {k: sorted(vs) for k, vs in got.items()}
+                assert got == want, (ver, history)
+
+        run()
+
+
 class TestVacuum:
     def test_vacuum_drops_only_unreferenced(self, spark, table):
         txlog.append(_df(spark, [(1, "a")]), table)
