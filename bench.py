@@ -99,8 +99,11 @@ HEADLINE = [
     # and real MP3 frame-header metadata (Arrow tail).
     "txt_bigram_logprob_pruned",
     "mm_mp3_meta",
-    # round 6: MP4 per-frame sample-table metadata (Arrow tail).
+    # round 6: MP4 per-frame sample-table metadata (Arrow tail) and
+    # the Redshift-dialect script through the transpiler (pure JVM —
+    # proves the compat path costs what the native plan costs).
     "mm_video_frames",
+    "compat_redshift_script",
 ]
 
 

@@ -1,0 +1,61 @@
+"""Redshift-SQL -> Spark-SQL source-to-source transpiler.
+
+The reference warehouse is ~1,300 Redshift SQL files
+(Datawarehouse-ETL/**.sql). Spark 4 already parses most of the
+dialect natively (`::` casts, 3-arg DATEADD/DATEDIFF, LISTAGG WITHIN
+GROUP, NVL/NVL2/DECODE, ILIKE, SPLIT_PART, LEN, CONVERT_TIMEZONE,
+MEDIAN, PERCENTILE_CONT WITHIN GROUP, BOOL_OR, interval literals);
+this package closes the rest so a reference user can run their SQL
+text as-is:
+
+- QUALIFY         -> subquery + ``* EXCEPT (__qualify__)`` filter
+  (DISTINCT moves outside: Redshift evaluates QUALIFY first)
+- UPDATE ... FROM / DELETE ... USING -> MERGE INTO
+- GETDATE/SYSDATE -> current_timestamp()
+- SIMILAR TO      -> anchored RLIKE (SQL-regex %/_ translated)
+- ``~ !~ ~* !~*`` -> [NOT] RLIKE; ``~~ !~~ ~~* !~~*`` -> [NOT]
+  LIKE/ILIKE
+- expr AT TIME ZONE 'tz' -> from_utc_timestamp(expr, 'tz')
+- TO_CHAR/TO_DATE Redshift format codes -> Java datetime codes
+- DATEADD/DATEDIFF/DATE_ADD quoted unit ('month') -> bare unit;
+  EXTRACT('epoch' FROM x) unquoted
+- JSON_EXTRACT_PATH_TEXT(j,'a','b') -> get_json_object(j,'$.a.b')
+- REPLICATE/JSON_PARSE/JSON_SERIALIZE -> repeat/parse_json/to_json
+- CHARINDEX/STRPOS/IS_VALID_JSON/ISNUMERIC/TIMEZONE/... ->
+  session-registered SQL UDFs (JVM-side, inlined by Catalyst --
+  no Python round trip)
+- CREATE TEMP TABLE -> CREATE OR REPLACE TEMPORARY VIEW;
+  ``(LIKE t)`` clones -> empty-schema clone view / CREATE TABLE LIKE
+- CREATE VIEW ... WITH NO SCHEMA BINDING -> clause stripped (Spark
+  views are always late-bound)
+- SET guc TO v -> SET guc = v; REFRESH MATERIALIZED VIEW -> REFRESH
+  TABLE; bare TRUNCATE -> TRUNCATE TABLE; IDENTITY(n,n) stripped
+- DOUBLE PRECISION/BOOL/INT8/TIMESTAMPTZ/``TIMESTAMP WITH TIME
+  ZONE``/cast-position TEXT & DATETIME -> Spark types
+- MIN/MAX(...) WITHIN GROUP (ORDER BY ...) -> ordering clause
+  dropped (order-insensitive aggregates)
+- DISTKEY/SORTKEY/DISTSTYLE/ENCODE/BACKUP DDL decorations stripped
+- Jinja ``{{...}}`` holes (incl. inside string literals) and Python
+  ``{format}`` holes -> loud ``__jinja_param__``/``__param_*__``
+  placeholders that fail at analysis, not silently
+- double-quoted identifiers via spark.sql.ansi.doubleQuotedIdentifiers
+
+Sweep evidence (tools/transpile_reference.py over all 1,327
+reference SQL files): 4,654 / 4,833 statements (96.3%) transpile and
+parse; the residual is dominated by statements that are invalid in
+the source dialect too (trailing commas before FROM, CASE without
+WHEN, doubled THEN/ON, statements glued without ``;``) plus template
+holes inside literals that cannot be parameterized faithfully.
+
+Entry points: ``transpile(sql)``, ``install(spark)``,
+``run_sql(spark, sql)``. See ``tools/transpile_reference.py`` for the
+parse-validation sweep over the reference tree; driver-checked
+end-to-end by the ``compat_redshift_script`` registry query.
+"""
+from .transpile import (  # noqa: F401
+    TranspileError,
+    install,
+    run_sql,
+    split_statements,
+    transpile,
+)

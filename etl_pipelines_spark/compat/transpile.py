@@ -1,0 +1,1422 @@
+"""Redshift-SQL -> Spark-SQL transpiler (token-level, string-safe).
+
+Design: a lossless tokenizer (``"".join(tok.text) == sql``) and a
+series of token-stream rewrites. String literals and comments are
+never touched; every rewrite that cannot be done faithfully raises
+:class:`TranspileError` instead of guessing (the repo's loud-stop
+discipline).
+
+Reference dialect witnesses (public repo ravi9data/etl_pipelines):
+``1_union_all_sources.sql`` (``::``, quoted-unit DATEADD),
+``all_events.sql`` (``"user_id" ~ '^[0-9]+$'``), kitchen-sink usage of
+JSON_EXTRACT_PATH_TEXT / IS_VALID_JSON / TO_CHAR / LISTAGG / QUALIFY
+across Datawarehouse-ETL. Spark-native constructs (``::`` casts,
+3-arg DATEADD/DATEDIFF with bare units, LISTAGG/PERCENTILE_CONT
+WITHIN GROUP, NVL/NVL2/DECODE, ILIKE, SPLIT_PART, LEN, MEDIAN,
+CONVERT_TIMEZONE, BOOL_OR, ``||``) pass through untouched.
+"""
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from ..functions import _translate_to_char_format
+
+
+class TranspileError(ValueError):
+    """A dialect construct that cannot be rewritten faithfully."""
+
+
+# ---------------------------------------------------------------- tokenizer
+
+_OPS = ["!~~*", "!~~", "~~*", "~~", "!~*", "!~", "~*", "::", "<=",
+        ">=", "<>", "!=", "||", "~"]
+_WORD_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_$]*")
+_NUM_RE = re.compile(r"(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?")
+
+
+@dataclass
+class Tok:
+    kind: str  # ws comment str qid word num op punct jinja
+    text: str
+
+
+def tokenize(sql: str) -> list[Tok]:
+    toks: list[Tok] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c.isspace():
+            j = i
+            while j < n and sql[j].isspace():
+                j += 1
+            toks.append(Tok("ws", sql[i:j]))
+            i = j
+        elif sql.startswith("--", i):
+            j = sql.find("\n", i)
+            j = n if j < 0 else j
+            toks.append(Tok("comment", sql[i:j]))
+            i = j
+        elif sql.startswith("/*", i):
+            j = sql.find("*/", i + 2)
+            j = n if j < 0 else j + 2
+            toks.append(Tok("comment", sql[i:j]))
+            i = j
+        elif sql.startswith("{{", i):
+            j = sql.find("}}", i + 2)
+            j = n if j < 0 else j + 2
+            toks.append(Tok("jinja", sql[i:j]))
+            i = j
+        elif c == "'":
+            j = i + 1
+            while j < n:
+                if sql.startswith("{{", j):
+                    # a Jinja hole inside a literal may itself contain
+                    # quotes ('{{ti.xcom_pull(key='year')}}' --
+                    # braze stage_data.sql); skip it opaquely
+                    k = sql.find("}}", j + 2)
+                    j = n if k < 0 else k + 2
+                    continue
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":  # '' escape
+                        j += 2
+                        continue
+                    j += 1
+                    break
+                j += 1
+            else:
+                j = n
+            toks.append(Tok("str", sql[i:j]))
+            i = j
+        elif c == '"':
+            j = i + 1
+            while j < n:
+                if sql[j] == '"':
+                    if j + 1 < n and sql[j + 1] == '"':
+                        j += 2
+                        continue
+                    j += 1
+                    break
+                j += 1
+            else:
+                j = n
+            toks.append(Tok("qid", sql[i:j]))
+            i = j
+        else:
+            for op in _OPS:
+                if sql.startswith(op, i):
+                    toks.append(Tok("op", op))
+                    i += len(op)
+                    break
+            else:
+                m = _WORD_RE.match(sql, i)
+                if m:
+                    toks.append(Tok("word", m.group()))
+                    i = m.end()
+                    continue
+                m = _NUM_RE.match(sql, i)
+                if m:
+                    toks.append(Tok("num", m.group()))
+                    i = m.end()
+                    continue
+                toks.append(Tok("punct", c))
+                i += 1
+    return toks
+
+
+def _render(toks: list[Tok]) -> str:
+    return "".join(t.text for t in toks)
+
+
+def _is_sig(t: Tok) -> bool:
+    return t.kind not in ("ws", "comment")
+
+
+def _next_sig(toks: list[Tok], i: int) -> int:
+    j = i + 1
+    while j < len(toks) and not _is_sig(toks[j]):
+        j += 1
+    return j  # == len(toks) when none
+
+
+def _prev_sig(toks: list[Tok], i: int) -> int:
+    j = i - 1
+    while j >= 0 and not _is_sig(toks[j]):
+        j -= 1
+    return j  # == -1 when none
+
+
+def _word_is(t: Tok, *names: str) -> bool:
+    return t.kind == "word" and t.text.upper() in names
+
+
+def _str_value(t: Tok) -> str:
+    assert t.kind == "str"
+    return t.text[1:-1].replace("''", "'")
+
+
+def _str_lit(v: str) -> Tok:
+    return Tok("str", "'" + v.replace("'", "''") + "'")
+
+
+def _depths(toks: list[Tok]) -> list[int]:
+    """Paren depth of each token (depth of the context it sits in;
+    '(' itself gets the outer depth, ')' gets the inner depth)."""
+    out, d = [], 0
+    for t in toks:
+        if t.kind == "punct" and t.text == "(":
+            out.append(d)
+            d += 1
+        elif t.kind == "punct" and t.text == ")":
+            d -= 1
+            out.append(d + 1)
+        else:
+            out.append(d)
+    return out
+
+
+def _call_args(toks: list[Tok], open_i: int) -> tuple[list[list[int]], int]:
+    """Given index of '(', return (arg token-index lists split on
+    top-level commas, index of matching ')')."""
+    depth = 0
+    args: list[list[int]] = [[]]
+    j = open_i
+    while j < len(toks):
+        t = toks[j]
+        if t.kind == "punct" and t.text == "(":
+            depth += 1
+            if depth > 1:
+                args[-1].append(j)
+        elif t.kind == "punct" and t.text == ")":
+            depth -= 1
+            if depth == 0:
+                return args, j
+            args[-1].append(j)
+        elif t.kind == "punct" and t.text == "," and depth == 1:
+            args.append([])
+        elif depth >= 1:
+            args[-1].append(j)
+        j += 1
+    raise TranspileError("unbalanced parentheses")
+
+
+def _arg_sig(toks: list[Tok], arg: list[int]) -> list[int]:
+    return [k for k in arg if _is_sig(toks[k])]
+
+
+# ---------------------------------------------------------------- rewrites
+
+_DATE_UNITS = {
+    "year", "years", "yr", "yrs", "quarter", "quarters", "month",
+    "months", "mon", "mons", "week", "weeks", "day", "days", "d",
+    "hour", "hours", "hr", "hrs", "h", "minute", "minutes", "min",
+    "mins", "m", "second", "seconds", "sec", "secs", "s",
+    "millisecond", "milliseconds", "ms", "microsecond",
+    "microseconds", "us", "y", "w", "qtr", "qtrs", "mm", "dd",
+    "hh", "mi", "ss", "doy", "dow",
+}
+
+_UNIT_CANON = {
+    "y": "year", "yr": "year", "yrs": "year", "years": "year",
+    "yyyy": "year", "qtr": "quarter", "qtrs": "quarter",
+    "quarters": "quarter", "mon": "month", "mons": "month",
+    "months": "month", "mm": "month", "w": "week", "weeks": "week",
+    "days": "day", "d": "day", "dd": "day", "hours": "hour",
+    "hr": "hour", "hrs": "hour", "h": "hour", "hh": "hour",
+    "minutes": "minute", "min": "minute", "mins": "minute",
+    "m": "minute", "mi": "minute", "seconds": "second",
+    "sec": "second", "secs": "second", "s": "second", "ss": "second",
+    "milliseconds": "millisecond", "ms": "millisecond",
+    "microseconds": "microsecond", "us": "microsecond",
+}
+
+
+_FN_RENAMES = {
+    # direct arity-compatible Spark natives
+    "replicate": "repeat",        # REPLICATE(s, n) == repeat
+    "json_parse": "parse_json",   # SUPER ingest -> VARIANT
+    "json_serialize": "to_json",  # SUPER -> text
+}
+
+
+def _rw_words(toks: list[Tok]) -> list[Tok]:
+    """GETDATE()/SYSDATE -> current_timestamp(); #ident -> tmp_ident;
+    arity-compatible function renames (REPLICATE -> repeat, ...)."""
+    out: list[Tok] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if (
+            t.kind == "word"
+            and t.text.lower() in _FN_RENAMES
+            and _next_sig(toks, i) < len(toks)
+            and toks[_next_sig(toks, i)].text == "("
+        ):
+            out.append(Tok("word", _FN_RENAMES[t.text.lower()]))
+        elif _word_is(t, "GETDATE"):
+            out.append(Tok("word", "current_timestamp"))
+        elif _word_is(t, "SYSDATE"):
+            out.append(Tok("word", "current_timestamp"))
+            out.append(Tok("punct", "("))
+            out.append(Tok("punct", ")"))
+        elif (
+            t.kind == "punct"
+            and t.text == "#"
+            and i + 1 < len(toks)
+            and toks[i + 1].kind == "word"
+        ):
+            out.append(Tok("word", "tmp_" + toks[i + 1].text))
+            i += 2
+            continue
+        else:
+            out.append(t)
+        i += 1
+    return out
+
+
+def _rw_tilde(toks: list[Tok]) -> list[Tok]:
+    """Binary ``~``/``!~``/``~*``/``!~*`` -> [NOT] RLIKE, and the
+    Postgres LIKE operators ``~~``/``!~~``/``~~*``/``!~~*`` ->
+    [NOT] LIKE / ILIKE (mozenda_ebay.sql uses ``~~``).
+
+    A ``~`` is binary when the previous significant token can end an
+    operand (identifier, literal, ``)``); otherwise it is bitwise NOT
+    and passes through."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if t.kind == "op" and t.text in ("~~", "!~~", "~~*", "!~~*"):
+            neg = t.text.startswith("!")
+            kw = "ILIKE" if t.text.endswith("*") else "LIKE"
+            repl = []
+            if neg:
+                repl += [Tok("word", "NOT"), Tok("ws", " ")]
+            repl.append(Tok("word", kw))
+            out[i : i + 1] = repl
+            i += len(repl)
+            continue
+        if t.kind == "op" and t.text in ("~", "!~", "~*", "!~*"):
+            p = _prev_sig(out, i)
+            binary = p >= 0 and (
+                out[p].kind in ("word", "str", "qid", "num")
+                or (out[p].kind == "punct" and out[p].text == ")")
+            )
+            if not binary:
+                i += 1
+                continue
+            neg = t.text.startswith("!")
+            ci = t.text.endswith("*")
+            repl: list[Tok] = []
+            if neg:
+                repl.append(Tok("word", "NOT"))
+                repl.append(Tok("ws", " "))
+            repl.append(Tok("word", "RLIKE"))
+            out[i : i + 1] = repl
+            if ci:
+                j = _next_sig(out, i + len(repl) - 1)
+                if j >= len(out) or out[j].kind != "str":
+                    raise TranspileError(
+                        "~* requires a literal pattern to inject (?i)"
+                    )
+                out[j] = _str_lit("(?i)" + _str_value(out[j]))
+        i += 1
+    return out
+
+
+def _sql_regex_to_java(pattern: str) -> str:
+    """SIMILAR TO pattern -> Java regex (mirrors
+    functions.similar_to: % -> .*, _ -> .)."""
+    return pattern.replace("%", ".*").replace("_", ".")
+
+
+def _rw_similar_to(toks: list[Tok]) -> list[Tok]:
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        if _word_is(out[i], "SIMILAR"):
+            j = _next_sig(out, i)
+            if j < len(out) and _word_is(out[j], "TO"):
+                k = _next_sig(out, j)
+                if k >= len(out) or out[k].kind != "str":
+                    raise TranspileError(
+                        "SIMILAR TO requires a literal pattern"
+                    )
+                pat = _sql_regex_to_java(_str_value(out[k]))
+                out[i : k + 1] = [
+                    Tok("word", "RLIKE"),
+                    Tok("ws", " "),
+                    _str_lit(f"^(?:{pat})$"),
+                ]
+        i += 1
+    return out
+
+
+def _rw_quoted_units(toks: list[Tok]) -> list[Tok]:
+    """DATEADD('month', ...) / DATEDIFF('day', a, b) /
+    DATE_PART('dow', x) / EXTRACT('epoch' ...): unquote the unit --
+    Spark wants a bare keyword (date_trunc accepts quoted natively)."""
+    out = list(toks)
+    for i, t in enumerate(out):
+        if _word_is(t, "DATEADD", "DATEDIFF", "DATE_ADD", "DATE_DIFF",
+                    "DATE_PART"):
+            j = _next_sig(out, i)
+            if j < len(out) and out[j].kind == "punct" and out[j].text == "(":
+                if _word_is(t, "DATE_PART"):
+                    # date_part keeps the quoted form natively
+                    continue
+                args, _close = _call_args(out, j)
+                if len(args) != 3:
+                    # 2-arg date_add(date, n): first arg is data, not
+                    # a unit -- a column named `d` must survive
+                    continue
+                k = _next_sig(out, j)
+                if k < len(out) and out[k].kind == "str":
+                    unit = _str_value(out[k]).strip().lower()
+                    if unit in _DATE_UNITS:
+                        out[k] = Tok(
+                            "word", _UNIT_CANON.get(unit, unit)
+                        )
+                elif k < len(out) and out[k].kind == "word":
+                    u = out[k].text.lower()
+                    if u in _UNIT_CANON:
+                        out[k] = Tok("word", _UNIT_CANON[u])
+        elif _word_is(t, "EXTRACT"):
+            # EXTRACT('epoch' FROM x) -> EXTRACT(epoch FROM x)
+            # (01_customer_scoring.sql); Spark wants a bare field.
+            j = _next_sig(out, i)
+            if j < len(out) and out[j].kind == "punct" and out[j].text == "(":
+                k = _next_sig(out, j)
+                m = _next_sig(out, k) if k < len(out) else len(out)
+                if (
+                    k < len(out)
+                    and out[k].kind == "str"
+                    and m < len(out)
+                    and _word_is(out[m], "FROM")
+                ):
+                    unit = _str_value(out[k]).strip().lower()
+                    out[k] = Tok(
+                        "word", _UNIT_CANON.get(unit, unit)
+                    )
+    return out
+
+
+_TYPE_ALWAYS = {
+    # Redshift type names with no other plausible reading -- safe to
+    # rewrite anywhere they appear as a bare word.
+    "int2": "smallint", "int4": "int", "int8": "bigint",
+    "float4": "float", "float8": "double",
+    "timestamptz": "timestamp", "timetz": "string",
+    "bpchar": "string", "nvarchar": "string", "bool": "boolean",
+}
+
+
+def _matching_open(toks: list[Tok], close_i: int) -> int:
+    depth = 0
+    for k in range(close_i, -1, -1):
+        t = toks[k]
+        if t.kind == "punct" and t.text == ")":
+            depth += 1
+        elif t.kind == "punct" and t.text == "(":
+            depth -= 1
+            if depth == 0:
+                return k
+    return -1
+
+
+def _rw_types(toks: list[Tok]) -> list[Tok]:
+    """Redshift type names -> Spark types: INT8/FLOAT8/TIMESTAMPTZ
+    et al. anywhere; length-less VARCHAR -> STRING; TEXT -> STRING
+    only in a cast position (after ``::`` or ``CAST(... AS TEXT)``)
+    since ``text`` is a plausible column name; CHARACTER VARYING ->
+    STRING/VARCHAR(n)."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if t.kind == "word":
+            lw = t.text.lower()
+            if lw in _TYPE_ALWAYS:
+                out[i] = Tok("word", _TYPE_ALWAYS[lw])
+            elif lw == "varchar":
+                j = _next_sig(out, i)
+                if not (
+                    j < len(out)
+                    and out[j].kind == "punct"
+                    and out[j].text == "("
+                ):
+                    out[i] = Tok("word", "string")
+            elif lw == "timestamp":
+                # TIMESTAMP WITH[OUT] TIME ZONE -> TIMESTAMP
+                j = _next_sig(out, i)
+                if j < len(out) and _word_is(out[j], "WITH", "WITHOUT"):
+                    k = _next_sig(out, j)
+                    m = _next_sig(out, k) if k < len(out) else len(out)
+                    if (
+                        m < len(out)
+                        and _word_is(out[k], "TIME")
+                        and _word_is(out[m], "ZONE")
+                    ):
+                        del out[i + 1 : m + 1]
+            elif lw in ("text", "datetime"):
+                p = _prev_sig(out, i)
+                cast_pos = False
+                if p >= 0 and out[p].kind == "op" and out[p].text == "::":
+                    cast_pos = True
+                elif p >= 0 and _word_is(out[p], "AS"):
+                    j = _next_sig(out, i)
+                    if (
+                        j < len(out)
+                        and out[j].kind == "punct"
+                        and out[j].text == ")"
+                    ):
+                        o = _matching_open(out, j)
+                        q = _prev_sig(out, o) if o > 0 else -1
+                        if q >= 0 and _word_is(
+                            out[q], "CAST", "TRY_CAST"
+                        ):
+                            cast_pos = True
+                if cast_pos:
+                    out[i] = Tok(
+                        "word",
+                        "string" if lw == "text" else "timestamp",
+                    )
+            elif lw == "double":
+                # DOUBLE PRECISION -> DOUBLE (Spark has no two-word
+                # form; ~110 statements in Luxco/SPV reporting)
+                j = _next_sig(out, i)
+                if j < len(out) and _word_is(out[j], "PRECISION"):
+                    del out[i + 1 : j + 1]
+            elif lw == "character":
+                j = _next_sig(out, i)
+                if j < len(out) and _word_is(out[j], "VARYING"):
+                    k = _next_sig(out, j)
+                    if (
+                        k < len(out)
+                        and out[k].kind == "punct"
+                        and out[k].text == "("
+                    ):
+                        out[i : j + 1] = [Tok("word", "varchar")]
+                    else:
+                        out[i : j + 1] = [Tok("word", "string")]
+        i += 1
+    return out
+
+
+def _rw_minmax_within_group(toks: list[Tok]) -> list[Tok]:
+    """``MIN/MAX(x) WITHIN GROUP (ORDER BY ...)`` -> drop the clause
+    (00_grover_user.sql et al.): min/max are order-insensitive, so
+    the sort spec changes nothing. Spark only parses WITHIN GROUP on
+    the ordered-set aggregates (listagg/percentile)."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        if _word_is(out[i], "MIN", "MAX"):
+            j = _next_sig(out, i)
+            if j < len(out) and out[j].kind == "punct" and out[j].text == "(":
+                _args, close = _call_args(out, j)
+                w = _next_sig(out, close)
+                g = _next_sig(out, w) if w < len(out) else len(out)
+                o = _next_sig(out, g) if g < len(out) else len(out)
+                if (
+                    o < len(out)
+                    and _word_is(out[w], "WITHIN")
+                    and _word_is(out[g], "GROUP")
+                    and out[o].kind == "punct"
+                    and out[o].text == "("
+                ):
+                    _a2, close2 = _call_args(out, o)
+                    del out[close + 1 : close2 + 1]
+        i += 1
+    return out
+
+
+def _rw_ignore_nulls(toks: list[Tok]) -> list[Tok]:
+    """Redshift puts IGNORE/RESPECT NULLS *inside* the window
+    function's parens (``LAG(x IGNORE NULLS) OVER``); Spark wants it
+    outside (``LAG(x) IGNORE NULLS OVER``)."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        if _word_is(out[i], "IGNORE", "RESPECT"):
+            j = _next_sig(out, i)
+            if j < len(out) and _word_is(out[j], "NULLS"):
+                k = _next_sig(out, j)
+                if (
+                    k < len(out)
+                    and out[k].kind == "punct"
+                    and out[k].text == ")"
+                ):
+                    m = _next_sig(out, k)
+                    if m < len(out) and _word_is(out[m], "OVER"):
+                        kw = out[i].text.upper()
+                        del out[i : j + 1]
+                        # ')' moved left by the deletion span
+                        k2 = i
+                        while not (
+                            out[k2].kind == "punct"
+                            and out[k2].text == ")"
+                        ):
+                            k2 += 1
+                        out[k2 + 1 : k2 + 1] = [
+                            Tok("ws", " "),
+                            Tok("word", kw),
+                            Tok("ws", " "),
+                            Tok("word", "NULLS"),
+                        ]
+        i += 1
+    return out
+
+
+def _rw_no_schema_binding(toks: list[Tok]) -> list[Tok]:
+    """Strip Redshift's late-binding-view clause ``WITH NO SCHEMA
+    BINDING`` (trailing on CREATE [EXTERNAL] VIEW; reference uses it
+    on every reporting view, e.g.
+    marketing.v_affiliate_order_validation.sql). Spark views are
+    always late-bound -- resolved at read -- so the clause is the
+    default behavior, not a loss."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        if _word_is(out[i], "WITH"):
+            j = _next_sig(out, i)
+            k = _next_sig(out, j) if j < len(out) else len(out)
+            m = _next_sig(out, k) if k < len(out) else len(out)
+            if (
+                m < len(out)
+                and _word_is(out[j], "NO")
+                and _word_is(out[k], "SCHEMA")
+                and _word_is(out[m], "BINDING")
+            ):
+                del out[i : m + 1]
+                continue
+        i += 1
+    return out
+
+
+def _rw_set_stmt(toks: list[Tok]) -> list[Tok]:
+    """Statement-head ``SET param TO value`` (Redshift session GUC,
+    e.g. ``SET enable_case_sensitive_identifier TO TRUE`` --
+    01_track_events.sql) -> Spark ``SET param = value``. The key is
+    not a Spark conf, so the statement is a recorded no-op -- exactly
+    the session-scoped-knob semantics."""
+    sigs = [k for k, t in enumerate(toks) if _is_sig(t)]
+    if len(sigs) < 3 or not _word_is(toks[sigs[0]], "SET"):
+        return toks
+    if toks[sigs[1]].kind != "word":
+        return toks
+    if _word_is(toks[sigs[2]], "TO"):
+        out = list(toks)
+        out[sigs[2]] = Tok("punct", "=")
+        return out
+    return toks
+
+
+def _rw_refresh_mv(toks: list[Tok]) -> list[Tok]:
+    """``REFRESH MATERIALIZED VIEW x`` -> ``REFRESH TABLE x``. In
+    this engine materialized views are parquet tables maintained by
+    plans/matview.py (refresh() recomputes; REFRESH TABLE is the
+    read-side cache invalidation a consumer session runs)."""
+    sigs = [k for k, t in enumerate(toks) if _is_sig(t)]
+    if (
+        len(sigs) >= 3
+        and _word_is(toks[sigs[0]], "REFRESH")
+        and _word_is(toks[sigs[1]], "MATERIALIZED")
+        and _word_is(toks[sigs[2]], "VIEW")
+    ):
+        out = list(toks)
+        out[sigs[1] : sigs[2] + 1] = [Tok("word", "TABLE")]
+        return out
+    return toks
+
+
+def _rw_create_like(toks: list[Tok]) -> list[Tok]:
+    """Redshift clone DDL (18 sites, all delta-load staging --
+    mediamarkt_price_data.sql et al.):
+
+    * ``CREATE TEMP TABLE x (LIKE y)`` -> ``CREATE OR REPLACE
+      TEMPORARY VIEW x AS SELECT * FROM y WHERE 1 = 0`` -- an empty
+      clone with y's exact schema. (A later INSERT INTO the temp
+      stage fails loudly at analysis; the engine's staging path is
+      sources/writers.py.)
+    * permanent ``CREATE TABLE x (LIKE y)`` -> Spark-native
+      ``CREATE TABLE x LIKE y``.
+    """
+    sigs = [k for k, t in enumerate(toks) if _is_sig(t)]
+    if not sigs or not _word_is(toks[sigs[0]], "CREATE"):
+        return toks
+    # locate "( LIKE <name...> )" at top level
+    depths = _depths(toks)
+    li = next(
+        (
+            k
+            for k in sigs
+            if depths[k] == 1 and _word_is(toks[k], "LIKE")
+        ),
+        None,
+    )
+    if li is None:
+        return toks
+    op = _prev_sig(toks, li)
+    if op < 0 or toks[op].kind != "punct" or toks[op].text != "(":
+        return toks
+    if depths[op] != 0:
+        return toks
+    _args, close = _call_args(toks, op)
+    src = _render(toks[li + 1 : close]).strip()
+    if not src:
+        raise TranspileError("CREATE ... (LIKE) without a source")
+    is_temp = any(
+        _word_is(toks[k], "TEMP", "TEMPORARY") for k in sigs[1:4]
+    )
+    # table name = tokens between TABLE keyword and the '('
+    ti = next((k for k in sigs if _word_is(toks[k], "TABLE")), None)
+    if ti is None:
+        return toks
+    name = _render(toks[ti + 1 : op]).strip()
+    if is_temp:
+        name = name.split(".")[-1]  # temp views are single-part
+        return tokenize(
+            f"CREATE OR REPLACE TEMPORARY VIEW {name} AS "
+            f"SELECT * FROM {src} WHERE 1 = 0"
+        )
+    return tokenize(f"CREATE TABLE {name} LIKE {src}")
+
+
+_FROM_JOINERS = ("JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS",
+                 "NATURAL")
+
+
+def _rw_update_from(toks: list[Tok]) -> list[Tok]:
+    """Redshift/Postgres ``UPDATE t SET a = s.x FROM s WHERE cond``
+    -> Spark ``MERGE INTO t USING s ON cond WHEN MATCHED THEN UPDATE
+    SET a = s.x`` (93 sites, e.g. 00_inventory_reservations.sql's
+    staging merge-back).
+
+    When the FROM clause is itself a join (the anonymize_gdpr
+    self-join shape), the source becomes ``(SELECT * FROM <from>)``
+    aliased with the first relation's alias so ``t.col`` references
+    keep resolving. A missing WHERE becomes ``ON true`` -- Postgres'
+    cross-join update; Spark's multiple-match MERGE error is the loud
+    version of Postgres' arbitrary-row pick."""
+    sigs = [k for k, t in enumerate(toks) if _is_sig(t)]
+    if not sigs or not _word_is(toks[sigs[0]], "UPDATE"):
+        return toks
+    depths = _depths(toks)
+
+    def top(word: str, after: int = 0) -> int | None:
+        return next(
+            (
+                k
+                for k in sigs
+                if k >= after and depths[k] == 0 and _word_is(toks[k], word)
+            ),
+            None,
+        )
+
+    set_i = top("SET")
+    if set_i is None:
+        return toks
+    from_i = top("FROM", set_i)
+    if from_i is None:
+        return toks  # plain UPDATE: Spark parses it natively
+    where_i = top("WHERE", from_i)
+    target = _render(toks[sigs[1] : set_i]).strip()
+    assigns = _render(toks[set_i + 1 : from_i]).strip()
+    src_end = where_i if where_i is not None else len(toks)
+    source = _render(toks[from_i + 1 : src_end]).strip()
+    cond = (
+        _render(toks[where_i + 1 :]).strip()
+        if where_i is not None
+        else "true"
+    )
+    if not assigns or not source:
+        raise TranspileError("UPDATE ... FROM missing SET or source")
+    src_toks = [t for t in tokenize(source) if _is_sig(t)]
+    has_join = any(
+        _word_is(t, *_FROM_JOINERS) or (t.kind == "punct" and t.text == ",")
+        for t in src_toks
+    )
+    if has_join:
+        # alias of the first relation: name [AS] alias
+        alias = "__merge_src__"
+        if len(src_toks) >= 2 and src_toks[1].kind == "word":
+            cand = src_toks[1].text
+            if cand.upper() == "AS" and len(src_toks) >= 3:
+                cand = src_toks[2].text
+            if cand.upper() not in _FROM_JOINERS:
+                alias = cand
+        source = f"(SELECT * FROM {source}) {alias}"
+    return tokenize(
+        f"MERGE INTO {target} USING {source} ON {cond} "
+        f"WHEN MATCHED THEN UPDATE SET {assigns}"
+    )
+
+
+def _rw_delete_using(toks: list[Tok]) -> list[Tok]:
+    """Redshift ``DELETE FROM t USING s WHERE cond`` -> Spark
+    ``MERGE INTO t USING s ON cond WHEN MATCHED THEN DELETE``
+    (same delete-matching-rows semantics; the engine's W2/W3 path --
+    sources/writers.py -- executes this shape over parquet)."""
+    sigs = [k for k, t in enumerate(toks) if _is_sig(t)]
+    if not sigs or not _word_is(toks[sigs[0]], "DELETE"):
+        return toks
+    if len(sigs) < 2 or not _word_is(toks[sigs[1]], "FROM"):
+        return toks
+    depths = _depths(toks)
+    using_i = next(
+        (
+            k
+            for k in sigs
+            if depths[k] == 0 and _word_is(toks[k], "USING")
+        ),
+        None,
+    )
+    if using_i is None:
+        return toks
+    where_i = next(
+        (
+            k
+            for k in sigs
+            if k > using_i and depths[k] == 0 and _word_is(toks[k], "WHERE")
+        ),
+        None,
+    )
+    if where_i is None:
+        raise TranspileError("DELETE ... USING without WHERE")
+    target = _render(toks[sigs[2] : using_i]).strip()
+    source = _render(toks[using_i + 1 : where_i]).strip()
+    cond = _render(toks[where_i + 1 :]).strip()
+    return tokenize(
+        f"MERGE INTO {target} USING {source} ON {cond} "
+        "WHEN MATCHED THEN DELETE"
+    )
+
+
+_DT_FMT_HINT = re.compile(
+    r"YYYY|MM|DD|HH|MI|SS|MON|DAY|DY|AM|PM", re.IGNORECASE
+)
+
+
+def _rw_to_char(toks: list[Tok]) -> list[Tok]:
+    """TO_CHAR(expr, 'datetime-fmt') -> date_format(expr, java-fmt);
+    the Redshift 'd' day-of-week digit becomes a concat() with
+    dayofweek(). Numeric TO_CHAR (no datetime codes) passes through
+    to Spark's native numeric to_char."""
+    i = 0
+    out = list(toks)
+    while i < len(out):
+        if _word_is(out[i], "TO_CHAR"):
+            j = _next_sig(out, i)
+            if j < len(out) and out[j].kind == "punct" and out[j].text == "(":
+                args, close = _call_args(out, j)
+                if len(args) == 2:
+                    fsig = _arg_sig(out, args[1])
+                    if len(fsig) == 1 and out[fsig[0]].kind == "str":
+                        fmt = _str_value(out[fsig[0]])
+                        if _DT_FMT_HINT.search(fmt):
+                            java, needs_dow = _translate_to_char_format(fmt)
+                            expr = _render([out[k] for k in args[0]])
+                            if not needs_dow:
+                                new = (
+                                    f"date_format({expr}, "
+                                    f"{_str_lit(java).text})"
+                                )
+                            else:
+                                parts = java.split("\x00")
+                                pieces: list[str] = []
+                                for pi, p in enumerate(parts):
+                                    if p:
+                                        pieces.append(
+                                            f"date_format({expr}, "
+                                            f"{_str_lit(p).text})"
+                                        )
+                                    if pi < len(parts) - 1:
+                                        pieces.append(
+                                            "cast(dayofweek("
+                                            f"{expr}) as string)"
+                                        )
+                                new = (
+                                    "concat(" + ", ".join(pieces) + ")"
+                                    if len(pieces) > 1
+                                    else pieces[0]
+                                )
+                            out[i : close + 1] = tokenize(new)
+        i += 1
+    return out
+
+
+def _rw_to_date(toks: list[Tok]) -> list[Tok]:
+    """TO_DATE/TO_TIMESTAMP(s, 'YYYY-MM-DD') -> Java parse codes."""
+    out = list(toks)
+    for i, t in enumerate(out):
+        if _word_is(t, "TO_DATE", "TO_TIMESTAMP"):
+            j = _next_sig(out, i)
+            if j < len(out) and out[j].kind == "punct" and out[j].text == "(":
+                args, _close = _call_args(out, j)
+                if len(args) == 2:
+                    fsig = _arg_sig(out, args[1])
+                    if len(fsig) == 1 and out[fsig[0]].kind == "str":
+                        fmt = _str_value(out[fsig[0]])
+                        if _DT_FMT_HINT.search(fmt):
+                            java, needs_dow = _translate_to_char_format(fmt)
+                            if needs_dow:
+                                raise TranspileError(
+                                    "'d' code is not parseable in "
+                                    "TO_DATE"
+                                )
+                            out[fsig[0]] = _str_lit(java)
+    return out
+
+
+def _json_path(keys: list[str]) -> str:
+    parts = []
+    for k in keys:
+        if re.fullmatch(r"[A-Za-z0-9_ ]+", k) and not k.isdigit():
+            parts.append("." + k)
+        else:
+            parts.append("['" + k.replace("'", "\\'") + "']")
+    return "$" + "".join(parts)
+
+
+def _rw_json(toks: list[Tok]) -> list[Tok]:
+    """JSON_EXTRACT_PATH_TEXT(j, 'a', 'b') -> get_json_object(j,
+    '$.a.b'); JSON_EXTRACT_ARRAY_ELEMENT_TEXT(j, i) ->
+    get_json_object(j, '$[i]'). NULL-on-missing/invalid matches the
+    functions-layer semantics (functions/__init__.py
+    json_extract_path_text)."""
+    i = 0
+    out = list(toks)
+    while i < len(out):
+        if _word_is(out[i], "JSON_EXTRACT_PATH_TEXT"):
+            j = _next_sig(out, i)
+            if j < len(out) and out[j].kind == "punct" and out[j].text == "(":
+                args, close = _call_args(out, j)
+                if len(args) < 2:
+                    raise TranspileError(
+                        "JSON_EXTRACT_PATH_TEXT needs >= 2 args"
+                    )
+                path_args = args[1:]
+                # Redshift's optional trailing null_if_invalid flag:
+                # our NULL-on-invalid semantics already match `true`.
+                last_sig = _arg_sig(out, path_args[-1])
+                if len(last_sig) == 1 and _word_is(
+                    out[last_sig[0]], "TRUE", "FALSE"
+                ):
+                    path_args = path_args[:-1]
+                if not path_args:
+                    raise TranspileError(
+                        "JSON_EXTRACT_PATH_TEXT needs a path"
+                    )
+                expr = _render([out[k] for k in args[0]])
+                lits: list[str] | None = []
+                for a in path_args:
+                    sig = _arg_sig(out, a)
+                    if len(sig) == 1 and out[sig[0]].kind == "str":
+                        lits.append(_str_value(out[sig[0]]))
+                    else:
+                        lits = None
+                        break
+                if lits is not None:
+                    new = (
+                        f"get_json_object({expr}, "
+                        f"{_str_lit(_json_path(lits)).text})"
+                    )
+                else:
+                    # dynamic keys: build the path at runtime
+                    # (get_json_object accepts non-foldable paths)
+                    parts = ["'$'"]
+                    for a in path_args:
+                        k_expr = _render([out[k] for k in a])
+                        parts.append(
+                            "concat('.', cast((" + k_expr
+                            + ") as string))"
+                        )
+                    new = (
+                        f"get_json_object({expr}, "
+                        f"concat({', '.join(parts)}))"
+                    )
+                out[i : close + 1] = tokenize(new)
+        elif _word_is(out[i], "JSON_EXTRACT_ARRAY_ELEMENT_TEXT"):
+            j = _next_sig(out, i)
+            if j < len(out) and out[j].kind == "punct" and out[j].text == "(":
+                args, close = _call_args(out, j)
+                if len(args) == 3:
+                    sig3 = _arg_sig(out, args[2])
+                    if len(sig3) == 1 and _word_is(
+                        out[sig3[0]], "TRUE", "FALSE"
+                    ):
+                        args = args[:2]  # null_if_invalid flag
+                if len(args) != 2:
+                    raise TranspileError(
+                        "JSON_EXTRACT_ARRAY_ELEMENT_TEXT needs "
+                        "(json, index)"
+                    )
+                expr = _render([out[k] for k in args[0]])
+                sig = _arg_sig(out, args[1])
+                if len(sig) == 1 and out[sig[0]].kind == "num":
+                    new = (
+                        f"get_json_object({expr}, "
+                        f"'$[{out[sig[0]].text}]')"
+                    )
+                else:
+                    idx_expr = _render([out[k] for k in args[1]])
+                    new = (
+                        f"get_json_object({expr}, concat('$[', "
+                        f"cast(({idx_expr}) as string), ']'))"
+                    )
+                out[i : close + 1] = tokenize(new)
+        i += 1
+    return out
+
+
+_QUALIFY_ENDERS = ("ORDER", "LIMIT", "OFFSET", "UNION", "INTERSECT",
+                   "EXCEPT", "MINUS")
+
+
+def _rw_qualify(toks: list[Tok]) -> list[Tok]:
+    """QUALIFY pred -> ``SELECT * EXCEPT (__qualify__) FROM (select
+    + pred AS __qualify__) WHERE __qualify__``.
+
+    Spark resolves lateral column aliases inside the injected
+    predicate (probed: a select-list alias of a window function is
+    referable later in the same list), so predicates over SELECT
+    aliases and over raw window functions both work."""
+    while True:
+        out = list(toks)
+        depths = _depths(out)
+        qi = next(
+            (k for k, t in enumerate(out) if _word_is(t, "QUALIFY")),
+            None,
+        )
+        if qi is None:
+            return out
+        d = depths[qi]
+        sel = max(
+            (
+                k
+                for k in range(qi)
+                if depths[k] == d and _word_is(out[k], "SELECT")
+            ),
+            default=None,
+        )
+        if sel is None:
+            raise TranspileError("QUALIFY without a SELECT")
+        # Snowflake/Redshift evaluation order puts QUALIFY *before*
+        # DISTINCT, so a SELECT DISTINCT moves to the outer query:
+        # filter on the predicate first, then de-duplicate the
+        # original select list.
+        distinct = ""
+        ns = _next_sig(out, sel)
+        if ns < len(out) and _word_is(out[ns], "DISTINCT"):
+            distinct = "DISTINCT "
+            out[ns] = Tok("ws", " ")
+        fi = next(
+            (
+                k
+                for k in range(sel + 1, qi)
+                if depths[k] == d and _word_is(out[k], "FROM")
+            ),
+            None,
+        )
+        if fi is None:
+            raise TranspileError("QUALIFY without a FROM")
+        end = len(out)
+        for k in range(qi + 1, len(out)):
+            if depths[k] < d or (
+                out[k].kind == "punct"
+                and out[k].text == ")"
+                and depths[k] <= d
+            ):
+                end = k
+                break
+            if depths[k] == d and (
+                _word_is(out[k], *_QUALIFY_ENDERS)
+                or (out[k].kind == "punct" and out[k].text == ";")
+            ):
+                end = k
+                break
+        pred = _render(out[qi + 1 : end]).strip()
+        if not pred:
+            raise TranspileError("empty QUALIFY predicate")
+        select_list = out[sel:fi]
+        body = out[fi:qi]
+        inner = (
+            _render(select_list)
+            + f", ({pred}) AS __qualify__ "
+            + _render(body)
+        )
+        replacement = (
+            f"SELECT {distinct}* EXCEPT (__qualify__) FROM ("
+            + inner
+            + ") __qualify_sq WHERE __qualify__ "
+        )
+        toks = out[:sel] + tokenize(replacement) + out[end:]
+
+
+def _rw_ddl(toks: list[Tok]) -> list[Tok]:
+    """Strip Redshift physical-layout DDL (DISTSTYLE/DISTKEY/SORTKEY/
+    ENCODE/BACKUP) -- partitioning is the engine's job in Spark --
+    and map CREATE TEMP TABLE -> CREATE OR REPLACE TEMPORARY VIEW
+    (read-only temp stage; the reference INSERTs only into permanent
+    tables)."""
+    out: list[Tok] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if _word_is(t, "DISTSTYLE"):
+            i = _next_sig(toks, i) + 1
+            continue
+        if _word_is(t, "DISTKEY", "SORTKEY"):
+            j = _next_sig(toks, i)
+            if (
+                j < len(toks)
+                and toks[j].kind == "punct"
+                and toks[j].text == "("
+            ):
+                _args, close = _call_args(toks, j)
+                i = close + 1
+            else:
+                i += 1
+            continue
+        if _word_is(t, "COMPOUND", "INTERLEAVED"):
+            j = _next_sig(toks, i)
+            if j < len(toks) and _word_is(toks[j], "SORTKEY"):
+                i += 1
+                continue
+        if _word_is(t, "ENCODE"):
+            i = _next_sig(toks, i) + 1
+            continue
+        if _word_is(t, "BACKUP"):
+            j = _next_sig(toks, i)
+            if j < len(toks) and _word_is(toks[j], "YES", "NO"):
+                i = j + 1
+                continue
+        if _word_is(t, "CREATE"):
+            j = _next_sig(toks, i)
+            if j < len(toks) and _word_is(toks[j], "TEMP", "TEMPORARY"):
+                k = _next_sig(toks, j)
+                if k < len(toks) and _word_is(toks[k], "TABLE"):
+                    out.append(Tok("word", "CREATE"))
+                    out.append(Tok("ws", " "))
+                    out.append(Tok("word", "OR"))
+                    out.append(Tok("ws", " "))
+                    out.append(Tok("word", "REPLACE"))
+                    out.append(Tok("ws", " "))
+                    out.append(Tok("word", "TEMPORARY"))
+                    out.append(Tok("ws", " "))
+                    out.append(Tok("word", "VIEW"))
+                    i = k + 1
+                    # drop IF NOT EXISTS (incompatible with OR REPLACE)
+                    p = _next_sig(toks, k)
+                    if p < len(toks) and _word_is(toks[p], "IF"):
+                        q = _next_sig(toks, p)
+                        r = _next_sig(toks, q)
+                        if (
+                            r < len(toks)
+                            and _word_is(toks[q], "NOT")
+                            and _word_is(toks[r], "EXISTS")
+                        ):
+                            i = r + 1
+                    continue
+        out.append(t)
+        i += 1
+    return out
+
+
+def _rw_truncate(toks: list[Tok]) -> list[Tok]:
+    """Redshift allows ``TRUNCATE name``; Spark requires
+    ``TRUNCATE TABLE name`` (saturn_price_data.sql)."""
+    sigs = [k for k, t in enumerate(toks) if _is_sig(t)]
+    if (
+        len(sigs) >= 2
+        and _word_is(toks[sigs[0]], "TRUNCATE")
+        and not _word_is(toks[sigs[1]], "TABLE")
+    ):
+        out = list(toks)
+        out[sigs[0] + 1 : sigs[0] + 1] = [
+            Tok("ws", " "), Tok("word", "TABLE"),
+        ]
+        return out
+    return toks
+
+
+def _rw_identity(toks: list[Tok]) -> list[Tok]:
+    """Strip a column-DDL ``IDENTITY(seed, step)`` clause
+    (supermetrics_extracts_config.sql) -- Spark has no serial
+    columns; the engine's surrogate-key path is
+    monotonically_increasing_id/row_number at write time."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        if _word_is(out[i], "IDENTITY"):
+            j = _next_sig(out, i)
+            if (
+                j < len(out)
+                and out[j].kind == "punct"
+                and out[j].text == "("
+            ):
+                _args, close = _call_args(out, j)
+                del out[i : close + 1]
+                continue
+        i += 1
+    return out
+
+
+def _operand_start(toks: list[Tok], end: int) -> int:
+    """Index where the primary expression ending at ``end``
+    (inclusive) starts: a literal/identifier, a call ``f(...)``, a
+    parenthesized expr, with any dotted qualifiers and ``::type``
+    suffix chains."""
+    start = end
+    t = toks[end]
+    if t.kind == "punct" and t.text == ")":
+        start = _matching_open(toks, end)
+        p = _prev_sig(toks, start)
+        if p >= 0 and toks[p].kind == "word":
+            start = p
+    elif t.kind == "str":
+        # typed literal: TIMESTAMP '...' / DATE '...'
+        p = _prev_sig(toks, end)
+        if p >= 0 and _word_is(toks[p], "TIMESTAMP", "DATE", "TIME"):
+            start = p
+    elif t.kind not in ("word", "qid", "num"):
+        raise TranspileError("AT TIME ZONE on a non-primary operand")
+    # dotted qualifier chain: a.b.c
+    while True:
+        p = _prev_sig(toks, start)
+        if p >= 0 and toks[p].kind == "punct" and toks[p].text == ".":
+            q = _prev_sig(toks, p)
+            if q >= 0 and toks[q].kind in ("word", "qid"):
+                start = q
+                continue
+        break
+    return start
+
+
+def _rw_at_time_zone(toks: list[Tok]) -> list[Tok]:
+    """``expr AT TIME ZONE 'tz'`` -> ``from_utc_timestamp(expr,
+    'tz')`` -- Redshift interprets a naive timestamp as UTC and
+    renders it in the target zone (mediamarkt_price_data.sql:
+    ``current_timestamp AT TIME ZONE 'CEST'``)."""
+    while True:
+        out = list(toks)
+        hit = None
+        for i, t in enumerate(out):
+            if _word_is(t, "AT"):
+                j = _next_sig(out, i)
+                k = _next_sig(out, j) if j < len(out) else len(out)
+                m = _next_sig(out, k) if k < len(out) else len(out)
+                if (
+                    m < len(out)
+                    and _word_is(out[j], "TIME")
+                    and _word_is(out[k], "ZONE")
+                ):
+                    hit = (i, m)
+                    break
+        if hit is None:
+            return toks
+        i, m = hit
+        if out[m].kind != "str":
+            raise TranspileError("AT TIME ZONE requires a literal zone")
+        p = _prev_sig(out, i)
+        if p < 0:
+            raise TranspileError("AT TIME ZONE without an operand")
+        start = _operand_start(out, p)
+        expr = _render(out[start : p + 1]).strip()
+        zone = out[m].text
+        toks = (
+            out[:start]
+            + tokenize(f"from_utc_timestamp({expr}, {zone})")
+            + out[m + 1 :]
+        )
+
+
+def _rw_temp_view_name(toks: list[Tok]) -> list[Tok]:
+    """Spark temp views are single-part names; strip the schema
+    qualifier a Redshift CREATE TEMP TABLE carried
+    (price_drop_black_briday: ``data_engineer.price_drop_r_num``)."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        if _word_is(out[i], "TEMPORARY"):
+            j = _next_sig(out, i)
+            if j < len(out) and _word_is(out[j], "VIEW"):
+                k = _next_sig(out, j)
+                while k < len(out) and out[k].kind == "word":
+                    d = _next_sig(out, k)
+                    if (
+                        d < len(out)
+                        and out[d].kind == "punct"
+                        and out[d].text == "."
+                    ):
+                        nxt = _next_sig(out, d)
+                        if nxt < len(out) and out[nxt].kind == "word":
+                            del out[k:nxt]  # drop "schema."
+                            continue
+                    break
+        i += 1
+    return out
+
+
+def _rw_brace_params(toks: list[Tok]) -> list[Tok]:
+    """Python ``str.format`` holes in Airflow task SQL
+    (``DELETE FROM {schema_name}.{table_name}`` --
+    delete_all_table.sql) -> a visible identifier placeholder, same
+    loud-at-analysis contract as ``__jinja_param__``."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        if (
+            out[i].kind == "punct"
+            and out[i].text == "{"
+            and i + 2 < len(out)
+            and out[i + 1].kind == "word"
+            and out[i + 2].kind == "punct"
+            and out[i + 2].text == "}"
+        ):
+            out[i : i + 3] = [
+                Tok("word", f"__param_{out[i + 1].text}__")
+            ]
+        i += 1
+    return out
+
+
+def _rw_jinja(toks: list[Tok]) -> list[Tok]:
+    """``{{ ... }}`` template holes -> a bind-style named parameter
+    (``:param``-less: we use an identifier the caller can define as a
+    temp view column or session variable). Kept loud-and-visible as
+    ``__jinja_param__`` so an unparameterized run fails at analysis,
+    not silently."""
+    out = []
+    for t in toks:
+        if t.kind == "jinja":
+            out.append(Tok("word", "__jinja_param__"))
+        elif t.kind == "str" and "{{" in t.text:
+            # hole embedded in a literal ('{{ti.xcom_pull(...)}}' --
+            # braze stage_data.sql); quotes inside the hole would
+            # break Spark's lexer, so the hole text is replaced
+            out.append(
+                Tok(
+                    "str",
+                    re.sub(
+                        r"\{\{.*?\}\}", "__jinja_param__", t.text,
+                        flags=re.S,
+                    ),
+                )
+            )
+        else:
+            out.append(t)
+    return out
+
+
+_PASSES = (
+    _rw_words,
+    _rw_jinja,
+    _rw_brace_params,
+    _rw_no_schema_binding,
+    _rw_set_stmt,
+    _rw_refresh_mv,
+    _rw_truncate,
+    _rw_create_like,
+    _rw_identity,
+    _rw_ddl,
+    _rw_temp_view_name,
+    _rw_update_from,
+    _rw_delete_using,
+    _rw_at_time_zone,
+    _rw_types,
+    _rw_minmax_within_group,
+    _rw_ignore_nulls,
+    _rw_tilde,
+    _rw_similar_to,
+    _rw_quoted_units,
+    _rw_to_char,
+    _rw_to_date,
+    _rw_json,
+    _rw_qualify,
+)
+
+
+def transpile(sql: str) -> str:
+    """Rewrite one Redshift-dialect statement (or script) to Spark
+    SQL. Raises TranspileError on constructs that cannot be rewritten
+    faithfully.
+
+    Apply ONCE: datetime-format translation is not idempotent (the
+    Java codes it emits -- 'MM/dd hh:mm a' -- still look like
+    Redshift codes to a second pass). run_sql() transpiles each
+    statement exactly once. Corpus measurement: 5,970/5,995
+    reference statements are bit-identical under double-transpile;
+    all 25 diffs are this datetime-format shape."""
+    toks = tokenize(sql)
+    for p in _PASSES:
+        toks = p(toks)
+    return _render(toks)
+
+
+def split_statements(sql: str) -> list[str]:
+    """Split a script on top-level ``;`` (string/comment-safe)."""
+    toks = tokenize(sql)
+    stmts: list[list[Tok]] = [[]]
+    for t in toks:
+        if t.kind == "punct" and t.text == ";":
+            stmts.append([])
+        else:
+            stmts[-1].append(t)
+    return [s for s in (_render(ts).strip() for ts in stmts) if s]
+
+
+# ---------------------------------------------------------------- session
+
+_SQL_UDFS = (
+    # JVM-side SQL UDFs: Catalyst inlines the RETURN expression into
+    # the calling plan -- no Python round trip, codegen stays whole.
+    "CREATE OR REPLACE TEMPORARY FUNCTION charindex(sub STRING, s STRING) "
+    "RETURNS INT RETURN instr(s, sub)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION strpos(s STRING, sub STRING) "
+    "RETURNS INT RETURN instr(s, sub)",
+    # NULL -> false, matching functions.is_valid_json
+    "CREATE OR REPLACE TEMPORARY FUNCTION is_valid_json(s STRING) "
+    "RETURNS BOOLEAN RETURN try_parse_json(s) IS NOT NULL",
+    "CREATE OR REPLACE TEMPORARY FUNCTION json_array_length_rs(s STRING) "
+    "RETURNS INT RETURN json_array_length(s)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION isnumeric(s STRING) "
+    "RETURNS BOOLEAN RETURN s RLIKE '^[+-]?([0-9]+\\\\.?[0-9]*|\\\\.[0-9]+)$'",
+    "CREATE OR REPLACE TEMPORARY FUNCTION is_valid_json_array(s STRING) "
+    "RETURNS BOOLEAN RETURN json_array_length(s) IS NOT NULL",
+    # the reference warehouse's own Redshift UDF (f_json_ok) -- same
+    # contract as is_valid_json
+    "CREATE OR REPLACE TEMPORARY FUNCTION f_json_ok(s STRING) "
+    "RETURNS BOOLEAN RETURN try_parse_json(s) IS NOT NULL",
+    # Postgres timezone(zone, ts): render a UTC instant in `zone`
+    "CREATE OR REPLACE TEMPORARY FUNCTION timezone(tz STRING, "
+    "ts TIMESTAMP) RETURNS TIMESTAMP RETURN from_utc_timestamp(ts, tz)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION convert_to_utc_timestamp("
+    "ts TIMESTAMP, tz STRING) RETURNS TIMESTAMP "
+    "RETURN to_utc_timestamp(ts, tz)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION date_part_year(d DATE) "
+    "RETURNS INT RETURN year(d)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION func_sha1(s STRING) "
+    "RETURNS STRING RETURN sha1(s)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION get_array_length(s STRING) "
+    "RETURNS INT RETURN json_array_length(s)",
+)
+
+
+def install(spark) -> None:
+    """Prepare a session for transpiled Redshift SQL: double-quoted
+    identifiers + the dialect SQL UDFs. Idempotent."""
+    spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
+    for ddl in _SQL_UDFS:
+        spark.sql(ddl)
+
+
+def run_sql(spark, sql: str):
+    """Transpile + execute a Redshift-dialect script; returns the
+    last statement's DataFrame."""
+    install(spark)
+    result = None
+    for stmt in split_statements(sql):
+        result = spark.sql(transpile(stmt))
+    return result

@@ -7590,6 +7590,82 @@ def skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+_COMPAT_SCRIPT = """
+SET enable_case_sensitive_identifier TO TRUE;
+
+CREATE TEMP TABLE compat_orders_conformed AS
+SELECT
+    o_orderkey,
+    o_custkey,
+    o_totalprice::DOUBLE PRECISION AS order_value,
+    TO_CHAR(o_orderdate, 'YYYY-MM') AS order_month,
+    CASE WHEN o_orderpriority ~ '^[12]' THEN 'urgent'
+         ELSE 'normal' END AS prio_class
+FROM compat_orders_src
+WHERE o_orderpriority !~~* '5%'
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY o_custkey
+    ORDER BY o_orderdate DESC, o_orderkey DESC) = 1;
+
+SELECT
+    order_month,
+    prio_class,
+    COUNT(*) AS n_latest,
+    CAST(SUM(order_value::DECIMAL(12,2)) AS FLOAT8) AS latest_value
+FROM compat_orders_conformed
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@q(
+    "compat_redshift_script",
+    oracle="""
+WITH latest AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+         o_orderpriority,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+  WHERE o_orderpriority NOT ILIKE '5%'
+)
+SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+       CASE WHEN regexp_matches(o_orderpriority, '^[12]')
+            THEN 'urgent' ELSE 'normal' END AS prio_class,
+       COUNT(*) AS n_latest,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         AS latest_value
+FROM latest
+WHERE rn = 1
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def compat_redshift_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Redshift->Spark transpiler as a driver-checked query: a
+    reference-shaped multi-statement Redshift script (session SET,
+    CREATE TEMP TABLE stage, ``::DOUBLE PRECISION``, TO_CHAR format
+    codes, POSIX ``~`` regex, ``!~~*`` NOT-ILIKE operator, QUALIFY —
+    the exact constructs the Datawarehouse-ETL incremental loaders
+    use, e.g. 30_segment_events/01_track_events.sql's SET +
+    temp-stage + QUALIFY shape) runs VERBATIM through
+    compat.run_sql() and must hash-match the ANSI oracle. Proves the
+    dialect layer end-to-end: tokenizer, QUALIFY subquery rewrite,
+    type/operator/format translations, multi-statement session flow
+    (compat/transpile.py; sweep evidence TRANSPILE_COVERAGE.json —
+    96.3% of the reference's 4,833 statements parse after
+    transpile). Scale: the script itself is the plan — Catalyst sees
+    the same window + hash-agg it would from native DataFrame code;
+    the temp stage is a lazy view, not a materialization."""
+    from .compat import run_sql
+
+    load(spark, sf_dir, "orders").createOrReplaceTempView(
+        "compat_orders_src"
+    )
+    return run_sql(spark, _COMPAT_SCRIPT)
+
+
 # ===========================================================================
 # Registry ordering: the driver's correctness gate evaluates the FIRST
 # 50 registry entries (registration order); _DRIVER_WINDOW pins that
@@ -7679,7 +7755,9 @@ _DRIVER_WINDOW = [
     "txt_source_mix",
     "txt_stratified_sample",
     "txt_unigram_logprob",
-    "txt_vocab_topk",
+    # (txt_vocab_topk — r3-green in CORRECTNESS_r03.json — is the
+    # second r3-aged row held to round 7; its slot funds
+    # compat_redshift_script below. The r3-aged draw stays ≥45.)
     "w_time_range_rolling",
     "wh_daily_kpi",
     "wh_track_events",
@@ -7694,6 +7772,9 @@ _DRIVER_WINDOW = [
     # transactional-table round trip (commit log, r5 missing #4):
     "mm_video_frames",
     "tx_merge_readback",
+    # the Redshift-dialect transpiler end-to-end (compat/run_sql on a
+    # reference-shaped multi-statement script, new this round):
+    "compat_redshift_script",
 ]
 
 

@@ -1,0 +1,370 @@
+"""Redshift -> Spark SQL transpiler (etl_pipelines_spark.compat).
+
+Two tiers: text-level rewrite checks (fast, no session) and
+execution checks that run transpiled Redshift-dialect SQL against
+real temp views and assert VALUES, not just parses. The dialect
+constructs covered mirror the reference's usage inventory
+(tools/transpile_reference.py sweep): QUALIFY, UPDATE ... FROM,
+DELETE ... USING, CREATE TEMP TABLE (LIKE ...), WITH NO SCHEMA
+BINDING, ``~``-family operators, AT TIME ZONE, quoted datetime
+units, JSON_EXTRACT_PATH_TEXT, TO_CHAR, IDENTITY columns, Jinja /
+format-string template holes.
+"""
+from __future__ import annotations
+
+import pytest
+
+from etl_pipelines_spark.compat import (
+    TranspileError,
+    install,
+    run_sql,
+    split_statements,
+    transpile,
+)
+
+
+def norm(s: str) -> str:
+    return " ".join(s.split())
+
+
+class TestTextRewrites:
+    def test_passthrough_is_lossless(self):
+        sql = "SELECT a::int, b || c FROM t WHERE a <> 2 -- note"
+        assert transpile(sql) == sql
+
+    def test_getdate_and_sysdate(self):
+        assert "current_timestamp()" in transpile("SELECT GETDATE()")
+        assert "current_timestamp()" in transpile("SELECT SYSDATE")
+
+    def test_update_from_becomes_merge(self):
+        out = transpile(
+            "UPDATE tgt SET a = s.a, b = s.b FROM stage s "
+            "WHERE tgt.id = s.id"
+        )
+        assert norm(out) == norm(
+            "MERGE INTO tgt USING stage s ON tgt.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET a = s.a, b = s.b"
+        )
+
+    def test_update_from_join_wraps_subquery(self):
+        out = transpile(
+            "UPDATE tgt SET a = t.x FROM tgt t "
+            "INNER JOIN pii ON t.id = pii.id"
+        )
+        assert "USING (SELECT * FROM tgt t" in out
+        assert ") t ON true" in out
+
+    def test_update_without_from_passes_through(self):
+        sql = "UPDATE t SET a = 1 WHERE b = 2"
+        assert transpile(sql) == sql
+
+    def test_delete_using_becomes_merge(self):
+        out = transpile(
+            "DELETE FROM tgt USING stage s WHERE tgt.id = s.id"
+        )
+        assert norm(out) == norm(
+            "MERGE INTO tgt USING stage s ON tgt.id = s.id "
+            "WHEN MATCHED THEN DELETE"
+        )
+
+    def test_create_temp_like_becomes_empty_clone_view(self):
+        out = transpile(
+            "CREATE TEMP TABLE stage_dl (LIKE sch.base)"
+        )
+        assert norm(out) == norm(
+            "CREATE OR REPLACE TEMPORARY VIEW stage_dl AS "
+            "SELECT * FROM sch.base WHERE 1 = 0"
+        )
+
+    def test_create_table_like_permanent(self):
+        out = transpile("CREATE TABLE a.b (LIKE c.d)")
+        assert norm(out) == "CREATE TABLE a.b LIKE c.d"
+
+    def test_no_schema_binding_stripped(self):
+        out = transpile(
+            "CREATE VIEW v AS SELECT 1 AS a WITH NO SCHEMA BINDING"
+        )
+        assert "SCHEMA BINDING" not in out
+
+    def test_set_to_becomes_eq(self):
+        out = transpile("SET enable_case_sensitive_identifier TO TRUE")
+        assert "=" in out and " TO " not in out
+
+    def test_refresh_mv(self):
+        out = transpile("REFRESH MATERIALIZED VIEW sch.mv1")
+        assert norm(out) == "REFRESH TABLE sch.mv1"
+
+    def test_truncate_gets_table_keyword(self):
+        assert norm(transpile("TRUNCATE sch.t")) == "TRUNCATE TABLE sch.t"
+        sql = "TRUNCATE TABLE sch.t"
+        assert transpile(sql) == sql
+
+    def test_identity_clause_stripped(self):
+        out = transpile(
+            "CREATE TABLE t (id INT IDENTITY(1,1), v VARCHAR(10))"
+        )
+        assert "IDENTITY" not in out.upper()
+
+    def test_double_precision(self):
+        out = transpile("SELECT price::DOUBLE PRECISION FROM t")
+        assert "PRECISION" not in out.upper()
+        assert "DOUBLE" in out.upper()
+
+    def test_at_time_zone(self):
+        out = transpile(
+            "UPDATE t SET valid_to = current_timestamp "
+            "AT TIME ZONE 'CEST'"
+        )
+        assert "from_utc_timestamp(current_timestamp, 'CEST')" in out
+
+    def test_postgres_like_ops(self):
+        assert "LIKE" in transpile("SELECT a ~~ 'x%' FROM t")
+        assert "NOT ILIKE" in transpile("SELECT a !~~* 'x%' FROM t")
+
+    def test_tilde_regex(self):
+        out = transpile('SELECT "user_id" ~ \'^[0-9]+$\' FROM t')
+        assert "RLIKE" in out
+
+    def test_quoted_units(self):
+        out = transpile("SELECT DATEADD('month', 1, d) FROM t")
+        assert "'month'" not in out
+        out = transpile("SELECT DATE_ADD('week', -1, d) FROM t")
+        assert "'week'" not in out and "week" in out
+        # 2-arg date_add must pass through untouched
+        sql = "SELECT DATE_ADD(d, 7) FROM t"
+        assert transpile(sql) == sql
+
+    def test_extract_quoted_epoch(self):
+        out = transpile("SELECT EXTRACT('epoch' FROM ts) FROM t")
+        assert "'epoch'" not in out and "epoch" in out
+
+    def test_jinja_hole_in_literal(self):
+        out = transpile(
+            "SELECT 1 FROM t WHERE y = '{{ti.xcom_pull(key='year')}}'"
+        )
+        assert out.endswith("'__jinja_param__'")
+
+    def test_format_brace_hole(self):
+        out = transpile("DELETE FROM {schema_name}.{table_name} WHERE 1=1")
+        assert "__param_schema_name__.__param_table_name__" in out
+
+    def test_bool_and_datetime_types(self):
+        assert "boolean" in transpile("SELECT a::BOOL FROM t")
+        assert "timestamp" in transpile("SELECT a::datetime FROM t")
+        # "datetime" as a column name must survive
+        sql = "SELECT datetime FROM t"
+        assert transpile(sql) == sql
+
+    def test_timestamp_with_time_zone_type(self):
+        out = transpile("CREATE TABLE t (a TIMESTAMP WITH TIME ZONE)")
+        assert "ZONE" not in out.upper()
+
+    def test_temp_view_name_qualifier_stripped(self):
+        out = transpile("CREATE TEMP TABLE sch.stage AS SELECT 1 AS a")
+        assert "TEMPORARY VIEW stage" in out
+
+    def test_minmax_within_group_dropped(self):
+        out = transpile(
+            "select max(a) within group (order by b) as m, "
+            "min(a) within group (order by b desc) as n from t"
+        )
+        assert norm(out) == "select max(a) as m, min(a) as n from t"
+        # listagg keeps its WITHIN GROUP (Spark parses it natively)
+        sql = "select listagg(a, ',') within group (order by a) from t"
+        assert transpile(sql) == sql
+
+    def test_fn_renames(self):
+        assert "repeat(" in transpile("SELECT REPLICATE('x', 3)")
+        # only in call position
+        sql = "SELECT replicate FROM t"
+        assert transpile(sql) == sql
+
+    def test_datetime_format_single_pass(self):
+        # the affiliate-feed shapes (affiliate_cj_submitted_orders):
+        # translation is correct applied ONCE; run_sql applies once.
+        out = transpile(
+            "SELECT TO_TIMESTAMP(d, 'MM/DD/YYYY HH:MI:SS AM') FROM t"
+        )
+        assert "'MM/dd/yyyy hh:mm:ss a'" in out
+        out = transpile(
+            "SELECT to_timestamp(d, 'yyyy-mm-dd HH24:MI:SS') FROM t"
+        )
+        assert "'yyyy-MM-dd HH:mm:ss'" in out
+
+    def test_split_statements_respects_literals(self):
+        stmts = split_statements("SELECT ';'; SELECT 2 -- c;\n; SELECT 3")
+        assert len(stmts) == 3
+
+
+class TestExecution:
+    @pytest.fixture(autouse=True)
+    def views(self, spark):
+        install(spark)
+        spark.createDataFrame(
+            [(1, "alice", 10.0, "2024-01-02"),
+             (2, "bob", 20.0, "2024-01-03"),
+             (3, "carol", 20.0, "2024-01-03"),
+             (4, None, 5.0, "2024-02-10")],
+            "id int, name string, amt double, d string",
+        ).createOrReplaceTempView("compat_t")
+        yield
+        spark.catalog.dropTempView("compat_t")
+
+    def test_qualify_rownum(self, spark):
+        df = run_sql(
+            spark,
+            "SELECT d, amt FROM compat_t "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY d ORDER BY amt) = 1",
+        )
+        rows = {(r.d, r.amt) for r in df.collect()}
+        assert rows == {("2024-01-02", 10.0), ("2024-01-03", 20.0),
+                        ("2024-02-10", 5.0)}
+        assert df.columns == ["d", "amt"]
+
+    def test_qualify_distinct_filters_before_dedup(self, spark):
+        # Snowflake/Redshift order: QUALIFY runs before DISTINCT, so
+        # both d='2024-01-03' rows (rank 1 and 2) must collapse to
+        # the rank<=2 distinct amt set
+        df = run_sql(
+            spark,
+            "SELECT DISTINCT amt FROM compat_t "
+            "QUALIFY RANK() OVER (ORDER BY amt) <= 2",
+        )
+        assert {r.amt for r in df.collect()} == {5.0, 10.0}
+
+    def test_json_extract_path(self, spark):
+        df = run_sql(
+            spark,
+            """SELECT JSON_EXTRACT_PATH_TEXT(
+                 '{"a": {"b": "deep"}}', 'a', 'b') AS v""",
+        )
+        assert df.collect()[0].v == "deep"
+
+    def test_to_char(self, spark):
+        df = run_sql(
+            spark,
+            "SELECT TO_CHAR(DATE '2024-03-05', 'YYYY-MM-DD') AS v",
+        )
+        assert df.collect()[0].v == "2024-03-05"
+
+    def test_udfs(self, spark):
+        row = run_sql(
+            spark,
+            "SELECT CHARINDEX('b', 'abc') AS ci, ISNUMERIC('3.5') AS n1,"
+            " ISNUMERIC('x5') AS n2, IS_VALID_JSON('{\"a\":1}') AS j,"
+            " IS_VALID_JSON_ARRAY('[1,2]') AS ja, FUNC_SHA1('x') AS h",
+        ).collect()[0]
+        assert (row.ci, row.n1, row.n2, row.j, row.ja) == (
+            2, True, False, True, True)
+        assert len(row.h) == 40
+
+    def test_replicate_and_similar_to(self, spark):
+        row = run_sql(
+            spark,
+            "SELECT REPLICATE('x', LEN('abc')) AS r,"
+            " 'banana' SIMILAR TO 'b%na' AS s",
+        ).collect()[0]
+        assert row.r == "xxx" and row.s is True
+
+    def test_at_time_zone_exec(self, spark):
+        row = run_sql(
+            spark,
+            "SELECT TIMESTAMP '2024-06-01 12:00:00' "
+            "AT TIME ZONE 'Europe/Berlin' AS v",
+        ).collect()[0]
+        assert str(row.v) == "2024-06-01 14:00:00"  # UTC+2 in summer
+
+    def test_tilde_ops_exec(self, spark):
+        row = run_sql(
+            spark,
+            "SELECT 'abc123' ~ '^[a-z]+[0-9]+$' AS re,"
+            " 'HELLO' ~~* 'he%' AS il, 'abc' !~ '^z' AS nre",
+        ).collect()[0]
+        assert (row.re, row.il, row.nre) == (True, True, True)
+
+    def test_create_temp_like_round_trip(self, spark):
+        run_sql(
+            spark, "CREATE TEMP TABLE clone_dl (LIKE compat_t)"
+        )
+        df = spark.table("clone_dl")
+        assert df.columns == ["id", "name", "amt", "d"]
+        assert df.count() == 0
+        spark.catalog.dropTempView("clone_dl")
+
+    def test_multi_statement_script(self, spark):
+        df = run_sql(
+            spark,
+            """
+            SET enable_case_sensitive_identifier TO TRUE;
+            CREATE TEMP TABLE big AS
+              SELECT * FROM compat_t WHERE amt >= 10;
+            SELECT COUNT(*) AS n FROM tmp_big
+            """.replace("tmp_big", "big"),
+        )
+        assert df.collect()[0].n == 3
+        spark.catalog.dropTempView("big")
+
+    def test_update_from_merge_semantics(self, spark, tmp_path):
+        # MERGE needs a writable table: run the rewritten statement
+        # through the engine's keyed-upsert writer semantics instead
+        # -- here we assert the MERGE text parses and the plan is a
+        # MergeIntoTable command on a v2-capable catalog-less check.
+        out = transpile(
+            "UPDATE tgt SET amt = s.amt FROM stage s "
+            "WHERE tgt.id = s.id"
+        )
+        plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(out)
+        assert "MergeIntoTable" in plan.getClass().getSimpleName()
+
+    def test_loud_stop_on_unfixable(self):
+        with pytest.raises(TranspileError):
+            transpile("SELECT a SIMILAR TO b FROM t")  # non-literal
+
+
+class TestReferenceShapedScript:
+    """A reference-shaped Redshift script (same constructs as the
+    Datawarehouse-ETL incremental loaders; text is original) runs
+    end-to-end on the testdata tables."""
+
+    def test_incremental_loader_shape(self, spark, sf_dir):
+        install(spark)
+        spark.read.parquet(f"{sf_dir}/orders.parquet") \
+            .createOrReplaceTempView("src_orders")
+        script = """
+        SET enable_case_sensitive_identifier TO TRUE;
+
+        CREATE TEMP TABLE orders_stage AS
+        SELECT
+            o_orderkey AS order_id,
+            o_custkey  AS customer_id,
+            o_totalprice::DOUBLE PRECISION AS order_value,
+            TO_CHAR(o_orderdate, 'YYYY-MM') AS order_month,
+            CASE WHEN o_orderstatus ~ '^[OF]$' THEN 'closedish'
+                 ELSE 'other' END AS status_class
+        FROM src_orders
+        WHERE o_orderpriority !~~ '5%'
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate DESC,
+            o_orderkey DESC) = 1;
+
+        SELECT order_month,
+               COUNT(*) AS n_latest,
+               SUM(order_value)::DECIMAL(18,2) AS latest_value
+        FROM orders_stage
+        GROUP BY 1
+        ORDER BY 1
+        """
+        df = run_sql(spark, script)
+        rows = df.collect()
+        assert len(rows) > 10
+        assert df.columns == ["order_month", "n_latest", "latest_value"]
+        # the QUALIFY kept exactly one row per customer
+        total = sum(r.n_latest for r in rows)
+        n_cust = (
+            spark.table("src_orders")
+            .where("o_orderpriority NOT LIKE '5%'")
+            .select("o_custkey").distinct().count()
+        )
+        assert total == n_cust
+        spark.catalog.dropTempView("orders_stage")
+        spark.catalog.dropTempView("src_orders")
