@@ -630,6 +630,14 @@ def _rw_refresh_mv(toks: list[Tok]) -> list[Tok]:
     return toks
 
 
+# How CREATE TEMP TABLE maps. "view" (default): CREATE OR REPLACE
+# TEMPORARY VIEW -- zero-copy, read-only stage, the engine-idiomatic
+# form. "table": a real (managed, default-db) table so downstream
+# INSERT/DELETE statements against the stage also resolve -- used by
+# the analysis sweep (tools/analyze_reference.py).
+_TEMP_AS = "view"
+
+
 def _rw_create_like(toks: list[Tok]) -> list[Tok]:
     """Redshift clone DDL (18 sites, all delta-load staging --
     mediamarkt_price_data.sql et al.):
@@ -676,6 +684,11 @@ def _rw_create_like(toks: list[Tok]) -> list[Tok]:
     name = _render(toks[ti + 1 : op]).strip()
     if is_temp:
         name = name.split(".")[-1]  # temp views are single-part
+        if _TEMP_AS == "table":
+            return tokenize(
+                f"CREATE TABLE {name} USING parquet AS "
+                f"SELECT * FROM {src} WHERE 1 = 0"
+            )
         return tokenize(
             f"CREATE OR REPLACE TEMPORARY VIEW {name} AS "
             f"SELECT * FROM {src} WHERE 1 = 0"
@@ -1097,6 +1110,12 @@ def _rw_ddl(toks: list[Tok]) -> list[Tok]:
             if j < len(toks) and _word_is(toks[j], "TEMP", "TEMPORARY"):
                 k = _next_sig(toks, j)
                 if k < len(toks) and _word_is(toks[k], "TABLE"):
+                    if _TEMP_AS == "table":
+                        out.append(Tok("word", "CREATE"))
+                        out.append(Tok("ws", " "))
+                        out.append(Tok("word", "TABLE"))
+                        i = k + 1
+                        continue
                     out.append(Tok("word", "CREATE"))
                     out.append(Tok("ws", " "))
                     out.append(Tok("word", "OR"))
@@ -1338,10 +1357,12 @@ _PASSES = (
 )
 
 
-def transpile(sql: str) -> str:
+def transpile(sql: str, temp_tables: str = "view") -> str:
     """Rewrite one Redshift-dialect statement (or script) to Spark
     SQL. Raises TranspileError on constructs that cannot be rewritten
-    faithfully.
+    faithfully. ``temp_tables="table"`` maps CREATE TEMP TABLE to a
+    real managed table instead of a temp view (writable stage -- the
+    analysis sweep's mode).
 
     Apply ONCE: datetime-format translation is not idempotent (the
     Java codes it emits -- 'MM/dd hh:mm a' -- still look like
@@ -1349,10 +1370,15 @@ def transpile(sql: str) -> str:
     statement exactly once. Corpus measurement: 5,970/5,995
     reference statements are bit-identical under double-transpile;
     all 25 diffs are this datetime-format shape."""
-    toks = tokenize(sql)
-    for p in _PASSES:
-        toks = p(toks)
-    return _render(toks)
+    global _TEMP_AS
+    _TEMP_AS = temp_tables
+    try:
+        toks = tokenize(sql)
+        for p in _PASSES:
+            toks = p(toks)
+        return _render(toks)
+    finally:
+        _TEMP_AS = "view"
 
 
 def split_statements(sql: str) -> list[str]:

@@ -1,0 +1,450 @@
+"""Analysis-tier validation sweep: transpile every reference SQL
+statement and run it against a SHADOW CATALOG so Spark's analyzer
+(not just its parser) validates table/column/function resolution and
+type checking end-to-end.
+
+How the shadow catalog is built (no reference data exists here --
+only the SQL text):
+
+1.  Every transpiled CREATE (DDL / CTAS / VIEW) and INSERT executes
+    for real against empty tables, in file order, iterated until a
+    fixed point so cross-file dependencies converge (the marts read
+    tables their upstream files create).
+2.  Raw-source tables the corpus never creates (stg_*, s3_spectrum_*,
+    public.dim_dates, ...) are REPAIRED on demand: a
+    TABLE_OR_VIEW_NOT_FOUND error creates the table in its schema
+    with a single placeholder column; UNRESOLVED_COLUMN errors then
+    add the referenced columns (STRING) one by one via ALTER TABLE
+    ADD COLUMNS. Spark's non-ANSI implicit casts make STRING a
+    workable universal type for resolution purposes.
+3.  Template holes survive as session VARIABLES
+    (``__jinja_param__`` / ``__param_*__`` -- declared up front), so
+    Jinja-parameterized statements analyze like any other; holes used
+    as table identifiers cannot resolve and are classified as
+    template-limited instead of repaired.
+
+Statement handling: CREATE/DROP/INSERT/TRUNCATE/REFRESH/SET execute;
+SELECT/WITH run analysis only (``spark.sql`` builds the analyzed
+plan lazily -- we force ``queryExecution().analyzed``); MERGE (the
+transpiled UPDATE...FROM / DELETE...USING forms) analyzes until
+Spark's v1-table boundary -- "MERGE INTO TABLE is not supported
+temporarily" means resolution SUCCEEDED and only the table format
+(v1 parquet vs Delta/Iceberg) blocks execution, counted as its own
+tier, consistent with the engine's txlog story (sources/txlog.py).
+
+Writes ANALYZE_COVERAGE.json.
+Usage: python tools/analyze_reference.py [ref_dir] [out_json]
+"""
+from __future__ import annotations
+
+import json
+import pathlib
+import re
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from etl_pipelines_spark.compat import transpile  # noqa: E402
+from etl_pipelines_spark.compat.transpile import (  # noqa: E402
+    TranspileError,
+    install,
+    split_statements,
+    tokenize,
+    _is_sig,
+)
+
+_SKIP_HEADS = {
+    "GRANT", "REVOKE", "VACUUM", "ANALYZE", "COMMIT", "BEGIN", "END",
+    "ROLLBACK", "UNLOAD", "COPY", "CALL", "ALTER",
+}
+_EXEC_HEADS = {"CREATE", "DROP", "INSERT", "TRUNCATE", "REFRESH", "SET"}
+
+_MISSING_RE = re.compile(
+    r"TABLE_OR_VIEW_NOT_FOUND[^`]*`([^`]+(?:`\.`[^`]+)*)`"
+)
+_UNRESOLVED_RE = re.compile(
+    r"UNRESOLVED_COLUMN[^`]*`([^`]+(?:`\.`[^`]+)*)`"
+)
+# a lateral alias inside a window expression means the BASE column is
+# missing from a repair table (the real warehouse resolves the base
+# column first, exactly like Snowflake's QUALIFY scoping) -- so it is
+# a column-repair signal, not a rewrite defect
+_LATERAL_RE = re.compile(
+    r"LATERAL_COLUMN_ALIAS_IN_WINDOW[^`]*`([^`]+(?:`\.`[^`]+)*)`"
+)
+_ARITY_RE = re.compile(
+    r"TOO_MANY_DATA_COLUMNS[^`]*`([^`]+(?:`\.`[^`]+)*)`.*?"
+    r"table columns: (.*?)\.\s*data columns: (.*?)\.",
+    re.S,
+)
+_PLACEHOLDER_RE = re.compile(r"__(?:jinja_param|param_\w+)__")
+
+
+def _stmt_head(stmt: str) -> str:
+    for tok in tokenize(stmt):
+        if _is_sig(tok) and tok.kind == "word":
+            return tok.text.upper()
+    return ""
+
+
+def _err_code(e: Exception) -> str:
+    m = re.match(r"\[([A-Z_.0-9]+)\]", str(e).strip())
+    return m.group(1) if m else str(e).strip().splitlines()[0][:60]
+
+
+class Shadow:
+    def __init__(self, spark):
+        self.spark = spark
+        self.repaired_tables: set[str] = set()
+        self.repaired_cols = 0
+
+    def ensure_db(self, name: str) -> None:
+        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{name}`")
+
+    def create_missing(self, qname: str) -> bool:
+        parts = [p.strip("`") for p in qname.replace("`.`", "\x00").split("\x00")]
+        if len(parts) == 1:
+            db, tbl = "default", parts[0]
+        elif len(parts) == 2:
+            db, tbl = parts
+        else:
+            db, tbl = parts[-2], parts[-1]
+        if _PLACEHOLDER_RE.fullmatch(tbl):
+            return False  # a template hole in table position
+        key = f"{db}.{tbl}".lower()
+        if key in self.repaired_tables:
+            return False
+        self.ensure_db(db)
+        self.spark.sql(
+            f"CREATE TABLE IF NOT EXISTS `{db}`.`{tbl}` "
+            "(__repair__ STRING) USING parquet"
+        )
+        self.repaired_tables.add(key)
+        return True
+
+    def add_column(self, qcol: str, stmt_text: str) -> bool:
+        """Add the unresolved column (STRING) to the repair-created
+        table it belongs to; returns True if any table changed.
+        A qualified reference's alias is mapped back to its table via
+        the FROM/JOIN text; a bare column goes to every repair table
+        the statement mentions (shotgun -- AMBIGUOUS_REFERENCE on the
+        retry is the loud signal it guessed wide)."""
+        parts = [
+            p.strip("`") for p in qcol.replace("`.`", "\x00").split("\x00")
+        ]
+        col = parts[-1]
+        if _PLACEHOLDER_RE.fullmatch(col) or not re.fullmatch(
+            r"[A-Za-z_][A-Za-z0-9_ ]*", col
+        ):
+            return False
+        low = stmt_text.lower()
+        targets: list[str] = []
+        if len(parts) >= 2:
+            alias = parts[-2].lower()
+            # alias -> relation: "<qualified.name> [as] alias" in text
+            for m in re.finditer(
+                r"([a-z_][\w]*(?:\s*\.\s*[a-z_][\w]*)?)\s+(?:as\s+)?"
+                + re.escape(alias) + r"\b",
+                low,
+            ):
+                rel = re.sub(r"\s", "", m.group(1))
+                key = rel if "." in rel else f"default.{rel}"
+                if key in self.repaired_tables:
+                    targets.append(key)
+            if not targets and f"default.{alias}" in self.repaired_tables:
+                targets.append(f"default.{alias}")  # alias IS the table
+            if not targets:
+                for key in self.repaired_tables:
+                    if key.split(".", 1)[1] == alias:
+                        targets.append(key)
+        if not targets:
+            targets = [
+                key
+                for key in self.repaired_tables
+                if key.split(".", 1)[1] in low
+            ]
+        changed = False
+        for key in targets:
+            db, tbl = key.split(".", 1)
+            try:
+                self.spark.sql(
+                    f"ALTER TABLE `{db}`.`{tbl}` ADD COLUMNS "
+                    f"(`{col}` STRING)"
+                )
+                changed = True
+            except Exception:  # noqa: BLE001  (column exists, etc.)
+                pass
+        return changed
+
+    def pad_for_insert(self, msg: str) -> bool:
+        """INSERT arity repair: an INSERT with more data columns than
+        a REPAIR-created target has gets pad columns -- the real
+        table's uninferrable tail (a repair table only ever knows the
+        columns other statements read)."""
+        m = _ARITY_RE.search(msg)
+        if not m:
+            return False
+        qname, table_cols, data_cols = m.groups()
+        parts = [
+            p.strip("`") for p in qname.replace("`.`", "\x00").split("\x00")
+        ]
+        db, tbl = (parts + ["default"])[:2] if len(parts) >= 2 else (
+            "default", parts[0])
+        if len(parts) >= 2:
+            db, tbl = parts[-2], parts[-1]
+        key = f"{db}.{tbl}".lower()
+        if key not in self.repaired_tables:
+            return False
+        need = len(data_cols.split(",")) - len(table_cols.split(","))
+        if need <= 0:
+            return False
+        self.repaired_cols += need
+        base = self.repaired_cols
+        cols = ", ".join(
+            f"`__pad_{base}_{k}__` STRING" for k in range(need)
+        )
+        try:
+            self.spark.sql(
+                f"ALTER TABLE `{db}`.`{tbl}` ADD COLUMNS ({cols})"
+            )
+            return True
+        except Exception:  # noqa: BLE001
+            return False
+
+
+_EXISTS_RE = re.compile(
+    r"TABLE_OR_VIEW_ALREADY_EXISTS[^`]*`([^`]+(?:`\.`[^`]+)*)`"
+)
+
+
+def _attempt(spark, head: str, sql: str):
+    """Execute DDL-ish statements, analyze everything else. A CREATE
+    whose target exists (files legitimately re-create shared tables)
+    drops and retries so the NEW definition is the one validated."""
+    if head in _EXEC_HEADS:
+        if head == "DROP":
+            sql = re.sub(
+                r"(?i)^(\s*DROP\s+(?:TABLE|VIEW))\s+(?!IF\b)",
+                r"\1 IF EXISTS ", sql, count=1,
+            )
+        try:
+            spark.sql(sql)
+        except Exception as e:  # noqa: BLE001
+            m = _EXISTS_RE.search(str(e))
+            if head != "CREATE" or not m:
+                raise
+            name = m.group(1)
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+                spark.sql(f"DROP VIEW IF EXISTS `{name}`")
+            except Exception:  # noqa: BLE001
+                pass
+            spark.sql(sql)
+    else:
+        spark.sql(sql)._jdf.queryExecution().analyzed()
+
+
+def main() -> None:
+    ref = pathlib.Path(sys.argv[1] if len(sys.argv) > 1 else "/root/reference")
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "ANALYZE_COVERAGE.json"
+
+    from pyspark.sql import SparkSession
+
+    wh = tempfile.mkdtemp(prefix="shadow_wh_")
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", wh)
+        .config("spark.sql.ansi.doubleQuotedIdentifiers", "true")
+        .config("spark.sql.legacy.allowNonEmptyLocationInCTAS", "true")
+        .getOrCreate()
+    )
+    install(spark)
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE __jinja_param__ STRING "
+        "DEFAULT '2024-01-01'"
+    )
+
+    # statement inventory, file order (0_ods_core sorts first -- the
+    # reference's own layer order)
+    stmts: list[tuple[str, str, str]] = []  # (file, head, transpiled)
+    n_transpile_fail = 0
+    fail_buckets: dict[str, int] = {}
+    param_names: set[str] = set()
+    for path in sorted(p for p in ref.rglob("*.sql") if p.is_file()):
+        text = path.read_text(errors="replace")
+        for stmt in split_statements(text):
+            head = _stmt_head(stmt)
+            if head in _SKIP_HEADS or not head:
+                continue
+            try:
+                t = transpile(stmt, temp_tables="table")
+            except TranspileError as e:
+                n_transpile_fail += 1
+                key = "transpile: " + str(e)[:50]
+                fail_buckets[key] = fail_buckets.get(key, 0) + 1
+                continue
+            param_names.update(re.findall(r"__param_\w+__", t))
+            stmts.append((str(path.relative_to(ref)), head, t))
+    for name in sorted(param_names):
+        spark.sql(
+            f"DECLARE OR REPLACE VARIABLE {name} STRING DEFAULT '1'"
+        )
+
+    shadow = Shadow(spark)
+
+    _TARGET_RE = re.compile(
+        r"(?i)\bCREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?"
+        r"(?:TABLE|VIEW)\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+        r"([A-Za-z_][\w]*(?:\s*\.\s*[A-Za-z_][\w]*)?)"
+    )
+
+    def _create_target(t: str) -> str | None:
+        m = _TARGET_RE.search(t)
+        if not m:
+            return None
+        name = re.sub(r"\s", "", m.group(1)).lower()
+        return name if "." in name else f"default.{name}"
+    # pre-create every schema mentioned in qualified CREATE/INSERT
+    # targets so first-pass DDL lands
+    for _f, _h, t in stmts:
+        m = re.search(
+            r"(?i)\b(?:TABLE|VIEW|INTO)\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+            r"([A-Za-z_][\w]*)\s*\.",
+            t,
+        )
+        if m:
+            shadow.ensure_db(m.group(1))
+
+    status: dict[int, str] = {}  # index -> ok | err-code
+    pending = list(range(len(stmts)))
+
+    # Phase 1: fixed-point convergence without repair (pure
+    # dependency ordering)
+    for _round in range(8):
+        progress = False
+        still: list[int] = []
+        for i in pending:
+            f, head, t = stmts[i]
+            try:
+                _attempt(spark, head, t)
+                status[i] = "ok"
+                progress = True
+            except Exception as e:  # noqa: BLE001
+                status[i] = _err_code(e)
+                still.append(i)
+        pending = still
+        if not progress or not pending:
+            break
+
+    # Phase 2: repair loop -- create missing raw-source tables /
+    # columns on demand, then re-run the fixed point. A missing table
+    # some PENDING statement still CREATEs is never repaired: the
+    # creator runs first and the fixed point picks the dependent up
+    # next round (otherwise a wrongly-ordered file pair would turn a
+    # corpus-built table into a placeholder).
+    for _round in range(30):
+        progress = False
+        creatable = {
+            _create_target(stmts[i][2])
+            for i in pending
+            if stmts[i][1] == "CREATE"
+        } - {None}
+        for i in list(pending):
+            f, head, t = stmts[i]
+            for _try in range(12):
+                try:
+                    _attempt(spark, head, t)
+                    status[i] = "ok"
+                    pending.remove(i)
+                    progress = True
+                    break
+                except Exception as e:  # noqa: BLE001
+                    msg = str(e)
+                    status[i] = _err_code(e)
+                    m = _MISSING_RE.search(msg)
+                    if m:
+                        parts = [
+                            p.strip("`")
+                            for p in m.group(1)
+                            .replace("`.`", "\x00")
+                            .split("\x00")
+                        ]
+                        key = (
+                            f"{parts[-2]}.{parts[-1]}".lower()
+                            if len(parts) >= 2
+                            else f"default.{parts[0]}".lower()
+                        )
+                        if key in creatable and key != _create_target(t):
+                            break  # its creator is still pending
+                    if m and shadow.create_missing(m.group(1)):
+                        progress = True
+                        continue
+                    m = _UNRESOLVED_RE.search(msg) or _LATERAL_RE.search(msg)
+                    if m and shadow.add_column(m.group(1), t):
+                        progress = True
+                        continue
+                    if shadow.pad_for_insert(msg):
+                        progress = True
+                        continue
+                    break
+        if not progress or not pending:
+            break
+
+    n_ok = sum(1 for s in status.values() if s == "ok")
+    # Row-level-op-on-v1 boundary (MERGE/DELETE/UPDATE on parquet):
+    # name/column resolution SUCCEEDED and only the table format
+    # blocks execution -- Spark checks write capability after
+    # resolving. The engine's transactional answer is sources/txlog.
+    n_rowlevel_v1 = 0
+    residual: dict[str, int] = {}
+    samples: list[dict] = []
+    for i, s in status.items():
+        if s == "ok":
+            continue
+        if (
+            "not supported temporarily" in s
+            or s == "_LEGACY_ERROR_TEMP_2096"
+            or s.startswith("UNSUPPORTED_FEATURE.TABLE_OPERATION")
+        ):
+            n_rowlevel_v1 += 1
+            s = "rowlevel-v1-table-format"
+        elif _PLACEHOLDER_RE.search(stmts[i][2]) and (
+            "UNRESOLVED" in s or "TABLE_OR_VIEW" in s or "DATATYPE" in s
+        ):
+            s = "template-param-limited"
+        residual[s] = residual.get(s, 0) + 1
+        if len(samples) < 60 and s not in (
+            "rowlevel-v1-table-format", "template-param-limited"
+        ):
+            samples.append({"file": stmts[i][0], "head": stmts[i][1],
+                            "err": status[i][:160]})
+
+    result = {
+        "statements": len(stmts) + n_transpile_fail,
+        "transpile_failed": n_transpile_fail,
+        "analyzed_ok": n_ok,
+        "rowlevel_v1_table_format": n_rowlevel_v1,
+        "repaired_tables": len(shadow.repaired_tables),
+        "residual_buckets": dict(
+            sorted(residual.items(), key=lambda kv: -kv[1])
+        ),
+        "residual_samples": samples,
+        "transpile_buckets": dict(
+            sorted(fail_buckets.items(), key=lambda kv: -kv[1])
+        ),
+    }
+    pathlib.Path(out_path).write_text(json.dumps(result, indent=1))
+    print(json.dumps({
+        "statements": result["statements"],
+        "analyzed_ok": n_ok,
+        "rowlevel_v1": n_rowlevel_v1,
+        "repaired_tables": len(shadow.repaired_tables),
+    }))
+    shutil.rmtree(wh, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
