@@ -30,6 +30,12 @@ from .video import (
     synth_mp4_payloads,
 )
 from .mp3 import extract_mp3_meta, parse_mp3_meta, synth_mp3_payloads
+from .avi import (
+    decode_avi_frames,
+    parse_avi_mjpeg,
+    synth_avi_mjpeg_payload,
+    synth_avi_payloads,
+)
 from .binary import (
     MEDIA_SCHEMA,
     attach_fake_payload,

@@ -94,6 +94,35 @@ def _err_code(e: Exception) -> str:
     return m.group(1) if m else str(e).strip().splitlines()[0][:60]
 
 
+def _inferred_columns(stmt_text: str, db: str, tbl: str) -> list[str]:
+    """Columns a statement provably reads from `db.tbl`: every
+    ``alias.col`` reference whose alias binds to that relation in the
+    FROM/JOIN text, plus direct ``tbl.col`` references. Inference
+    keeps the repair loop to ~one round per table instead of one
+    ALTER per column."""
+    low = stmt_text.lower()
+    aliases = {tbl}
+    for m in re.finditer(
+        r"(?:\b" + re.escape(db) + r"\s*\.\s*)?\b" + re.escape(tbl)
+        + r"\b\s+(?:as\s+)?([a-z_][\w]*)",
+        low,
+    ):
+        a = m.group(1)
+        if a not in (
+            "on", "where", "group", "order", "left", "right", "inner",
+            "join", "full", "cross", "using", "set", "as", "qualify",
+            "union", "limit", "having", "when", "then",
+        ):
+            aliases.add(a)
+    cols: set[str] = set()
+    for a in aliases:
+        for m in re.finditer(
+            r"\b" + re.escape(a) + r"\s*\.\s*([a-z_][\w]*)", low
+        ):
+            cols.add(m.group(1))
+    return sorted(cols)
+
+
 class Shadow:
     def __init__(self, spark):
         self.spark = spark
@@ -103,7 +132,34 @@ class Shadow:
     def ensure_db(self, name: str) -> None:
         self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{name}`")
 
-    def create_missing(self, qname: str) -> bool:
+    def _existing_cols(self, db: str, tbl: str) -> set[str]:
+        return {
+            r.col_name.lower()
+            for r in self.spark.sql(
+                f"DESCRIBE TABLE `{db}`.`{tbl}`"
+            ).collect()
+            if r.col_name and not r.col_name.startswith("#")
+        }
+
+    def _alter_add(self, db: str, tbl: str, cols: list[str]) -> bool:
+        new = [
+            c for c in set(cols) - self._existing_cols(db, tbl)
+            if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_ ]*", c)
+            and not _PLACEHOLDER_RE.fullmatch(c)
+        ]
+        if not new:
+            return False
+        ddl = ", ".join(f"`{c}` STRING" for c in sorted(new))
+        try:
+            self.spark.sql(
+                f"ALTER TABLE `{db}`.`{tbl}` ADD COLUMNS ({ddl})"
+            )
+            self.repaired_cols += len(new)
+            return True
+        except Exception:  # noqa: BLE001
+            return False
+
+    def create_missing(self, qname: str, stmt_text: str = "") -> bool:
         parts = [p.strip("`") for p in qname.replace("`.`", "\x00").split("\x00")]
         if len(parts) == 1:
             db, tbl = "default", parts[0]
@@ -117,9 +173,11 @@ class Shadow:
         if key in self.repaired_tables:
             return False
         self.ensure_db(db)
+        cols = _inferred_columns(stmt_text, db.lower(), tbl.lower())
+        ddl = ", ".join(f"`{c}` STRING" for c in cols) or "__repair__ STRING"
         self.spark.sql(
             f"CREATE TABLE IF NOT EXISTS `{db}`.`{tbl}` "
-            "(__repair__ STRING) USING parquet"
+            f"({ddl}) USING parquet"
         )
         self.repaired_tables.add(key)
         return True
@@ -168,14 +226,9 @@ class Shadow:
         changed = False
         for key in targets:
             db, tbl = key.split(".", 1)
-            try:
-                self.spark.sql(
-                    f"ALTER TABLE `{db}`.`{tbl}` ADD COLUMNS "
-                    f"(`{col}` STRING)"
-                )
+            batch = _inferred_columns(stmt_text, db, tbl) + [col]
+            if self._alter_add(db, tbl, batch):
                 changed = True
-            except Exception:  # noqa: BLE001  (column exists, etc.)
-                pass
         return changed
 
     def pad_for_insert(self, msg: str) -> bool:
@@ -261,6 +314,7 @@ def main() -> None:
         .config("spark.sql.legacy.allowNonEmptyLocationInCTAS", "true")
         .getOrCreate()
     )
+    spark.sparkContext.setLogLevel("FATAL")
     install(spark)
     spark.sql(
         "DECLARE OR REPLACE VARIABLE __jinja_param__ STRING "
@@ -379,7 +433,7 @@ def main() -> None:
                         )
                         if key in creatable and key != _create_target(t):
                             break  # its creator is still pending
-                    if m and shadow.create_missing(m.group(1)):
+                    if m and shadow.create_missing(m.group(1), t):
                         progress = True
                         continue
                     m = _UNRESOLVED_RE.search(msg) or _LATERAL_RE.search(msg)
