@@ -368,3 +368,133 @@ class TestReferenceShapedScript:
         assert total == n_cust
         spark.catalog.dropTempView("orders_stage")
         spark.catalog.dropTempView("src_orders")
+
+
+class TestRealReferenceFile:
+    """A REAL reference file (read from /root/reference at test time,
+    never copied into this repo) runs end-to-end: the Redshift text
+    through compat.run_sql on Spark, and the SAME original text
+    through DuckDB (which speaks QUALIFY natively) — the two engines
+    must produce identical rows over identical synthesized fixtures.
+    File: Datawarehouse-ETL/1_ods_finance/00_billing_invoices_clerk
+    .sql — DROP + CTAS with two QUALIFY dedups over COALESCE'd keys
+    and an inner join."""
+
+    REF = (
+        "/root/reference/Datawarehouse-ETL/1_ods_finance/"
+        "00_billing_invoices_clerk.sql"
+    )
+
+    @pytest.fixture()
+    def fixture_frames(self):
+        import pandas as pd
+
+        # invoices: 20 ids; a third CREDIT NOTE (filtered), group/
+        # movement ids exercise every COALESCE branch; created_at
+        # unique per final partition so the rn=1 pick is total-order
+        # deterministic in both engines.
+        inv = pd.DataFrame({
+            "id": range(1, 21),
+            "number": [f"INV-{i:04d}" for i in range(1, 21)],
+            "number_sequence": [i * 7 % 13 for i in range(1, 21)],
+            "payment_group_id": pd.array(
+                [None if i % 3 == 0 else 500 + i % 5
+                 for i in range(1, 21)],
+                dtype="Int64",
+            ),
+            "movement_id": pd.array(
+                [None if i % 2 == 0 else 700 + i % 4
+                 for i in range(1, 21)],
+                dtype="Int64",
+            ),
+            "type": [
+                "CREDIT NOTE" if i % 3 == 1 else "INVOICE"
+                for i in range(1, 21)
+            ],
+            "created_at": pd.to_datetime(
+                [f"2024-03-{(i % 27) + 1:02d} 10:{i:02d}:00"
+                 for i in range(1, 21)]
+            ),
+        })
+        # pdfs: ~2 rows per invoice with distinct created_at so the
+        # inner QUALIFY actually dedups; payments_id null on evens.
+        rows = []
+        for i in range(1, 21):
+            for rep in range(1 + (i % 2)):
+                rows.append({
+                    "invoice_id": i,
+                    "payments_id": None if i % 2 == 0 else 9000 + i,
+                    "invoice_number": f"PDF-{i:04d}-{rep}",
+                    "invoice_date": f"2024-03-{(i % 27) + 1:02d}",
+                    "public_url": f"https://x/inv/{i}/{rep}",
+                    "order_number": f"R{i:05d}",
+                    "invoice_due_date": f"2024-04-{(i % 27) + 1:02d}",
+                    "customer_id": 100 + i % 7,
+                    "invoice_start": "2024-03-01",
+                    "invoice_end": "2024-03-31",
+                    "amount_total": round(i * 9.99 + rep, 2),
+                    "created_at": pd.Timestamp(
+                        f"2024-03-{(i % 27) + 1:02d} 12:{i:02d}:{rep:02d}"
+                    ),
+                })
+        return inv, pd.DataFrame(rows)
+
+    def test_reference_file_both_engines_agree(
+        self, spark, fixture_frames
+    ):
+        import duckdb
+        import os
+
+        if not os.path.exists(self.REF):
+            pytest.skip("reference tree not available")
+        text = open(self.REF).read()
+        inv, pdf = fixture_frames
+
+        # --- Spark side: real catalog tables, transpiled script
+        spark.sql("CREATE DATABASE IF NOT EXISTS oltp_clerk")
+        spark.sql("CREATE DATABASE IF NOT EXISTS ods_production")
+        spark.createDataFrame(inv).write.mode("overwrite") \
+            .saveAsTable("oltp_clerk.invoice")
+        spark.createDataFrame(pdf).write.mode("overwrite") \
+            .saveAsTable("oltp_clerk.invoice_pdf")
+        try:
+            run_sql(spark, text)
+            got = (
+                spark.table("ods_production.billing_invoices_clerk")
+                .toPandas()
+            )
+
+            # --- DuckDB side: the ORIGINAL dialect text, verbatim
+            con = duckdb.connect()
+            con.execute("CREATE SCHEMA oltp_clerk")
+            con.execute("CREATE SCHEMA ods_production")
+            con.register("inv_src", inv)
+            con.register("pdf_src", pdf)
+            con.execute(
+                "CREATE TABLE oltp_clerk.invoice AS SELECT * FROM inv_src"
+            )
+            con.execute(
+                "CREATE TABLE oltp_clerk.invoice_pdf AS "
+                "SELECT * FROM pdf_src"
+            )
+            for stmt in split_statements(text):
+                con.execute(stmt)
+            want = con.execute(
+                "SELECT * FROM ods_production.billing_invoices_clerk"
+            ).df()
+
+            assert list(got.columns) == list(want.columns)
+            key = ["invoice_id"]
+            g = got.sort_values(key).reset_index(drop=True)
+            w = want.sort_values(key).reset_index(drop=True)
+            assert len(g) == len(w) and len(g) > 0
+            for c in g.columns:
+                gc = g[c].astype(str).tolist()
+                wc = w[c].astype(str).tolist()
+                assert gc == wc, f"column {c} differs"
+        finally:
+            spark.sql(
+                "DROP TABLE IF EXISTS ods_production.billing_invoices_clerk"
+            )
+            spark.sql("DROP TABLE IF EXISTS oltp_clerk.invoice")
+            spark.sql("DROP TABLE IF EXISTS oltp_clerk.invoice_pdf")
