@@ -498,3 +498,42 @@ class TestRealReferenceFile:
             )
             spark.sql("DROP TABLE IF EXISTS oltp_clerk.invoice")
             spark.sql("DROP TABLE IF EXISTS oltp_clerk.invoice_pdf")
+
+
+class TestTokenizerProperties:
+    """The tokenizer's load-bearing invariant: rendering the token
+    stream reproduces the input byte-for-byte, for ANY input — every
+    rewrite pass depends on it (untouched regions must survive
+    verbatim)."""
+
+    def test_lossless_on_arbitrary_text(self):
+        from hypothesis import given, settings, strategies as st
+        from etl_pipelines_spark.compat.transpile import tokenize
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.text(
+            alphabet=st.characters(min_codepoint=9, max_codepoint=0x2ff),
+            max_size=120,
+        ))
+        def check(s):
+            assert "".join(t.text for t in tokenize(s)) == s
+
+        check()
+
+    def test_lossless_on_sql_shaped_text(self):
+        from hypothesis import given, settings, strategies as st
+        from etl_pipelines_spark.compat.transpile import tokenize
+
+        frag = st.sampled_from([
+            "SELECT ", "'it''s'", '"qid"', "::int", " -- c\n", "/*b*/",
+            "~*", "!~~", "{{ x }}", "1.5e3", "a.b", "(", ")", ",", ";",
+            "#tmp", "||", "%", "interval '7 days'",
+        ])
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.lists(frag, max_size=25))
+        def check(parts):
+            s = "".join(parts)
+            assert "".join(t.text for t in tokenize(s)) == s
+
+        check()
