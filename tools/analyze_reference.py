@@ -142,8 +142,13 @@ class Shadow:
         }
 
     def _alter_add(self, db: str, tbl: str, cols: list[str]) -> bool:
+        try:
+            existing = self._existing_cols(db, tbl)
+        except Exception:  # noqa: BLE001  (a corpus DROP removed the
+            # repair table after creation)
+            return False
         new = [
-            c for c in set(cols) - self._existing_cols(db, tbl)
+            c for c in set(cols) - existing
             if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_ ]*", c)
             and not _PLACEHOLDER_RE.fullmatch(c)
         ]
@@ -175,10 +180,15 @@ class Shadow:
         self.ensure_db(db)
         cols = _inferred_columns(stmt_text, db.lower(), tbl.lower())
         ddl = ", ".join(f"`{c}` STRING" for c in cols) or "__repair__ STRING"
-        self.spark.sql(
-            f"CREATE TABLE IF NOT EXISTS `{db}`.`{tbl}` "
-            f"({ddl}) USING parquet"
-        )
+        try:
+            self.spark.sql(
+                f"CREATE TABLE IF NOT EXISTS `{db}`.`{tbl}` "
+                f"({ddl}) USING parquet"
+            )
+        except Exception:  # noqa: BLE001  (e.g. a temp view shadows
+            # the default-db name -- Spark NPEs on that collision)
+            self.repaired_tables.add(key)  # don't retry forever
+            return False
         self.repaired_tables.add(key)
         return True
 
@@ -418,31 +428,39 @@ def main() -> None:
                 except Exception as e:  # noqa: BLE001
                     msg = str(e)
                     status[i] = _err_code(e)
-                    m = _MISSING_RE.search(msg)
-                    if m:
-                        parts = [
-                            p.strip("`")
-                            for p in m.group(1)
-                            .replace("`.`", "\x00")
-                            .split("\x00")
-                        ]
-                        key = (
-                            f"{parts[-2]}.{parts[-1]}".lower()
-                            if len(parts) >= 2
-                            else f"default.{parts[0]}".lower()
+                    try:
+                        m = _MISSING_RE.search(msg)
+                        if m:
+                            parts = [
+                                p.strip("`")
+                                for p in m.group(1)
+                                .replace("`.`", "\x00")
+                                .split("\x00")
+                            ]
+                            key = (
+                                f"{parts[-2]}.{parts[-1]}".lower()
+                                if len(parts) >= 2
+                                else f"default.{parts[0]}".lower()
+                            )
+                            if key in creatable and key != _create_target(t):
+                                break  # its creator is still pending
+                        if m and shadow.create_missing(m.group(1), t):
+                            progress = True
+                            continue
+                        m = (
+                            _UNRESOLVED_RE.search(msg)
+                            or _LATERAL_RE.search(msg)
                         )
-                        if key in creatable and key != _create_target(t):
-                            break  # its creator is still pending
-                    if m and shadow.create_missing(m.group(1), t):
-                        progress = True
-                        continue
-                    m = _UNRESOLVED_RE.search(msg) or _LATERAL_RE.search(msg)
-                    if m and shadow.add_column(m.group(1), t):
-                        progress = True
-                        continue
-                    if shadow.pad_for_insert(msg):
-                        progress = True
-                        continue
+                        if m and shadow.add_column(m.group(1), t):
+                            progress = True
+                            continue
+                        if shadow.pad_for_insert(msg):
+                            progress = True
+                            continue
+                    except Exception:  # noqa: BLE001  (a repair crash
+                        # must never kill the sweep -- the statement
+                        # keeps its recorded error)
+                        pass
                     break
         if not progress or not pending:
             break
