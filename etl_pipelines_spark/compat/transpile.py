@@ -274,6 +274,17 @@ def _rw_words(toks: list[Tok]) -> list[Tok]:
     return out
 
 
+# keywords that may directly precede a unary expression — a word in
+# this set can never END an operand, so a `~` after it is bitwise NOT
+_NON_OPERAND_KW = {
+    "SELECT", "WHERE", "AND", "OR", "NOT", "WHEN", "THEN", "ELSE",
+    "ON", "BY", "IN", "CASE", "DISTINCT", "ALL", "AS", "FROM",
+    "JOIN", "HAVING", "SET", "VALUES", "LIKE", "ILIKE", "RLIKE",
+    "BETWEEN", "IS", "ESCAPE", "RETURN", "COALESCE", "IF", "UNION",
+    "INTERSECT", "EXCEPT", "LIMIT", "OFFSET", "OVER", "PARTITION",
+}
+
+
 def _rw_tilde(toks: list[Tok]) -> list[Tok]:
     """Binary ``~``/``!~``/``~*``/``!~*`` -> [NOT] RLIKE, and the
     Postgres LIKE operators ``~~``/``!~~``/``~~*``/``!~~*`` ->
@@ -281,7 +292,10 @@ def _rw_tilde(toks: list[Tok]) -> list[Tok]:
 
     A ``~`` is binary when the previous significant token can end an
     operand (identifier, literal, ``)``); otherwise it is bitwise NOT
-    and passes through."""
+    and passes through. Reserved keywords (SELECT, WHERE, AND, …) are
+    words but can NOT end an operand — ``SELECT ~5`` is unary bitwise
+    NOT (r6 advice: it used to become the fused identifier
+    ``RLIKE5``)."""
     out = list(toks)
     i = 0
     while i < len(out):
@@ -293,13 +307,18 @@ def _rw_tilde(toks: list[Tok]) -> list[Tok]:
             if neg:
                 repl += [Tok("word", "NOT"), Tok("ws", " ")]
             repl.append(Tok("word", kw))
+            repl.append(Tok("ws", " "))
             out[i : i + 1] = repl
             i += len(repl)
             continue
         if t.kind == "op" and t.text in ("~", "!~", "~*", "!~*"):
             p = _prev_sig(out, i)
             binary = p >= 0 and (
-                out[p].kind in ("word", "str", "qid", "num")
+                (
+                    out[p].kind == "word"
+                    and out[p].text.upper() not in _NON_OPERAND_KW
+                )
+                or out[p].kind in ("str", "qid", "num")
                 or (out[p].kind == "punct" and out[p].text == ")")
             )
             if not binary:
@@ -312,6 +331,7 @@ def _rw_tilde(toks: list[Tok]) -> list[Tok]:
                 repl.append(Tok("word", "NOT"))
                 repl.append(Tok("ws", " "))
             repl.append(Tok("word", "RLIKE"))
+            repl.append(Tok("ws", " "))
             out[i : i + 1] = repl
             if ci:
                 j = _next_sig(out, i + len(repl) - 1)
@@ -883,9 +903,13 @@ def _rw_to_date(toks: list[Tok]) -> list[Tok]:
 
 
 def _json_path(keys: list[str]) -> str:
+    # space-bearing keys MUST take the bracket branch: Spark's
+    # get_json_object cannot parse `$.a b` and returns NULL for every
+    # row — a silent divergence instead of the module's loud-stop
+    # contract (r6 advice)
     parts = []
     for k in keys:
-        if re.fullmatch(r"[A-Za-z0-9_ ]+", k) and not k.isdigit():
+        if re.fullmatch(r"[A-Za-z0-9_]+", k) and not k.isdigit():
             parts.append("." + k)
         else:
             parts.append("['" + k.replace("'", "\\'") + "']")

@@ -40,19 +40,65 @@ def ods_events(ctx: RunContext) -> DataFrame:
     every downstream mart reads (the re-layering rule), so it must be
     a superset of what they need — at 100 TB the nightly build pays
     the raw-corpus scan + dedup shuffle once here instead of once per
-    mart, and parquet column pruning keeps narrow readers narrow."""
+    mart, and parquet column pruning keeps narrow readers narrow.
+
+    Two keep-rules share the table (r6 advice: the track_events
+    registry form filters invalid-JSON / non-numeric-user rows
+    BEFORE its dedup, so "latest row" and "latest VALID row" of a
+    duplicate group can differ — collapsing to one row here would
+    silently drop an event the registry form keeps):
+
+    * ``is_latest``        — the latest row per event_id (what every
+      consumer except track_events wants);
+    * ``is_latest_valid``  — the latest row per event_id that passes
+      the track-events validity predicate (IS_VALID_JSON(props) AND
+      user_id ~ '^[0-9]+$', 01_track_events.sql:21-26).
+
+    A row can carry both flags (the common case); only mixed-validity
+    duplicate groups materialize two rows. Both rules ride ONE hash
+    exchange on event_id (two window sorts, same partitioning), so
+    the 100 TB cost is unchanged. Readers go through ``_ev()``."""
     ev = ctx.source("events")
-    return dedupe_latest(
-        ev, keys=["event_id"], order_by=[F.col("ts").desc()]
-    ).select(
-        "event_id",
-        "ts",
-        "user_id",
-        "event_type",
-        "value",
-        "props",
-        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
-        F.to_date("ts").alias("event_date"),
+    valid = RF.is_valid_json("props") & F.col("user_id").cast(
+        "string"
+    ).rlike("^[0-9]+$")
+    w_all = Window.partitionBy("event_id").orderBy(F.col("ts").desc())
+    w_valid = Window.partitionBy("event_id").orderBy(
+        F.col("__valid").desc(), F.col("ts").desc()
+    )
+    return (
+        ev.withColumn("__valid", valid)
+        .withColumn("is_latest", F.row_number().over(w_all) == 1)
+        .withColumn(
+            "is_latest_valid",
+            F.col("__valid") & (F.row_number().over(w_valid) == 1),
+        )
+        .filter(F.col("is_latest") | F.col("is_latest_valid"))
+        .select(
+            "event_id",
+            "ts",
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+            F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+            F.to_date("ts").alias("event_date"),
+            "is_latest",
+            "is_latest_valid",
+        )
+    )
+
+
+def _ev(ctx: RunContext, valid: bool = False) -> DataFrame:
+    """The conformed event scan every mart reads. ``valid=False`` →
+    latest row per event_id (the plain staging dedup); ``valid=True``
+    → latest row that passes the track-events validity predicate
+    (filter-before-dedup semantics, see ods_events)."""
+    flag = "is_latest_valid" if valid else "is_latest"
+    return (
+        ctx.read("ods.events")
+        .filter(F.col(flag))
+        .drop("is_latest", "is_latest_valid")
     )
 
 
@@ -125,7 +171,7 @@ def dwh_daily_kpi(ctx: RunContext) -> DataFrame:
     """Daily KPI mart (reference 4_dwh_core/daily_kpi_report shape):
     per-day order & event counts full-outer-joined on the date."""
     o = ctx.read("ods.orders")
-    ev = ctx.read("ods.events")
+    ev = _ev(ctx)
     daily_orders = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(_dec("o_totalprice")).cast("double").alias("order_value"),
@@ -148,7 +194,7 @@ def dwh_daily_kpi(ctx: RunContext) -> DataFrame:
 
 def dwh_sessions(ctx: RunContext) -> DataFrame:
     """Gap-based sessions over deduped events (31_segment_… shape)."""
-    ev = ctx.read("ods.events")
+    ev = _ev(ctx)
     s = sessionize(ev, user_col="user_id", ts_col="ts", gap_minutes=30)
     return s.groupBy("user_id", "session_seq").agg(
         F.min("ts").alias("session_start"),
@@ -210,7 +256,7 @@ def mon_missing_dates(ctx: RunContext) -> DataFrame:
 def mon_event_volume(ctx: RunContext) -> DataFrame:
     """snowplow_monitoring.sql shape: per-event-type daily volume
     z-scores against the trailing window, flagging drifted days."""
-    ev = ctx.read("ods.events")
+    ev = _ev(ctx)
     return volume_anomaly(ev, F.col("event_date"), ["event_type"])
 
 
@@ -242,22 +288,22 @@ def ods_allocation(ctx: RunContext) -> DataFrame:
 def ods_track_events(ctx: RunContext) -> DataFrame:
     """30_segment_events/01_track_events.sql staging from the
     conformed event scan (props carried through ods.events)."""
-    return Q.wh_track_events_core(ctx.read("ods.events"), pre_deduped=True)
+    return Q.wh_track_events_core(_ev(ctx, valid=True), pre_deduped=True)
 
 
 def dwh_page_views(ctx: RunContext) -> DataFrame:
     """06_page_views.sql over ods.events — the staging dedup already
     happened in the ods build (same keep-latest-ts rule), so the
     mart skips it entirely instead of re-shuffling the corpus."""
-    return Q.wh_page_views_core(ctx.read("ods.events"))
+    return Q.wh_page_views_core(_ev(ctx))
 
 
 def dwh_sessions_mart(ctx: RunContext) -> DataFrame:
-    return Q.wh_sessions_mart_core(ctx.read("ods.events"))
+    return Q.wh_sessions_mart_core(_ev(ctx))
 
 
 def dwh_sessions_union(ctx: RunContext) -> DataFrame:
-    return Q.sessions_union_stitch_core(ctx.read("ods.events"))
+    return Q.sessions_union_stitch_core(_ev(ctx))
 
 
 def master_subscription_model(ctx: RunContext) -> DataFrame:
@@ -284,12 +330,12 @@ def customer_scd2(ctx: RunContext) -> DataFrame:
     """Full-rebuild SCD2 compaction via the one-pass relational form
     (see queries.scd2_history_relational); the incremental nightly
     path uses operators/scd2.scd2_merge against stored history."""
-    return Q.scd2_history_relational(ctx.read("ods.events"))
+    return Q.scd2_history_relational(_ev(ctx))
 
 
 def dwh_shipment_funnel(ctx: RunContext) -> DataFrame:
     return Q.ops_shipment_funnel_core(
-        ctx.read("ods.events"), ctx.source("customer")
+        _ev(ctx), ctx.source("customer")
     )
 
 
@@ -301,7 +347,7 @@ def dwh_collection_curves(ctx: RunContext) -> DataFrame:
 
 def dwh_payment_retries(ctx: RunContext) -> DataFrame:
     return Q.pay_retry_payments_core(
-        ctx.read("ods.events"), ctx.read("ods.orders"), ctx.source("customer")
+        _ev(ctx), ctx.read("ods.orders"), ctx.source("customer")
     )
 
 
@@ -321,7 +367,7 @@ def dwh_spv_price_outliers(ctx: RunContext) -> DataFrame:
 
 
 def dwh_gc_account_balance(ctx: RunContext) -> DataFrame:
-    return Q.gc_account_balance_core(ctx.read("ods.events"))
+    return Q.gc_account_balance_core(_ev(ctx))
 
 
 def dwh_gc_wallet_expansion(ctx: RunContext) -> DataFrame:
@@ -337,7 +383,7 @@ def dwh_affiliate_payout(ctx: RunContext) -> DataFrame:
 
 def dwh_order_attribution(ctx: RunContext) -> DataFrame:
     return Q.braze_order_attribution_core(
-        ctx.read("ods.orders"), ctx.read("ods.events")
+        ctx.read("ods.orders"), _ev(ctx)
     )
 
 

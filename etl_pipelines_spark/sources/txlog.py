@@ -30,10 +30,18 @@ Iceberg papers; re-implemented from scratch, stdlib-only):
 - Version time travel: read any historical version by replaying a
   prefix of the log.
 
+- Checkpoint compaction: every ``CHECKPOINT_INTERVAL``-th commit
+  also writes ``<version>.checkpoint.json`` holding the full active
+  file set at that version; ``snapshot()`` seeds from the newest
+  checkpoint ≤ its target and replays only the tail, so a
+  1000-commit table resolves in O(interval) commit reads instead of
+  O(1000) (the Delta-paper checkpoint pattern). Checkpoints are
+  deterministic (same version → same content), so any writer may
+  (re)write one; publication uses the same atomic-link path as
+  commits.
+
 Scope honesty: single-filesystem semantics (the test matrix drives
-real concurrent writer threads); no Hive/catalog integration, no
-checkpoint compaction of the log (linear replay — fine for the
-nightly cadence where a table sees tens of commits per day).
+real concurrent writer threads); no Hive/catalog integration.
 """
 
 from __future__ import annotations
@@ -48,6 +56,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 _LOG_DIR = "_txlog"
 _PAD = 11
+# one checkpoint per N commits: versions 9, 19, 29, … carry one
+CHECKPOINT_INTERVAL = 10
 
 
 class CommitConflict(Exception):
@@ -84,8 +94,31 @@ class Snapshot:
     files: list[str]
 
 
+def _checkpoints(table: str) -> list[int]:
+    d = _log_path(table)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in os.listdir(d):
+        if f.endswith(".checkpoint.json"):
+            try:
+                out.append(int(f[: -len(".checkpoint.json")]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _read_checkpoint(table: str, v: int) -> dict:
+    p = os.path.join(_log_path(table), f"{v:0{_PAD}d}.checkpoint.json")
+    with open(p) as f:
+        return json.load(f)
+
+
 def snapshot(table: str, as_of_version: int | None = None) -> Snapshot:
-    """Resolve the active file set at HEAD (or a pinned version)."""
+    """Resolve the active file set at HEAD (or a pinned version).
+    Seeds from the newest checkpoint ≤ the target version and replays
+    only the log tail — O(CHECKPOINT_INTERVAL) commit reads however
+    long the table's history grows."""
     versions = _versions(table)
     if as_of_version is not None:
         versions = [v for v in versions if v <= as_of_version]
@@ -93,14 +126,19 @@ def snapshot(table: str, as_of_version: int | None = None) -> Snapshot:
             not versions or versions[-1] != as_of_version
         ):
             raise ValueError(f"version {as_of_version} does not exist")
+    resolved = versions[-1] if versions else -1
     active: set[str] = set()
+    ckpts = [c for c in _checkpoints(table) if c <= resolved]
+    if ckpts:
+        active = set(_read_checkpoint(table, ckpts[-1])["files"])
+        versions = [v for v in versions if v > ckpts[-1]]
     for v in versions:
         for action in _read_commit(table, v)["actions"]:
             if "add" in action:
                 active.add(action["add"])
             elif "remove" in action:
                 active.discard(action["remove"])
-    return Snapshot(versions[-1] if versions else -1, sorted(active))
+    return Snapshot(resolved, sorted(active))
 
 
 def read(
@@ -128,18 +166,59 @@ def _stage(df: DataFrame, table: str) -> list[str]:
     ]
 
 
-def _try_commit(table: str, version: int, doc: dict) -> bool:
-    """Publish ``doc`` as ``version`` iff the slot is free — O_EXCL
-    is the whole concurrency protocol."""
-    os.makedirs(_log_path(table), exist_ok=True)
-    path = os.path.join(_log_path(table), f"{version:0{_PAD}d}.json")
+def _publish(tmp: str, path: str) -> bool:
+    """Atomically publish a fully-written temp file at ``path`` —
+    ``os.link`` gives the same exactly-one-winner EEXIST arbitration
+    as O_EXCL, but the file APPEARS complete (r6 advice: create-then-
+    write left a window where a concurrent snapshot() read a
+    zero-byte commit and crashed on JSONDecodeError)."""
     try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.link(tmp, path)
+        return True
     except FileExistsError:
         return False
-    with os.fdopen(fd, "w") as f:
+    finally:
+        os.unlink(tmp)
+
+
+def _try_commit(table: str, version: int, doc: dict) -> bool:
+    """Publish ``doc`` as ``version`` iff the slot is free — the
+    atomic link is the whole concurrency protocol. The winner of a
+    checkpoint-interval boundary also writes the checkpoint (cheap:
+    one prior checkpoint read + tail replay; deterministic content,
+    so a crash between commit and checkpoint just defers it to the
+    next boundary)."""
+    os.makedirs(_log_path(table), exist_ok=True)
+    path = os.path.join(_log_path(table), f"{version:0{_PAD}d}.json")
+    tmp = os.path.join(
+        _log_path(table), f".{uuid.uuid4().hex}.inprogress"
+    )
+    with open(tmp, "w") as f:
         json.dump(doc, f)
+    if not _publish(tmp, path):
+        return False
+    if (version + 1) % CHECKPOINT_INTERVAL == 0:
+        _write_checkpoint(table, version)
     return True
+
+
+def _write_checkpoint(table: str, version: int) -> None:
+    """Materialize the active file set at ``version`` as a
+    checkpoint. Best-effort: any failure leaves the linear log as
+    the source of truth."""
+    try:
+        files = snapshot(table, as_of_version=version).files
+        ck = os.path.join(
+            _log_path(table), f"{version:0{_PAD}d}.checkpoint.json"
+        )
+        tmp = os.path.join(
+            _log_path(table), f".{uuid.uuid4().hex}.inprogress"
+        )
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "files": files}, f)
+        _publish(tmp, ck)
+    except Exception:  # noqa: BLE001
+        pass
 
 
 def append(df: DataFrame, table: str, max_retries: int = 20) -> int:
@@ -221,19 +300,33 @@ def merge_keys(
     raise last  # type: ignore[misc]
 
 
-def vacuum(table: str) -> int:
-    """Remove data files no commit references (aborted stages,
-    overwritten/merged-away files). Safe because readers resolve
-    snapshots at HEAD; production retention windows (keep N days for
-    pinned old-version readers) reduce to 'everything unreferenced'
-    here. Returns files removed."""
+def vacuum(table: str, retention_seconds: float = 3600.0) -> int:
+    """Remove dead data files: (a) ``removable`` — files some commit
+    referenced that are NOT in the HEAD snapshot (overwritten /
+    merged-away); (b) orphans — staged files no commit ever
+    referenced (aborted writers). BOTH classes honor the retention
+    window (file mtime older than ``retention_seconds``):
+
+    * for orphans the window is a CORRECTNESS guard, not politeness —
+      a concurrent writer stages its files BEFORE racing for the log
+      slot (`_stage` then `_try_commit`), so a zero-window vacuum
+      could delete files whose commit is about to succeed, silently
+      corrupting the table (r6 advice; Delta's VACUUM applies the
+      same staged-file retention check);
+    * for removable files it protects readers pinned at an old
+      ``as_of_version`` mid-scan.
+
+    Vacuum INVALIDATES time travel to versions older than the
+    retention window — historical commits stay in the log (history()
+    is intact) but their file sets are gone; reads of those versions
+    fail loudly at parquet-open. Returns files removed."""
     referenced: set[str] = set()
     for v in _versions(table):
         for action in _read_commit(table, v)["actions"]:
             referenced.add(action.get("add") or action.get("remove"))
-    active = snapshot(table).files
-    removable = referenced.difference(active)
-    # plus staged-but-uncommitted directories
+    active = set(snapshot(table).files)
+    removable = referenced - active
+    cutoff = time.time() - retention_seconds
     n = 0
     data_root = os.path.join(table, "data")
     if os.path.isdir(data_root):
@@ -241,9 +334,16 @@ def vacuum(table: str) -> int:
             for f in os.listdir(os.path.join(data_root, d)):
                 rel = os.path.join("data", d, f)
                 is_data = f.endswith(".parquet") or f.startswith("part-")
-                if is_data and not f.endswith(".crc") and rel not in active:
-                    os.remove(os.path.join(table, rel))
-                    n += 1
+                if not is_data or f.endswith(".crc") or rel in active:
+                    continue
+                full = os.path.join(table, rel)
+                dead = rel in removable or rel not in referenced
+                try:
+                    if dead and os.path.getmtime(full) <= cutoff:
+                        os.remove(full)
+                        n += 1
+                except FileNotFoundError:
+                    continue  # another vacuum won the race
     return n
 
 

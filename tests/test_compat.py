@@ -125,6 +125,26 @@ class TestTextRewrites:
         out = transpile('SELECT "user_id" ~ \'^[0-9]+$\' FROM t')
         assert "RLIKE" in out
 
+    def test_unary_tilde_after_keyword_passes_through(self):
+        """r6 advice: `~` right after a reserved keyword is bitwise
+        NOT, not a fused RLIKE identifier."""
+        assert transpile("SELECT ~5") == "SELECT ~5"
+        assert transpile("SELECT a FROM t WHERE ~x = 3") == (
+            "SELECT a FROM t WHERE ~x = 3"
+        )
+
+    def test_binary_tilde_keeps_space(self):
+        out = transpile("SELECT a~'^x' FROM t")
+        assert "RLIKE '^x'" in out
+
+    def test_json_path_space_key_takes_bracket_branch(self):
+        out = transpile(
+            "SELECT JSON_EXTRACT_PATH_TEXT(j, 'a b', 'c') FROM t"
+        )
+        # `$.a b` is unparseable by get_json_object (silent NULLs) —
+        # space keys must use bracket form (r6 advice)
+        assert "$[''a b''].c" in out  # SQL-escaped '$[\'a b\'].c'
+
     def test_quoted_units(self):
         out = transpile("SELECT DATEADD('month', 1, d) FROM t")
         assert "'month'" not in out

@@ -166,6 +166,69 @@ class TestWarehousePipeline:
             got = canon(ctx.read(table), drop=drop)
             assert got == want, f"{table} != registry {query}"
 
+    def test_mixed_validity_dup_group_keeps_latest_valid(
+        self, spark, tmp_path
+    ):
+        """r6 advice (queries.py wh_track_events_core): the registry
+        form filters invalid rows BEFORE its event_id dedup, so when
+        a duplicate group's LATEST row is invalid but an older row is
+        valid, the event must survive into the layered track_events
+        table (latest-valid row), while plain ods readers still see
+        the latest row. The synthetic corpus never mixes validity in
+        a dup group — this is the targeted fixture."""
+        from etl_pipelines_spark import queries as Q
+        from etl_pipelines_spark.plans import warehouse as W
+
+        t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+        t1 = dt.datetime(2024, 1, 1, 11, 0, 0)
+        rows = [
+            # dup group: latest row invalid JSON, older row valid
+            (1, t1, 7, "click", 5.0, "{not json"),
+            (1, t0, 7, "click", 3.0, '{"k": 40}'),
+            # dup group: both valid — latest wins everywhere
+            (2, t1, 8, "click", 9.0, '{"k": 70}'),
+            (2, t0, 8, "click", 1.0, '{"k": 10}'),
+            # dup group: all rows invalid — track_events drops it
+            (3, t1, 9, "error", 2.0, "oops"),
+            (3, t0, 9, "error", 4.0, "nope"),
+        ]
+        src = tmp_path / "src"
+        src.mkdir()
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).write.parquet(str(src / "events.parquet"))
+        ctx = RunContext(
+            spark=spark,
+            catalog=Catalog(spark, str(tmp_path / "wh")),
+            source_dir=str(src),
+            run_date=RUN_DATE,
+        )
+        pipe = build_warehouse_pipeline()
+        ods_model = next(
+            m for g in pipe.groups for m in g.models
+            if m.name == "ods.events"
+        )
+        ods_model.materialize(ctx)
+        # plain readers: latest row per event_id, validity-blind
+        plain = {
+            r["event_id"]: r["value"]
+            for r in W._ev(ctx).collect()
+        }
+        assert plain == {1: 5.0, 2: 9.0, 3: 2.0}
+        # layered track_events ≡ registry form (filter-then-dedup):
+        # event 1 survives via its OLDER valid row, event 3 is gone
+        layered = W.ods_track_events(ctx)
+        registry = Q.wh_track_events(spark, str(src))
+        canon = lambda df: sorted(  # noqa: E731
+            repr(tuple(r[c] for c in sorted(df.columns)))
+            for r in df.collect()
+        )
+        assert canon(layered) == canon(registry)
+        got = {r["event_id"]: r["amount"] for r in layered.collect()}
+        assert got == {1: 3.0, 2: 9.0}
+
     def test_parallel_group_matches_sequential(self, ctx):
         pipe = build_warehouse_pipeline(parallel_within_group=True)
         results = pipe.run(ctx)

@@ -222,8 +222,80 @@ class TestVacuum:
         txlog.overwrite(_df(spark, [(2, "b")]), table)  # v0 files dead
         # an aborted stage (never committed)
         txlog._stage(_df(spark, [(3, "c")]), table)
-        n = txlog.vacuum(table)
+        n = txlog.vacuum(table, retention_seconds=0.0)
         assert n >= 2  # v0 part file(s) + aborted stage file(s)
         assert [r.k for r in txlog.read(spark, table).collect()] == [2]
         # vacuum is idempotent
-        assert txlog.vacuum(table) == 0
+        assert txlog.vacuum(table, retention_seconds=0.0) == 0
+
+    def test_retention_window_protects_inflight_stage(
+        self, spark, table
+    ):
+        """r6 advice: _stage happens BEFORE _try_commit, so a
+        default-retention vacuum must NOT delete a freshly staged
+        (uncommitted) directory — the writer's commit would then
+        succeed pointing at deleted files."""
+        txlog.append(_df(spark, [(1, "a")]), table)
+        staged = txlog._stage(_df(spark, [(2, "b")]), table)
+        assert txlog.vacuum(table) == 0  # default 1h window
+        # the in-flight writer's commit still works
+        v = txlog.snapshot(table).version + 1
+        assert txlog._try_commit(
+            table, v, {"op": "append",
+                       "actions": [{"add": p} for p in staged]}
+        )
+        assert sorted(
+            r.k for r in txlog.read(spark, table).collect()
+        ) == [1, 2]
+
+    def test_vacuum_invalidates_old_versions_not_history(
+        self, spark, table
+    ):
+        txlog.append(_df(spark, [(1, "a")]), table)
+        txlog.overwrite(_df(spark, [(2, "b")]), table)
+        txlog.vacuum(table, retention_seconds=0.0)
+        assert len(txlog.history(table)) == 2  # audit log intact
+        with pytest.raises(Exception):  # noqa: B017 — parquet open
+            txlog.read(spark, table, as_of_version=0).collect()
+
+
+class TestCheckpoint:
+    def test_checkpoint_bounds_commit_reads(
+        self, spark, table, monkeypatch
+    ):
+        """25 single-row appends → checkpoints at v9 and v19; a HEAD
+        snapshot replays ≤ CHECKPOINT_INTERVAL commits, not 25."""
+        df = _df(spark, [(1, "a")])
+        for _ in range(25):
+            txlog.append(df, table)
+        cks = txlog._checkpoints(table)
+        assert cks == [9, 19]
+        files_per_append = len(
+            txlog._read_commit(table, 0)["actions"]
+        )
+        reads = []
+        real = txlog._read_commit
+        monkeypatch.setattr(
+            txlog, "_read_commit",
+            lambda t, v: reads.append(v) or real(t, v),
+        )
+        snap = txlog.snapshot(table)
+        assert snap.version == 24
+        assert len(snap.files) == 25 * files_per_append
+        assert reads == [20, 21, 22, 23, 24]  # tail after ckpt 19
+        # pinned read between checkpoints seeds from the right one
+        reads.clear()
+        snap15 = txlog.snapshot(table, as_of_version=15)
+        assert len(snap15.files) == 16 * files_per_append
+        assert reads == [10, 11, 12, 13, 14, 15]
+
+    def test_checkpointed_read_matches_linear_replay(
+        self, spark, table
+    ):
+        for i in range(12):
+            if i == 7:
+                txlog.overwrite(_df(spark, [(99, "z")]), table)
+            else:
+                txlog.append(_df(spark, [(i, "x")]), table)
+        got = sorted(r.k for r in txlog.read(spark, table).collect())
+        assert got == [8, 9, 10, 11, 99]
