@@ -160,13 +160,30 @@ def main() -> None:
         reps = 5 if name.split("_")[0] in ("dd", "ann", "ml", "scd2", "emb") else 3
         if reps_override:
             reps = int(reps_override)
-        best = float("inf")
+        times: list[float] = []
         for _ in range(reps):
             df = REGISTRY[name].spark(spark, sf_dir)
             t0 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            times.append(time.perf_counter() - t0)
+        # Sub-2-s rows: best-of-N at this magnitude still wobbles
+        # past ±15% run-to-run (BENCH_VARIANCE r6: 6/53 rows out of
+        # tolerance, every one sub-2-s, ≤0.3 s absolute) — each round
+        # then re-litigates phantom regressions. Per r6 verdict #5:
+        # extend those rows to 7 reps and report the MEDIAN OF THE 3
+        # FASTEST (= 2nd-smallest of 7) — robust against positive
+        # scheduling outliers AND against a single lucky min.
+        # Rows ≥2 s keep plain best-of-N for cross-round
+        # comparability (they were never the noisy ones).
+        if min(times) < 2.0 and not reps_override:
+            while len(times) < 7:
+                df = REGISTRY[name].spark(spark, sf_dir)
+                t0 = time.perf_counter()
+                df.write.mode("overwrite").format("noop").save()
+                times.append(time.perf_counter() - t0)
+            timings[name] = round(sorted(times)[1], 3)
+        else:
+            timings[name] = round(min(times), 3)
 
     # End-to-end nightly rebuild (the reference's actual product — the
     # ordered fullload DAG): one config-ordered Pipeline run, ods ->
@@ -189,6 +206,7 @@ def main() -> None:
     # min is the stable figure (same rule as the per-query reps).
     best = float("inf")
     ok = False
+    model_times: dict[str, float] = {}
     for _rep in range(0 if skip_rebuild else 2):
         wh_dir = tempfile.mkdtemp(prefix="bench_wh_")
         spark._jvm.System.gc()
@@ -205,6 +223,16 @@ def main() -> None:
             elapsed = time.perf_counter() - t0
             if all(r.status == "success" for r in results):
                 ok = True
+                if elapsed < best:
+                    # per-model wall times of the BEST rep (r6
+                    # verdict #6: the ×4.5/decade rebuild slope was
+                    # aggregate-only — a regression must localize to
+                    # a model in one read). Parallel-group wall
+                    # times overlap, so they sum to more than the
+                    # pipeline wall; the ranking is what matters.
+                    model_times = {
+                        r.name: round(r.seconds, 3) for r in results
+                    }
                 best = min(best, elapsed)
             else:
                 failed = [r.name for r in results if r.status != "success"]
@@ -229,7 +257,10 @@ def main() -> None:
         "sf": sf_val,
         "n": 3,
         "n_python_tail": 5,
+        "sub2s_stat": "median_of_3_fastest_of_7",
     }
+    if model_times:
+        out["wh_rebuild_models"] = model_times
     print(json.dumps(out))
     spark.stop()
 

@@ -58,7 +58,16 @@ def ods_events(ctx: RunContext) -> DataFrame:
     duplicate groups materialize two rows. Both rules ride ONE hash
     exchange on event_id (two window sorts, same partitioning), so
     the 100 TB cost is unchanged. Readers go through ``_ev()``."""
-    ev = ctx.source("events")
+    return _conform_events(ctx.source("events"))
+
+
+def _conform_events(ev: DataFrame) -> DataFrame:
+    """The ods.events conformance body over an arbitrary raw-event
+    slice — shared by the nightly full build (whole corpus) and the
+    trailing-window incremental run (window slice only; the dedup
+    flags are then window-local, exactly the reference's
+    dedup-within-the-staged-batch semantics,
+    05_all_events_incremental.sql:52)."""
     valid = RF.is_valid_json("props") & F.col("user_id").cast(
         "string"
     ).rlike("^[0-9]+$")
@@ -100,6 +109,82 @@ def _ev(ctx: RunContext, valid: bool = False) -> DataFrame:
         .filter(F.col(flag))
         .drop("is_latest", "is_latest_valid")
     )
+
+
+def run_incremental_event_chain(ctx: RunContext, since) -> dict:
+    """Trailing-window incremental refresh of the event chain —
+    ods.events → ods.track_events → dwh.sessions_mart — the
+    reference's nightly incremental shape
+    (05_all_events_incremental.sql:52 dedup-within-batch,
+    :160-170 DELETE FROM tgt USING tmp ON key; INSERT tmp), expressed
+    through the existing W2 writer instead of a full rebuild.
+
+    100 TB shape per stage:
+    * ods.events — the RAW scan carries ``to_date(ts) >= since``
+      (predicate reaches the parquet reader; plan-asserted in
+      tests/test_plans.py), the window slice alone rides the dedup
+      exchange, and the W2 dynamic partition overwrite rewrites ONLY
+      trailing event_date partitions — a night's data, not the
+      corpus.
+    * ods.track_events — reads the MATERIALIZED trailing window
+      (event_date is the partition column, so the filter is a
+      partition PRUNE, zero data read outside the window), W2 on
+      collector_date partitions.
+    * dwh.sessions_mart — gap sessions can span the window boundary,
+      so per-event increments are wrong by construction; instead the
+      users ACTIVE in the window are recomputed from their FULL
+      history (semi-join on the 8-byte user key; AQE broadcasts the
+      touched-user set) and replaced via keyed delete-insert. Work
+      ∝ active users' history, not the corpus.
+
+    Key-spanning honesty (same contract as the reference's DELETE
+    USING): a duplicate event_id arriving across nights keeps the
+    NEW night's winner — the delete removes every target row of the
+    key. Returns per-stage row counts for observability."""
+    from .. import queries as Q
+    from ..sources import writers
+
+    from ..queries import load as _load
+
+    since_lit = F.lit(since.isoformat()).cast("date")
+    # 1) ods.events: conform the trailing window only. The raw-scan
+    # predicate is applied to the RAW ts column inside load() (not
+    # to_date(ts) — a function over the column would block parquet
+    # predicate pushdown): the window starts at the date's midnight,
+    # so the two forms are equal.
+    ev_win = _load(ctx.spark, ctx.source_dir, "events", ts_since=since)
+    inc = _conform_events(ev_win)
+    writers.upsert(
+        ctx.spark, inc, ctx.catalog.path("ods.events"),
+        ["event_id"], ["event_date"],
+    )
+    # 2) ods.track_events from the materialized trailing partitions
+    te = Q.wh_track_events_core(
+        _ev(ctx, valid=True).filter(F.col("event_date") >= since_lit),
+        pre_deduped=True,
+    )
+    writers.upsert(
+        ctx.spark, te, ctx.catalog.path("ods.track_events"),
+        ["event_id"], ["collector_date"],
+    )
+    # 3) sessions of touched users, recomputed from full history
+    touched = (
+        _ev(ctx)
+        .filter(F.col("event_date") >= since_lit)
+        .select("user_id")
+        .distinct()
+    )
+    base = _ev(ctx).join(touched, "user_id", "left_semi")
+    sess = Q.wh_sessions_mart_core(base)
+    writers.upsert(
+        ctx.spark, sess, ctx.catalog.path("dwh.sessions_mart"),
+        ["user_id"],
+    )
+    return {
+        "ods.events": ctx.read("ods.events").count(),
+        "ods.track_events": ctx.read("ods.track_events").count(),
+        "dwh.sessions_mart": ctx.read("dwh.sessions_mart").count(),
+    }
 
 
 def ods_orders(ctx: RunContext) -> DataFrame:

@@ -60,7 +60,14 @@ def q(name: str, oracle: str | None = None):
     return deco
 
 
-def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+def load(
+    spark: SparkSession, sf_dir: str, table: str, ts_since=None
+) -> DataFrame:
+    """``ts_since`` (a date): trailing-window predicate applied to
+    the RAW ts column BEFORE any conversion, so it reaches the
+    parquet reader as a pushed filter — filtering the converted
+    ``timestamp_micros(ts DIV 1000)`` expression would read the whole
+    corpus (the incremental chain's whole point is not to)."""
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if table == "events" and dict(df.dtypes).get("ts") == "bigint":
         # events.ts is parquet TIMESTAMP(NANOS), read as long via
@@ -68,7 +75,21 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         # micros timestamp (integer DIV — values are micro-precision).
         # Oracle SQL must CAST(ts AS TIMESTAMP) for raw-ts outputs so
         # DuckDB's nanosecond values are truncated identically.
+        if ts_since is not None:
+            import datetime as _dt
+
+            nanos = int(
+                _dt.datetime(
+                    ts_since.year, ts_since.month, ts_since.day,
+                    tzinfo=_dt.timezone.utc,
+                ).timestamp() * 1_000_000_000
+            )
+            df = df.filter(F.col("ts") >= F.lit(nanos))
         df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    elif ts_since is not None:
+        df = df.filter(
+            F.col("ts") >= F.to_timestamp(F.lit(ts_since.isoformat()))
+        )
     return df
 
 
@@ -6083,6 +6104,70 @@ def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return extract_mp4_frames(media).orderBy("media_id", "frame_idx")
+
+
+@q(
+    "mm_mjpeg_frames",
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id,
+    CAST(doc_id % 12 + 2 AS INT) AS n,
+    CAST(doc_id % 32 + 16 AS INT) AS w,
+    CAST(doc_id % 24 + 16 AS INT) AS h,
+    CAST((doc_id % 3 + 1) * 20 AS INT) AS ms
+  FROM documents WHERE doc_id % 7 = 0
+),
+frames AS (
+  SELECT media_id, w, h, ms, CAST(u.i AS INT) AS frame_idx
+  FROM media, LATERAL (SELECT unnest(range(0, n)) AS i) u
+  WHERE u.i % 2 = 0
+)
+SELECT media_id, frame_idx,
+  CAST(frame_idx * ms AS BIGINT) AS ts_ms,
+  w AS width, h AS height,
+  CAST(w * h * ((media_id + frame_idx) % 256) AS BIGINT) AS sum_luma
+FROM frames
+ORDER BY media_id, frame_idx
+""",
+)
+def mm_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-frame DECODE — MJPEG-in-AVI (the r6-reserved row;
+    multimodal/avi.py): each kept doc gets a genuine playable AVI
+    (RIFF hdrl/avih/strh/strf, movi '00dc' chunks, idx1 index) whose
+    frames are real baseline JPEGs of solid gray (media_id+k)%256;
+    decode_avi_frames walks the container (idx1 cross-checked
+    against the chunk walk), slices each frame, runs the repo's own
+    baseline JPEG decoder, and emits exact integer luma sums —
+    solid DC-only frames round-trip losslessly, so the oracle is
+    closed-form. ``sample_every=2`` exercises the 1-in-N
+    training-data frame sampling INSIDE the Arrow batch: skipped
+    frames are never JPEG-decoded, and the oracle replicates the
+    keep-rule relationally (u.i % 2 = 0).
+
+    Scale: narrow mapInPandas synth → mapInPandas decode, zero
+    exchanges (plan-asserted in tests/test_avi_codec.py) — payload
+    bytes never shuffle; at 100 TB of video the per-frame fan-out
+    happens map-side and only ~40-byte frame rows hit the wire."""
+    from .multimodal import decode_avi_frames, synth_avi_payloads
+
+    d = load_spread(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 7 == 0
+    )
+    did = F.col("doc_id")
+    media = synth_avi_payloads(
+        d.select(
+            did.alias("media_id"),
+            (F.pmod(did, 32) + 16).cast("int").alias("width"),
+            (F.pmod(did, 24) + 16).cast("int").alias("height"),
+            (F.pmod(did, 12) + 2).cast("int").alias("n_frames"),
+            ((F.pmod(did, 3) + 1) * 20000).cast("int").alias(
+                "us_per_frame"
+            ),
+        )
+    )
+    return decode_avi_frames(media, sample_every=2).orderBy(
+        "media_id", "frame_idx"
+    )
 
 
 def _mp3_oracle() -> str:

@@ -463,19 +463,31 @@ def minhash_lsh_pairs(
     if not verify:
         return cand
     # Exact-Jaccard verification re-derives shingles from the TEXT of
-    # only the surviving candidates (joined back, AQE-broadcast) —
-    # cheaper than either caching the sketch lineage or shuffling
-    # shingle arrays, because |candidates| << |corpus|.
+    # only the surviving candidates. Order matters at scale (r6
+    # verdict: the sf1->sf10 slope rose to x5 because joining the
+    # candidate PAIRS against the raw corpus flips from broadcast to
+    # sort-merge once the pair side outgrows the broadcast threshold
+    # — and then the FULL text corpus shuffles twice). Instead:
+    # (1) semi-join-prune the corpus to the distinct candidate ids —
+    #     a narrow int-key join AQE broadcasts while the id set is
+    #     small and shuffles only when it genuinely is corpus-sized;
+    # (2) shingle each surviving doc ONCE (a doc in k pairs used to
+    #     re-shingle k times);
+    # (3) join the pairs against the PRUNED shingle table — even a
+    #     sort-merge fallback now shuffles |candidate docs|, not
+    #     |corpus|.
     txt = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .union(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = txt.join(cand_ids, "id", "left_semi").select(
+        "id", shingles(F.col("txt"), n).alias("sh")
+    )
     pairs = (
-        cand.join(txt.withColumnsRenamed({"id": "id_a", "txt": "txt_a"}), "id_a")
-        .join(txt.withColumnsRenamed({"id": "id_b", "txt": "txt_b"}), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            shingles(F.col("txt_a"), n).alias("sh_a"),
-            shingles(F.col("txt_b"), n).alias("sh_b"),
-        )
+        cand.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter

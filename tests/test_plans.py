@@ -229,6 +229,99 @@ class TestWarehousePipeline:
         got = {r["event_id"]: r["amount"] for r in layered.collect()}
         assert got == {1: 3.0, 2: 9.0}
 
+    def test_incremental_event_chain_matches_full_rebuild(
+        self, spark, sf_dir, tmp_path
+    ):
+        """r6 verdict #7: a trailing-window incremental run of the
+        event chain (ods.events → track_events → sessions) through
+        the W2 writer must (a) hash-match the full rebuild, (b) push
+        the window predicate into the raw parquet scan, (c) prune
+        the track_events read to trailing event_date partitions, and
+        (d) leave pre-window event_date partitions' files untouched
+        on disk."""
+        import os
+
+        from etl_pipelines_spark.plans import warehouse as W
+        from etl_pipelines_spark.queries import load
+
+        ev = load(spark, sf_dir, "events")
+        max_d = ev.select(F.max(F.to_date("ts"))).first()[0]
+        cutoff = max_d - dt.timedelta(days=3)
+
+        # day-1 source: events strictly before the cutoff, other
+        # tables shared with the real source dir
+        src1 = tmp_path / "src_day1"
+        src1.mkdir()
+        ev.filter(F.to_date("ts") < F.lit(cutoff.isoformat())).write \
+            .parquet(str(src1 / "events.parquet"))
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "documents", "embeddings"):
+            os.symlink(f"{sf_dir}/{t}.parquet", src1 / f"{t}.parquet")
+
+        def mkctx(srcdir, whdir):
+            return RunContext(
+                spark=spark,
+                catalog=Catalog(spark, str(whdir)),
+                source_dir=str(srcdir),
+                run_date=RUN_DATE,
+            )
+
+        # day-1 full build, then the incremental catch-up run
+        ctx_inc = mkctx(src1, tmp_path / "wh_inc")
+        assert all(
+            r.status == "success"
+            for r in build_warehouse_pipeline().run(ctx_inc)
+        )
+        ods_path = ctx_inc.catalog.path("ods.events")
+        pre_parts = {
+            d: sorted(os.listdir(os.path.join(ods_path, d)))
+            for d in os.listdir(ods_path)
+            if d.startswith("event_date=")
+        }
+        # (b) pushdown: the raw window scan carries a ts filter
+        raw_plan = load(
+            spark, str(sf_dir), "events", ts_since=cutoff
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in raw_plan and \
+            "GreaterThanOrEqual(ts" in raw_plan, raw_plan
+        # (c) partition prune on the materialized trailing read
+        te_in = W._ev(ctx_inc, valid=True).filter(
+            F.col("event_date") >= F.lit(cutoff.isoformat())
+        )
+        te_plan = te_in._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(event_date" in te_plan
+        ctx_inc2 = mkctx(sf_dir, tmp_path / "wh_inc")
+        W.run_incremental_event_chain(ctx_inc2, cutoff)
+        # (d) pre-window partitions untouched byte-for-byte listing
+        post_parts = {
+            d: sorted(os.listdir(os.path.join(ods_path, d)))
+            for d in os.listdir(ods_path)
+            if d.startswith("event_date=")
+        }
+        for d, files in pre_parts.items():
+            part_date = d.split("=", 1)[1]
+            if part_date < cutoff.isoformat():
+                assert post_parts[d] == files, f"{d} was rewritten"
+
+        # (a) equality with the from-scratch full rebuild
+        ctx_full = mkctx(sf_dir, tmp_path / "wh_full")
+        assert all(
+            r.status == "success"
+            for r in build_warehouse_pipeline().run(ctx_full)
+        )
+
+        def canon(df):
+            cols = sorted(df.columns)
+            return sorted(
+                repr(tuple(r[c] for c in cols)) for r in df.collect()
+            )
+
+        for table in ("ods.events", "ods.track_events",
+                      "dwh.sessions_mart"):
+            assert canon(ctx_inc2.read(table)) == canon(
+                ctx_full.read(table)
+            ), f"incremental {table} != full rebuild"
+
     def test_parallel_group_matches_sequential(self, ctx):
         pipe = build_warehouse_pipeline(parallel_within_group=True)
         results = pipe.run(ctx)
