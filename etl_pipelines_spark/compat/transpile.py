@@ -466,7 +466,39 @@ def _rw_types(toks: list[Tok]) -> list[Tok]:
                     and out[j].text == "("
                 ):
                     out[i] = Tok("word", "string")
+                else:
+                    # VARCHAR(MAX) (Redshift's unbounded form,
+                    # ::varchar(max) in the snowplow event props) —
+                    # Spark's varchar takes only a number
+                    k = _next_sig(out, j)
+                    m = _next_sig(out, k) if k < len(out) else len(out)
+                    if (
+                        m < len(out)
+                        and _word_is(out[k], "MAX")
+                        and out[m].kind == "punct"
+                        and out[m].text == ")"
+                    ):
+                        out[i : m + 1] = [Tok("word", "string")]
             elif lw == "timestamp":
+                # TIMESTAMP(p) precision form (::timestamp(0)) —
+                # Spark's type takes no precision; a NUMBER argument
+                # can only be the precision (timestamp() the function
+                # never takes a bare numeric literal in this corpus)
+                j = _next_sig(out, i)
+                if (
+                    j < len(out)
+                    and out[j].kind == "punct"
+                    and out[j].text == "("
+                ):
+                    k = _next_sig(out, j)
+                    m = _next_sig(out, k) if k < len(out) else len(out)
+                    if (
+                        m < len(out)
+                        and out[k].kind == "num"
+                        and out[m].kind == "punct"
+                        and out[m].text == ")"
+                    ):
+                        del out[i + 1 : m + 1]
                 # TIMESTAMP WITH[OUT] TIME ZONE -> TIMESTAMP
                 j = _next_sig(out, i)
                 if j < len(out) and _word_is(out[j], "WITH", "WITHOUT"):
@@ -790,8 +822,30 @@ def _rw_delete_using(toks: list[Tok]) -> list[Tok]:
     """Redshift ``DELETE FROM t USING s WHERE cond`` -> Spark
     ``MERGE INTO t USING s ON cond WHEN MATCHED THEN DELETE``
     (same delete-matching-rows semantics; the engine's W2/W3 path --
-    sources/writers.py -- executes this shape over parquet)."""
+    sources/writers.py -- executes this shape over parquet).
+
+    A leading CTE block (``WITH dedup AS (...) DELETE FROM t USING
+    dedup WHERE ...`` -- intercom_deleted_conversations.sql) folds
+    into the MERGE's USING subquery: Spark's MERGE takes no WITH
+    prefix, but ``USING (WITH ... SELECT * FROM cte) alias`` is the
+    same relation."""
     sigs = [k for k, t in enumerate(toks) if _is_sig(t)]
+    cte_prefix = ""
+    if sigs and _word_is(toks[sigs[0]], "WITH"):
+        depths0 = _depths(toks)
+        di = next(
+            (
+                k
+                for k in sigs
+                if depths0[k] == 0 and _word_is(toks[k], "DELETE")
+            ),
+            None,
+        )
+        if di is None:
+            return toks
+        cte_prefix = _render(toks[:di]).strip()
+        toks = toks[di:]
+        sigs = [k for k, t in enumerate(toks) if _is_sig(t)]
     if not sigs or not _word_is(toks[sigs[0]], "DELETE"):
         return toks
     if len(sigs) < 2 or not _word_is(toks[sigs[1]], "FROM"):
@@ -820,6 +874,10 @@ def _rw_delete_using(toks: list[Tok]) -> list[Tok]:
     target = _render(toks[sigs[2] : using_i]).strip()
     source = _render(toks[using_i + 1 : where_i]).strip()
     cond = _render(toks[where_i + 1 :]).strip()
+    if cte_prefix:
+        parts = source.split()
+        name, alias = parts[0], parts[-1]
+        source = f"({cte_prefix} SELECT * FROM {name}) {alias}"
     return tokenize(
         f"MERGE INTO {target} USING {source} ON {cond} "
         "WHEN MATCHED THEN DELETE"
@@ -1073,7 +1131,14 @@ def _rw_qualify(toks: list[Tok]) -> list[Tok]:
             ):
                 end = k
                 break
-        pred = _render(out[qi + 1 : end]).strip()
+        # strip comment tokens from the relocated predicate: it is
+        # re-rendered INLINE before ") AS __qualify__", so a trailing
+        # `-- line comment` would comment out the appended close
+        # paren and silently truncate the expression (lost_report
+        # QUALIFY ... >= 1 -- Assets Lost AT LEAST once)
+        pred = _render(
+            [t for t in out[qi + 1 : end] if t.kind != "comment"]
+        ).strip()
         if not pred:
             raise TranspileError("empty QUALIFY predicate")
         select_list = out[sel:fi]
@@ -1134,7 +1199,18 @@ def _rw_ddl(toks: list[Tok]) -> list[Tok]:
             if j < len(toks) and _word_is(toks[j], "TEMP", "TEMPORARY"):
                 k = _next_sig(toks, j)
                 if k < len(toks) and _word_is(toks[k], "TABLE"):
-                    if _TEMP_AS == "table":
+                    depths0 = _depths(toks)
+                    has_as = any(
+                        depths0[m] == 0
+                        and _is_sig(toks[m])
+                        and _word_is(toks[m], "AS")
+                        for m in range(k + 1, len(toks))
+                    )
+                    if _TEMP_AS == "table" or not has_as:
+                        # no top-level AS = a typed column-definition
+                        # temp table (Customer Data Tape.sql) — a
+                        # VIEW cannot carry a bare column list, so
+                        # it stays a real table in view mode too
                         out.append(Tok("word", "CREATE"))
                         out.append(Tok("ws", " "))
                         out.append(Tok("word", "TABLE"))
@@ -1275,6 +1351,110 @@ def _rw_at_time_zone(toks: list[Tok]) -> list[Tok]:
         )
 
 
+def _rw_array_agg_order(toks: list[Tok]) -> list[Tok]:
+    """Postgres/Redshift ``array_agg(expr ORDER BY k1, k2, ...)``
+    (braze_price_drop_agg.sql) -> the Spark idiom
+    ``transform(array_sort(array_agg(named_struct('o0',k1,...,'v',
+    expr))), __x -> __x.v)``: sort keys ride a struct whose
+    left-to-right field comparison IS the ORDER BY, then the payload
+    is projected back out. ASC only — a DESC key raises (negating
+    arbitrary expressions is not faithfully mechanical); NULL sort
+    keys order first (Spark struct comparison) vs Redshift's NULLS
+    LAST — divergence documented, keys in the corpus are non-null."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        if _word_is(out[i], "ARRAY_AGG"):
+            j = _next_sig(out, i)
+            if (
+                j < len(out)
+                and out[j].kind == "punct"
+                and out[j].text == "("
+            ):
+                _args, close = _call_args(out, j)
+                # find ORDER BY at call depth 1 — the ORDER-BY key
+                # list's own commas split _call_args' arg slices, so
+                # scan the raw token span instead
+                depth = 0
+                ob = None
+                for k in range(j, close):
+                    t2 = out[k]
+                    if t2.kind == "punct" and t2.text == "(":
+                        depth += 1
+                    elif t2.kind == "punct" and t2.text == ")":
+                        depth -= 1
+                    elif (
+                        depth == 1
+                        and _word_is(t2, "ORDER")
+                        and _next_sig(out, k) < close
+                        and _word_is(out[_next_sig(out, k)], "BY")
+                    ):
+                        ob = k
+                        break
+                if ob is not None:
+                    by = _next_sig(out, ob)
+                    expr = _render(out[j + 1 : ob]).strip()
+                    tail = out[by + 1 : close]
+                    if any(_word_is(t, "DESC") for t in tail):
+                        raise TranspileError(
+                            "array_agg(... ORDER BY ... DESC) "
+                            "has no mechanical Spark rewrite"
+                        )
+                    keys = [
+                        re.sub(r"(?i)\s+ASC$", "", k.strip())
+                        for k in _render(
+                            [t for t in tail if t.kind != "comment"]
+                        ).split(",")
+                        if k.strip()
+                    ]
+                    named = ", ".join(
+                        f"'o{n}', {k}" for n, k in enumerate(keys)
+                    )
+                    repl = (
+                        f"transform(array_sort(array_agg("
+                        f"named_struct({named}, 'v', {expr}))), "
+                        f"__x -> __x.v)"
+                    )
+                    out[i : close + 1] = tokenize(repl)
+                    i += 1
+                    continue
+        i += 1
+    return out
+
+
+def _rw_ddl_null(toks: list[Tok]) -> list[Tok]:
+    """Redshift column-def ``col TYPE NULL`` (explicitly nullable —
+    nethone_signal DDL) -> drop the bare NULL: Spark's column spec
+    takes NOT NULL but no affirmative form. Applied only to CREATE
+    statements with no top-level AS (pure column-definition DDL), so
+    NULL literals in queries are untouched; NOT NULL and DEFAULT
+    NULL keep their NULL."""
+    sigs = [k for k, t in enumerate(toks) if _is_sig(t)]
+    if not sigs or not _word_is(toks[sigs[0]], "CREATE"):
+        return toks
+    depths = _depths(toks)
+    if any(
+        depths[k] == 0 and _word_is(toks[k], "AS") for k in sigs
+    ):
+        return toks
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        if _word_is(out[i], "NULL"):
+            p = _prev_sig(out, i)
+            j = _next_sig(out, i)
+            prev_ok = p >= 0 and out[p].kind in ("word", "punct") and \
+                out[p].text not in ("(", ",") and \
+                not _word_is(out[p], "NOT", "DEFAULT")
+            next_ok = j < len(out) and out[j].kind == "punct" and \
+                out[j].text in (",", ")")
+            if prev_ok and next_ok:
+                del out[i]
+                continue
+        i += 1
+    return out
+
+
 def _rw_temp_view_name(toks: list[Tok]) -> list[Tok]:
     """Spark temp views are single-part names; strip the schema
     qualifier a Redshift CREATE TEMP TABLE carried
@@ -1325,6 +1505,95 @@ def _rw_brace_params(toks: list[Tok]) -> list[Tok]:
     return out
 
 
+def _rw_psql_binds(toks: list[Tok]) -> list[Tok]:
+    """psql / Airflow-operator ``:name`` bind variables
+    (ds-airflow delete-partition scripts: ``WHERE year = :year``) ->
+    the same loud identifier placeholder as ``{name}`` holes.
+    ``::`` casts tokenize as ONE op, so a lone ``:`` followed by a
+    word is unambiguous."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        if (
+            out[i].kind in ("punct", "op")
+            and out[i].text == ":"
+            and i + 1 < len(out)
+            and out[i + 1].kind == "word"
+        ):
+            out[i : i + 2] = [
+                Tok("word", f"__param_{out[i + 1].text}__")
+            ]
+        i += 1
+    return out
+
+
+def _rw_postfix_null(toks: list[Tok]) -> list[Tok]:
+    """Postgres postfix null tests (``expr ISNULL`` / ``expr
+    NOTNULL`` — churn_prediction Test_data.sql) -> ``IS [NOT]
+    NULL``. A following ``(`` means the SQL-Server-style function
+    call instead, which passes through untouched."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if t.kind == "word" and t.text.lower() in ("isnull", "notnull"):
+            p = _prev_sig(out, i)
+            j = _next_sig(out, i)
+            operand_before = p >= 0 and (
+                (
+                    out[p].kind == "word"
+                    and out[p].text.upper() not in _NON_OPERAND_KW
+                )
+                or out[p].kind in ("str", "qid", "num")
+                or (out[p].kind == "punct" and out[p].text == ")")
+            )
+            is_call = (
+                j < len(out)
+                and out[j].kind == "punct"
+                and out[j].text == "("
+            )
+            if operand_before and not is_call:
+                repl = [Tok("word", "IS"), Tok("ws", " ")]
+                if t.text.lower() == "notnull":
+                    repl += [Tok("word", "NOT"), Tok("ws", " ")]
+                repl.append(Tok("word", "NULL"))
+                out[i : i + 1] = repl
+                i += len(repl)
+                continue
+        i += 1
+    return out
+
+
+def _rw_delete_bare(toks: list[Tok]) -> list[Tok]:
+    """Redshift ``DELETE tbl WHERE ...`` (FROM-less form,
+    0_event_properties_incremental.sql) -> ``DELETE FROM tbl``."""
+    out = list(toks)
+    i = _next_sig(out, -1)
+    if i < len(out) and _word_is(out[i], "DELETE"):
+        j = _next_sig(out, i)
+        if (
+            j < len(out)
+            and out[j].kind == "word"
+            and not _word_is(out[j], "FROM")
+        ):
+            out[i + 1 : i + 1] = [Tok("ws", " "), Tok("word", "FROM")]
+    return out
+
+
+def _rw_drop_cascade(toks: list[Tok]) -> list[Tok]:
+    """``DROP TABLE/VIEW ... CASCADE|RESTRICT`` -> drop the modifier
+    (Spark's parser takes neither; dependency cascade has no meaning
+    for path-based tables)."""
+    out = list(toks)
+    i = _next_sig(out, -1)
+    if not (i < len(out) and _word_is(out[i], "DROP")):
+        return out
+    sigs = [k for k, t in enumerate(out) if _is_sig(t)]
+    if sigs and _word_is(out[sigs[-1]], "CASCADE", "RESTRICT"):
+        del out[sigs[-1] :]
+    return out
+
+
 def _rw_jinja(toks: list[Tok]) -> list[Tok]:
     """``{{ ... }}`` template holes -> a bind-style named parameter
     (``:param``-less: we use an identifier the caller can define as a
@@ -1357,6 +1626,10 @@ _PASSES = (
     _rw_words,
     _rw_jinja,
     _rw_brace_params,
+    _rw_psql_binds,
+    _rw_postfix_null,
+    _rw_delete_bare,
+    _rw_drop_cascade,
     _rw_no_schema_binding,
     _rw_set_stmt,
     _rw_refresh_mv,
@@ -1364,6 +1637,8 @@ _PASSES = (
     _rw_create_like,
     _rw_identity,
     _rw_ddl,
+    _rw_ddl_null,
+    _rw_array_agg_order,
     _rw_temp_view_name,
     _rw_update_from,
     _rw_delete_using,

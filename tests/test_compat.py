@@ -12,6 +12,8 @@ format-string template holes.
 """
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from etl_pipelines_spark.compat import (
@@ -136,6 +138,82 @@ class TestTextRewrites:
     def test_binary_tilde_keeps_space(self):
         out = transpile("SELECT a~'^x' FROM t")
         assert "RLIKE '^x'" in out
+
+    def test_postfix_isnull(self):
+        out = transpile("SELECT 1 FROM t WHERE a isnull")
+        assert "IS NULL" in out
+        out = transpile("SELECT 1 FROM t WHERE a NOTNULL AND b=2")
+        assert "IS NOT NULL" in out
+        # SQL-Server-style function call form passes through
+        sql = "SELECT isnull(a, b) FROM t"
+        assert transpile(sql) == sql
+
+    def test_psql_bind_variables(self):
+        out = transpile("DELETE FROM t WHERE year = :year AND m=:m")
+        assert "__param_year__" in out and "__param_m__" in out
+        # :: casts are untouched
+        assert "::" in transpile("SELECT a::int FROM t")
+
+    def test_delete_without_from(self):
+        out = transpile("DELETE stg.events WHERE d < '2024-01-01'")
+        assert out.upper().startswith("DELETE FROM")
+
+    def test_drop_cascade_stripped(self):
+        out = transpile("drop table if exists s.t  cascade")
+        assert "cascade" not in out.lower()
+
+    def test_varchar_max_and_timestamp_precision(self):
+        assert "string" in transpile("SELECT a::varchar(max) FROM t")
+        out = transpile("SELECT b::timestamp(0) FROM t")
+        assert "(0)" not in out and "timestamp" in out
+        # numbered varchar survives
+        assert "varchar(12)" in transpile("SELECT a::varchar(12) FROM t")
+
+    def test_temp_table_with_column_defs_stays_table(self):
+        out = transpile(
+            "CREATE TEMP TABLE stage (reference_date date)"
+        )
+        assert "VIEW" not in out.upper()
+        assert "CREATE TABLE" in out.upper()
+        # CTAS temp still becomes a view
+        out2 = transpile("CREATE TEMP TABLE s AS SELECT 1 a")
+        assert "TEMPORARY VIEW" in out2.upper()
+
+    def test_ddl_bare_null_column_constraint(self):
+        out = transpile(
+            "CREATE TABLE IF NOT EXISTS d.t (a INTEGER NOT NULL, "
+            "b float NULL, c string NULL)"
+        )
+        assert "NOT NULL" in out
+        assert re.search(r"(?i)\bfloat\s+NULL", out) is None
+
+    def test_array_agg_order_by(self):
+        out = transpile(
+            "SELECT array_agg(name ORDER BY sku, store_id) AS ns "
+            "FROM t GROUP BY 1"
+        )
+        assert "array_sort" in out and "named_struct" in out
+        assert "__x.v" in out
+        with pytest.raises(TranspileError):
+            transpile("SELECT array_agg(a ORDER BY b DESC) FROM t")
+
+    def test_with_delete_using_folds_cte(self):
+        out = transpile(
+            "WITH dups AS (SELECT id FROM s GROUP BY 1) "
+            "DELETE FROM tgt.t USING dups src "
+            "WHERE src.id = tgt.t.id"
+        )
+        assert out.startswith("MERGE INTO tgt.t USING (WITH dups")
+        assert "SELECT * FROM dups) src" in out
+        assert "WHEN MATCHED THEN DELETE" in out
+
+    def test_qualify_trailing_comment_stripped(self):
+        out = transpile(
+            "SELECT a FROM t\n"
+            "QUALIFY ROW_NUMBER() OVER (ORDER BY a) = 1 -- keep one\n"
+        )
+        assert "keep one" not in out
+        assert "__qualify__" in out
 
     def test_json_path_space_key_takes_bracket_branch(self):
         out = transpile(

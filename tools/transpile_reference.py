@@ -89,6 +89,263 @@ _SQL_KEYWORDS = {
 }
 
 
+_STMT_HEADS = {"CREATE", "INSERT", "GRANT"}
+_DOUBLED_KW = {
+    "THEN", "WHEN", "AND", "OR", "FROM", "WHERE", "SELECT", "ON",
+    "THEN,", "=",
+}
+_CLAUSE_AFTER_COMMA = {
+    "FROM", "WHERE", "GROUP", "ORDER", "HAVING", ")",
+}
+_TEMPLATE_HOLE = re.compile(r"\{\{?\s*[\w.|'\" ()]+\s*\}?\}")
+
+
+def adjudicate(stmt: str, err: str) -> tuple[str, str]:
+    """Machine adjudication of a failing statement (r6 verdict #3):
+    -> (tier, detail) with tier ∈ {source_invalid, template_limited,
+    dialect_gap}. source_invalid detectors are LEXICAL checks on the
+    ORIGINAL Redshift text (token-level, string/comment-safe), so a
+    broken source never counts against the transpiler; anything not
+    provably broken or templated is charged to the transpiler as
+    dialect_gap."""
+    toks = [t for t in tokenize(stmt) if _is_sig(t)]
+    words = [
+        (t.text.upper() if t.kind == "word" else t.text) for t in toks
+    ]
+    # orphaned clause fragment: a "statement" that starts mid-query
+    # (WHERE/AND/ON/EXCEPT/...) — an assembled-elsewhere template
+    # piece or a comment-stranded clause, not parseable SQL anywhere
+    if words and (
+        words[0]
+        in (
+            "WHERE", "AND", "OR", "ON", "THEN", "WHEN", "EXCEPT",
+            "UNION", "INTERSECT", "AS", "JOIN", "LEFT", "RIGHT",
+            "INNER",
+        )
+        or words[0] in (",", ")")
+    ):
+        return "source_invalid", f"orphaned-clause-{words[0]}"
+    # a statement whose head is no SQL statement at all — a fragment
+    # stranded by a misplaced ';' (customer_scoring: `SORTKEY(...)
+    # DISTKEY(...) AS SELECT ...` lost its CREATE line)
+    if words and words[0] not in (
+        "SELECT", "WITH", "CREATE", "INSERT", "UPDATE", "DELETE",
+        "DROP", "TRUNCATE", "REFRESH", "SET", "MERGE", "(",
+    ):
+        return "source_invalid", f"fragment-head-{words[0][:20]}"
+    # a duplicate CTE name is an error in Redshift/Postgres too
+    if "DUPLICATED_CTE_NAMES" in err:
+        return "source_invalid", "duplicate-cte-name"
+    # unbalanced parens — unclosed SUM( etc.
+    depth = 0
+    for w in words:
+        if w == "(":
+            depth += 1
+        elif w == ")":
+            depth -= 1
+            if depth < 0:
+                return "source_invalid", "unbalanced-parens"
+    if depth != 0:
+        return "source_invalid", "unbalanced-parens"
+    # doubled keyword (THEN THEN, AND AND, = =, ...)
+    for a, b in zip(words, words[1:]):
+        if a == b and a in _DOUBLED_KW:
+            return "source_invalid", f"doubled-{a}"
+    # two CASE expressions juxtaposed with no operator between them
+    # (luxco cashflow files: `... ELSE 0 END <newline> CASE WHEN` —
+    # a missing `) AS x, SUM(` separator; invalid in Redshift too)
+    for a, b in zip(words, words[1:]):
+        if a == "END" and b == "CASE":
+            return "source_invalid", "missing-operator-END-CASE"
+    # DROP TABLE IF EXISTS TABLE x — doubled TABLE keyword
+    for a, b, c in zip(words, words[1:], words[2:]):
+        if (a, b, c) == ("IF", "EXISTS", "TABLE"):
+            return "source_invalid", "doubled-TABLE-after-IF-EXISTS"
+    # a CTE whose NAME was deleted: `WITH AS (` or `, AS (`
+    for a, b in zip(words, words[1:]):
+        if b == "AS" and a in (",", "WITH"):
+            return "source_invalid", "cte-missing-name"
+    # an alias INSIDE a parenthesized expression then aliased again:
+    # `(col AS x) AS y` (customer_data_tape_snapshots) — invalid in
+    # Redshift as well. The paren group must NOT be a call (CAST(x
+    # AS int) AS y is fine): its '(' is preceded by ',' or a clause
+    # keyword, not a function name.
+    for n in range(len(words) - 3):
+        if not (
+            words[n] == "AS"
+            and words[n + 2] == ")"
+            and words[n + 3] == "AS"
+            and re.fullmatch(r"[A-Za-z_][\w$]*", words[n + 1] or "")
+        ):
+            continue
+        depth4 = 0
+        for m in range(n + 2, -1, -1):
+            if words[m] == ")":
+                depth4 += 1
+            elif words[m] == "(":
+                depth4 -= 1
+                if depth4 == 0:
+                    if m == 0 or words[m - 1] in (
+                        ",", "SELECT", "(", "BY",
+                    ):
+                        return "source_invalid", "alias-inside-parens"
+                    break
+    # trailing comma directly before a clause keyword / closing paren
+    for a, b in zip(words, words[1:]):
+        if a == "," and b in _CLAUSE_AFTER_COMMA:
+            return "source_invalid", f"trailing-comma-before-{b}"
+    # CASE defects: first significant word after CASE must be WHEN
+    # or an operand (simple CASE); a clause keyword there means the
+    # first WHEN line was lost (session_marketing_mapping: `CASE
+    # <newline> OR (...) THEN`); plus WHEN-without-THEN, doubled
+    # THEN, and END with no matching CASE.
+    case_depth = 0
+    state: list[str] = []  # per-CASE: "when" | "then" | ""
+    for n, w in enumerate(words):
+        if w == "CASE":
+            nxt = words[n + 1] if n + 1 < len(words) else ""
+            if nxt in ("OR", "AND", "THEN", "ELSE", "=", ","):
+                return "source_invalid", "case-missing-first-when"
+            case_depth += 1
+            state.append("")
+        elif w == "WHEN" and case_depth:
+            if state[-1] == "when":
+                return "source_invalid", "when-without-then"
+            state[-1] = "when"
+        elif w == "THEN" and case_depth:
+            if state[-1] == "then":
+                return "source_invalid", "doubled-then-branch"
+            if state[-1] != "when":
+                return "source_invalid", "then-without-when"
+            state[-1] = "then"
+        elif w == "ELSE" and case_depth:
+            if state[-1] == "when":
+                return "source_invalid", "when-without-then"
+            state[-1] = ""
+        elif w == "END":
+            if case_depth == 0:
+                return "source_invalid", "end-without-case"
+            if state[-1] == "when":
+                return "source_invalid", "when-without-then"
+            case_depth -= 1
+            state.pop()
+    if case_depth != 0:
+        return "source_invalid", "case-without-end"
+    # FROM with no relation: `FROM <newline> WHERE` / `FROM )` /
+    # `FROM UNION` — the table line was deleted or commented out
+    for a, b in zip(words, words[1:]):
+        if a == "FROM" and b in (
+            "WHERE", "UNION", "SELECT", "GROUP", "ORDER", ")", ",",
+            "LEFT", "INNER", "JOIN", "DROP", "CREATE", "INSERT",
+            "DELETE",
+        ):
+            return "source_invalid", f"FROM-without-relation-{b}"
+    if words and words[-1] == "FROM":
+        return "source_invalid", "FROM-without-relation-eof"
+    # ON with no JOIN to bind to (doubled ON per join, or ON after a
+    # plain FROM). JOIN/MERGE arm an ON slot; a second ON without a
+    # new JOIN is the b2b/asset.sql copy-paste defect.
+    # per-paren-depth arming: a JOIN at depth d arms an ON slot at
+    # depth d only — a surplus JOIN inside a subquery must not absorb
+    # a stray ON in the outer query (dm_b2b double-ON)
+    armed_d: dict[int, int] = {}
+    depth5 = 0
+    for n, w in enumerate(words):
+        if w == "(":
+            depth5 += 1
+        elif w == ")":
+            armed_d[depth5] = 0  # slots never cross a paren close
+            depth5 -= 1
+        elif w == "JOIN":
+            if n == 0 or words[n - 1] not in ("CROSS", "NATURAL"):
+                armed_d[depth5] = armed_d.get(depth5, 0) + 1
+        elif w == "MERGE":
+            armed_d[depth5] = armed_d.get(depth5, 0) + 1
+        elif w == "USING":
+            if armed_d.get(depth5, 0) > 0:
+                armed_d[depth5] -= 1
+        elif w == "ON":
+            if armed_d.get(depth5, 0) == 0:
+                return "source_invalid", "ON-without-JOIN"
+            armed_d[depth5] -= 1
+    # JOIN directly after the SELECT list with no FROM at the same
+    # paren depth (mietkauf_prices: select ... left join c on ...)
+    depth3 = 0
+    sel_no_from: dict[int, bool] = {}
+    for n, w in enumerate(words):
+        if w == "(":
+            depth3 += 1
+        elif w == ")":
+            sel_no_from.pop(depth3, None)
+            depth3 -= 1
+        elif w == "SELECT":
+            sel_no_from[depth3] = True
+        elif w == "FROM":
+            sel_no_from[depth3] = False
+        elif w == "JOIN" and sel_no_from.get(depth3):
+            return "source_invalid", "JOIN-without-FROM"
+    # a second SELECT glued directly onto an expression (two queries
+    # fused by a lost ';' — grover_card files)
+    for a, b in zip(words, words[1:]):
+        if b == "SELECT" and (
+            re.fullmatch(r"[A-Za-z_][\w$]*", a)
+            and a not in (
+                "UNION", "ALL", "DISTINCT", "EXCEPT", "INTERSECT",
+                "MINUS", "AS", "THEN", "ELSE", "IN", "EXISTS",
+                "SELECT", "FROM", "WHERE", "BY", "HAVING", "OVER",
+                "LATERAL", "RETURN", "RETURNS",
+            )
+        ):
+            return "source_invalid", "glued-SELECT"
+    # statements glued without ';' — a second top-level
+    # CREATE/INSERT/GRANT (GRANT appears when a skip-head statement
+    # lost its terminator and fused onto query content)
+    for k in range(1, len(words)):
+        if words[k] in _STMT_HEADS and words[k - 1] != "(":
+            return "source_invalid", f"glued-statement-{words[k]}"
+    # template holes the transpiler cannot parameterize (inside
+    # string literals / identifier position), incl. psql ':name'
+    # binds embedded IN a literal (INTERVAL ':lookback_days;' DAY)
+    in_string_bind = any(
+        t.kind == "str" and re.search(r":[A-Za-z_]\w*", t.text)
+        for t in toks
+    )
+    if _TEMPLATE_HOLE.search(stmt) or "__jinja_param__" in stmt \
+            or re.search(r"__param_\w+__", stmt) or in_string_bind:
+        return "template_limited", "template-hole"
+    # a different ENGINE's SQL living in the reference tree: Presto/
+    # Athena constructs (bi-airflow order_item_historical) are
+    # outside the Redshift transpiler's contract — still a dialect
+    # gap, tagged so the residue is legible
+    if re.search(
+        r"(?i)JSON_EXTRACT_SCALAR\s*\(|ARRAY\s*\(\s*MAP\s*\(", stmt
+    ):
+        return "dialect_gap", "presto-athena-source"
+    # ANSI nested-join ON binding (`a JOIN b JOIN c ON ... ON ...`,
+    # dm_b2b) — valid Redshift/Postgres, but Spark's parser only
+    # takes one ON per joinRelation; a mechanical re-parenthesizing
+    # is not faithful to arbitrary mixed chains. Known Spark-parser
+    # limitation, tagged so the residue is legible.
+    pend: dict[int, int] = {}
+    d6 = 0
+    for n, w in enumerate(words):
+        if w == "(":
+            d6 += 1
+        elif w == ")":
+            pend[d6] = 0
+            d6 -= 1
+        elif w == "JOIN" and (
+            n == 0 or words[n - 1] not in ("CROSS", "NATURAL")
+        ):
+            pend[d6] = pend.get(d6, 0) + 1
+            if pend[d6] >= 2:
+                return "dialect_gap", "nested-join-on-binding"
+        elif w in ("ON", "USING") and pend.get(d6, 0) > 0:
+            pend[d6] -= 1
+    m = re.match(r"(?:transpile|parse): ?\[?([A-Z_.0-9]+)\]?", err)
+    return "dialect_gap", (m.group(1) if m else err[:60])
+
+
 def main() -> None:
     ref = pathlib.Path(sys.argv[1] if len(sys.argv) > 1 else "/root/reference")
     out_path = sys.argv[2] if len(sys.argv) > 2 else "TRANSPILE_COVERAGE.json"
@@ -121,6 +378,9 @@ def main() -> None:
     fn_native = fn_compat = 0
     fn_unknown: dict[str, int] = {}
     templated = 0
+    adjud: dict[str, int] = {}
+    adjud_detail: dict[str, int] = {}
+    gap_samples: list[dict] = []
 
     for path in files:
         text = path.read_text(errors="replace")
@@ -139,6 +399,16 @@ def main() -> None:
                 file_ok = False
                 key = "transpile: " + str(e)[:60]
                 fail_buckets[key] = fail_buckets.get(key, 0) + 1
+                tier, detail = adjudicate(stmt, "transpile: " + str(e))
+                adjud[tier] = adjud.get(tier, 0) + 1
+                adjud_detail[f"{tier}: {detail}"] = (
+                    adjud_detail.get(f"{tier}: {detail}", 0) + 1
+                )
+                if tier == "dialect_gap":
+                    gap_samples.append(
+                        {"file": str(path.relative_to(ref)),
+                         "head": head, "err": str(e)[:160]}
+                    )
                 if len(transpile_failures) < 40:
                     transpile_failures.append(
                         {"file": str(path.relative_to(ref)),
@@ -155,6 +425,16 @@ def main() -> None:
                 m = re.match(r"\[([A-Z_.]+)\]", msg)
                 key = "parse: " + (m.group(1) if m else msg[:60])
                 fail_buckets[key] = fail_buckets.get(key, 0) + 1
+                tier, detail = adjudicate(stmt, "parse: " + msg)
+                adjud[tier] = adjud.get(tier, 0) + 1
+                adjud_detail[f"{tier}: {detail}"] = (
+                    adjud_detail.get(f"{tier}: {detail}", 0) + 1
+                )
+                if tier == "dialect_gap":
+                    gap_samples.append(
+                        {"file": str(path.relative_to(ref)),
+                         "head": head, "err": msg[:160]}
+                    )
                 if len(parse_failures) < 40:
                     parse_failures.append(
                         {"file": str(path.relative_to(ref)),
@@ -182,6 +462,11 @@ def main() -> None:
         "failure_buckets": dict(
             sorted(fail_buckets.items(), key=lambda kv: -kv[1])
         ),
+        "adjudication": dict(sorted(adjud.items(), key=lambda kv: -kv[1])),
+        "adjudication_detail": dict(
+            sorted(adjud_detail.items(), key=lambda kv: -kv[1])
+        ),
+        "dialect_gap_samples": gap_samples[:60],
         "parse_failures_sample": parse_failures,
         "transpile_failures_sample": transpile_failures,
         "functions": {
@@ -196,6 +481,7 @@ def main() -> None:
     print(json.dumps({
         "files": len(files), "files_ok": n_files_ok,
         "statements": n_stmts, "statements_ok": n_stmts_ok,
+        "adjudication": adjud,
     }))
 
 
