@@ -7785,81 +7785,76 @@ def compat_redshift_script(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _DRIVER_WINDOW = [
-    # --- round-6 window: FRESHNESS rotation (VERDICT r5 "Next round"
-    # #7) — the complete r3-aged cohort (47 rows whose newest driver
-    # evidence is round 3) re-enters the window, plus this round's
-    # changed queries. Rotated out: the round-5 names, every one
-    # green in the committed CORRECTNESS_r05.json. Union coverage
-    # across r1-r6 windows stays total (test-pinned in
-    # tests/test_registry_window.py).
+    # --- round-7 window (VERDICT r6 "Next round" #2): DEBT FIRST —
+    # the two r3-aged rows deliberately held back in r5/r6 (their
+    # newest driver evidence is CORRECTNESS_r03.json), the
+    # r6-reserved mm_mjpeg_frames row (real AVI/MJPEG decode), and
+    # the three rows whose IMPLEMENTATION changed this round
+    # (dd_minhash_lsh / dd_neardup_components: the verify-join
+    # semi-prune scale fix; compat_redshift_script: transpiler gained
+    # 10 rewrite passes) — then the r4-aged cohort (newest evidence
+    # round 4). Four r4-aged rows are held to round 8 to fund the
+    # debt+re-proof slots, named at the end of this list; every one
+    # is an unchanged single-operator query, r4-green in the
+    # committed CORRECTNESS_r04.json. Union coverage across r1-r7
+    # stays total (test-pinned, tests/test_registry_window.py).
     #
-    # r3-aged (last driver-checked round 3):
-    "a_rollup_multigrain",
-    "ann_brute_topk",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "ann_pq_adc",
-    "corpus_curation",
-    "dd_exact_dedup_survivors",
-    "dd_exact_dup_groups",
-    "dd_line_dedup",
+    # r3-aged debt (held back twice, ordered first):
+    "txt_vocab_topk",
+    "mm_audio_segments",
+    # reserved-from-r6 new decoder row:
+    "mm_mjpeg_frames",
+    # changed-this-round re-proofs:
     "dd_minhash_lsh",
     "dd_neardup_components",
-    "dd_simhash_md5",
-    "emb_pq_encode",
-    "gc_account_balance",
-    "j_bloom_prefilter",
-    "master_customer",
-    "mkt_affiliate_payout",
-    "ml_churn_score",
-    "ml_mlp_score",
-    "ml_price_score",
-    # (mm_audio_segments is the one r3-aged row held back to round 7
-    # — its slot funds the new tx_merge_readback below; it is a pure
-    # integer plan fan-out unchanged since r2, the cohort's lowest
-    # regression risk, and the ≥45-slot r3-aged draw still holds.)
-    "mm_patch_plan",
-    "mm_ppm_decode",
-    "mm_wav_decode",
-    "mon_cms_heavyhitters",
-    "mon_hll_distinct",
-    "mon_volume_anomaly",
-    "q1_pricing_summary",
-    "sessions_union_stitch",
-    "skew_salted_rollup",
-    "sust_seasonality",
-    "txt_bpe_encode",
-    "txt_chunk_plan",
-    "txt_contamination",
-    "txt_gopher_filter",
-    "txt_hash_split",
-    "txt_langid",
-    "txt_ngram_decontam",
-    "txt_pii_redact",
-    "txt_repetition",
-    "txt_source_mix",
-    "txt_stratified_sample",
-    "txt_unigram_logprob",
-    # (txt_vocab_topk — r3-green in CORRECTNESS_r03.json — is the
-    # second r3-aged row held to round 7; its slot funds
-    # compat_redshift_script below. The r3-aged draw stays ≥45.)
-    "w_time_range_rolling",
-    "wh_daily_kpi",
-    "wh_track_events",
-    # re-proof rows — output schema or implementation changed this
-    # round (mm_mp3_meta grew the is_cbr VBR-honesty column per r5
-    # ADVICE; scd2_history's registry body was refactored into the
-    # shared core the re-layered pipeline uses):
-    "mm_mp3_meta",
-    "scd2_history",
-    # new this round: MP4 per-frame metadata from the stsz/stts
-    # sample tables (VERDICT r5 "Next round" #8), and the
-    # transactional-table round trip (commit log, r5 missing #4):
-    "mm_video_frames",
-    "tx_merge_readback",
-    # the Redshift-dialect transpiler end-to-end (compat/run_sql on a
-    # reference-shaped multi-statement script, new this round):
     "compat_redshift_script",
+    # r4-aged cohort (44 of 48):
+    "a_count_distinct",
+    "a_having_segments",
+    "a_listagg_ordered",
+    "a_median_percentiles",
+    "a_unpivot_measures",
+    "dd_embedding_neardup",
+    "dd_neardup_survivors",
+    "dd_semantic_dedup",
+    "dm_rfm_segmentation",
+    "emb_bitext_mine",
+    "f_datetime_kitchen_sink",
+    "f_json_extract",
+    "f_string_kitchen_sink",
+    "j_anti_not_in",
+    "j_asof_attribution",
+    "j_dedup_right",
+    "j_dod_delta",
+    "j_exists_corr",
+    "j_full_outer_calendar",
+    "j_range_bands",
+    "mm_gif_decode",
+    "mm_jpeg_decode",
+    "mm_mp4_meta",
+    "mm_png_decode",
+    "mon_table_stats",
+    "mon_value_quantiles",
+    "p_case_nested",
+    "p_regex",
+    "q3_top_revenue_orders",
+    "q5_regional_revenue",
+    "txt_bigram_logprob",
+    "txt_collocations",
+    "txt_pack_plan",
+    "txt_quality_buckets",
+    "txt_tfidf_topterms",
+    "u_union_all_pad",
+    "w_agg_over_partition",
+    "w_dense_rank_days",
+    "w_first_last_ignorenulls",
+    "w_lag_lead_gap",
+    "w_percent_rank_spend",
+    "w_rolling_7d",
+    "w_rownum_latest_event",
+    "w_running_balance",
+    # (held to r8: a_bool_or, p_like_ilike, j_right_parts,
+    # p_filter_predicates — unchanged operator singles, r4-green)
 ]
 
 
