@@ -280,8 +280,8 @@ _NON_OPERAND_KW = {
     "SELECT", "WHERE", "AND", "OR", "NOT", "WHEN", "THEN", "ELSE",
     "ON", "BY", "IN", "CASE", "DISTINCT", "ALL", "AS", "FROM",
     "JOIN", "HAVING", "SET", "VALUES", "LIKE", "ILIKE", "RLIKE",
-    "BETWEEN", "IS", "ESCAPE", "RETURN", "COALESCE", "IF", "UNION",
-    "INTERSECT", "EXCEPT", "LIMIT", "OFFSET", "OVER", "PARTITION",
+    "BETWEEN", "IS", "ESCAPE", "UNION", "INTERSECT", "EXCEPT",
+    "LIMIT", "OFFSET", "OVER", "PARTITION",
 }
 
 
