@@ -95,12 +95,31 @@ def main() -> None:
         for name in mid["queries"]
         if name in big["queries"]
     }
+    # per-model rebuild slopes (r6 verdict #6: the ×4.5/decade
+    # aggregate must localize to a model in one read)
+    m1 = mid.get("wh_rebuild_models", {})
+    m10 = big.get("wh_rebuild_models", {})
+    model_slopes = {
+        name: {
+            "sf1_sec": m1[name],
+            "sf10_sec": m10[name],
+            "ratio": round(m10[name] / max(m1[name], 1e-9), 2),
+        }
+        for name in m1
+        if name in m10
+    }
     doc = {
         "metric": "scale_slope_sf1_to_sf10",
         "data_factor": 10,
         "total_sf1_sec": mid["value"],
         "total_sf10_sec": big["value"],
         "queries": slopes,
+        "rebuild_models": dict(
+            sorted(
+                model_slopes.items(),
+                key=lambda kv: -kv[1]["sf10_sec"],
+            )
+        ),
         "note": (
             "second decade: ratio <=10 = linear-or-better at 10x "
             "data on fixed local[32]; the pruned bigram LM and the "
