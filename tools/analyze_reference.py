@@ -322,6 +322,15 @@ def main() -> None:
         .config("spark.sql.warehouse.dir", wh)
         .config("spark.sql.ansi.doubleQuotedIdentifiers", "true")
         .config("spark.sql.legacy.allowNonEmptyLocationInCTAS", "true")
+        # Views re-parse their stored body with CAPTURED configs, not
+        # the session's — a view whose text carries "double quoted"
+        # identifiers then fails at READ time with PARSE_SYNTAX_ERROR
+        # even though its CREATE succeeded (diagnosed r7: ~440 of the
+        # sweep's PARSE residuals were consumers of such views, vs
+        # 155 genuine parse failures in a canary-probed single-pass
+        # run). Current-config view resolution makes the shadow
+        # session self-consistent.
+        .config("spark.sql.legacy.useCurrentConfigsForView", "true")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("FATAL")
