@@ -259,9 +259,16 @@ def main() -> None:
         "n_python_tail": 5,
         "sub2s_stat": "median_of_3_fastest_of_7",
     }
-    if model_times:
-        out["wh_rebuild_models"] = model_times
+    # The headline line must stay small enough for the driver's tail
+    # capture (r7's BENCH_r07.json truncated, parsed=null, once the
+    # 31-entry per-model map rode inside it). Big auxiliary maps are
+    # emitted as SEPARATE JSON lines after the headline.
     print(json.dumps(out))
+    if model_times:
+        print(json.dumps(
+            {"metric": "wh_rebuild_models", "unit": "sec",
+             "models": model_times}
+        ))
     spark.stop()
 
 

@@ -1400,12 +1400,32 @@ def _rw_array_agg_order(toks: list[Tok]) -> list[Tok]:
                             "array_agg(... ORDER BY ... DESC) "
                             "has no mechanical Spark rewrite"
                         )
+                    # split the key list at paren-depth-0 commas over
+                    # the TOKEN span — a rendered-string split would
+                    # cut inside calls like coalesce(a, b) and emit
+                    # malformed named_struct SQL that only fails later
+                    # at Spark parse time.
+                    key_groups: list[list[Tok]] = [[]]
+                    kd = 0
+                    for t2 in tail:
+                        if t2.kind == "comment":
+                            continue
+                        if t2.kind == "punct" and t2.text == "(":
+                            kd += 1
+                        elif t2.kind == "punct" and t2.text == ")":
+                            kd -= 1
+                        if (
+                            t2.kind == "punct"
+                            and t2.text == ","
+                            and kd == 0
+                        ):
+                            key_groups.append([])
+                        else:
+                            key_groups[-1].append(t2)
                     keys = [
-                        re.sub(r"(?i)\s+ASC$", "", k.strip())
-                        for k in _render(
-                            [t for t in tail if t.kind != "comment"]
-                        ).split(",")
-                        if k.strip()
+                        re.sub(r"(?i)\s+ASC$", "", _render(g).strip())
+                        for g in key_groups
+                        if _render(g).strip()
                     ]
                     named = ", ".join(
                         f"'o{n}', {k}" for n, k in enumerate(keys)

@@ -102,6 +102,49 @@ def attach_percent_rank(
     return df.join(ranks, col)
 
 
+def attach_global_rank(
+    df: DataFrame, order_cols, out: str
+) -> DataFrame:
+    """``df`` + an ``out`` INT column holding the exact global
+    ``RANK() OVER (ORDER BY order_cols)`` — value-identical to the
+    window form when the composite order key is UNIQUE per row (then
+    RANK == ROW_NUMBER), without its Exchange SinglePartition sort of
+    the whole frame.
+
+    Two-phase plan: range-partition ``df`` by the order columns (so
+    partition-id order == value order), ROW_NUMBER within each range
+    partition (every reducer sorts only its own value range), roll
+    per-partition counts up to offsets via ONE global window over a
+    ``shuffle.partitions``-row frame, broadcast the offsets back.
+    rank = offset + within-partition row number.
+
+    ``order_cols``: list of Column objects carrying their sort
+    direction (e.g. ``[F.col("revenue").desc(), F.col("pk").asc()]``)
+    — the same expressions drive both the range partitioner and the
+    within-partition window, which is what makes the composition a
+    total order.
+    """
+    ranged = df.repartitionByRange(*order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    within = Window.partitionBy("__pid").orderBy(*order_cols)
+    rn = ranged.withColumn("__rn", F.row_number().over(within))
+    totals = rn.groupBy("__pid").agg(F.count(F.lit(1)).alias("__ptotal"))
+    # The ONLY global sort: one row per range partition.
+    woff = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = totals.select(
+        "__pid",
+        (F.sum("__ptotal").over(woff) - F.col("__ptotal")).alias("__offset"),
+    )
+    return (
+        rn.join(F.broadcast(offsets), "__pid")
+        .withColumn(out, (F.col("__offset") + F.col("__rn")).cast("int"))
+        .drop("__pid", "__rn", "__offset")
+    )
+
+
 def exact_quantiles(
     df: DataFrame,
     col: str,

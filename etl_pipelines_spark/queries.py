@@ -68,6 +68,15 @@ def load(
     parquet reader as a pushed filter — filtering the converted
     ``timestamp_micros(ts DIV 1000)`` expression would read the whole
     corpus (the incremental chain's whole point is not to)."""
+    if ts_since is not None and table != "events":
+        # The trailing-window contract is events-specific (the raw
+        # nanos ts column); on any other table the filter would bind
+        # to whatever 'ts' happens to mean there (or fail analysis) —
+        # loud stop instead of a silently wrong window.
+        raise ValueError(
+            f"ts_since is the events trailing-window contract; "
+            f"got table={table!r}"
+        )
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if table == "events" and dict(df.dtypes).get("ts") == "bigint":
         # events.ts is parquet TIMESTAMP(NANOS), read as long via
@@ -3865,17 +3874,52 @@ def spv_price_outliers_core(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     # interpolating median via the explicit middle pair (see oracle
     # comment): (lo+hi)/2 over identical element values is bit-exact
     # across engines, F.median's internal interpolation is not.
-    wo = grp.orderBy("coeff", "l_orderkey", "l_linenumber")
-    ranked = s.withColumn("__rn", F.row_number().over(wo)).withColumn(
-        "__cnt", F.count(F.lit(1)).over(grp)
+    #
+    # The middle pair is found by GROUP-KEYED TWO-PHASE order
+    # statistics, not a whole-partition window: the window form caps
+    # parallelism at the ~|brand×type| group count with each task
+    # holding facts/|groups| rows (measured ×10.8 sf1→sf10 slope, r7
+    # BENCH_SF10 — the worst in the rebuild). Here the fact rows
+    # range-partition by (group, coeff, tiebreak) so a big group
+    # SPANS partitions; per-(partition, group) ROW_NUMBER + counts
+    # roll up to per-group offsets over a |groups|×|partitions|-row
+    # frame; global in-group position = offset + local row number.
+    # Only the two middle rows per group survive, collapse to the
+    # ~|groups|-row medians table, and broadcast back. One window
+    # sort remains — the output price_rank the oracle pins.
+    okeys = [F.col("coeff"), F.col("l_orderkey"), F.col("l_linenumber")]
+    keyed = s.repartitionByRange(
+        F.col("p_brand"), F.col("p_type"), *okeys
+    ).withColumn("__pid", F.spark_partition_id())
+    w_in = Window.partitionBy("__pid", "p_brand", "p_type").orderBy(*okeys)
+    rn = keyed.withColumn("__rn", F.row_number().over(w_in))
+    tot = rn.groupBy("p_brand", "p_type", "__pid").agg(
+        F.count(F.lit(1)).alias("__ptotal")
     )
-    lo = F.max(
-        F.when(F.col("__rn") == F.expr("(__cnt + 1) DIV 2"), F.col("coeff"))
-    ).over(grp)
-    hi = F.max(
-        F.when(F.col("__rn") == F.expr("__cnt DIV 2 + 1"), F.col("coeff"))
-    ).over(grp)
-    m = ranked.withColumn("med", (lo + hi) / 2).drop("__rn", "__cnt")
+    w_off = (
+        Window.partitionBy("p_brand", "p_type")
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = tot.select(
+        "p_brand",
+        "p_type",
+        "__pid",
+        (F.sum("__ptotal").over(w_off) - F.col("__ptotal")).alias("__offset"),
+        F.sum("__ptotal").over(grp).alias("__gcnt"),
+    )
+    mid = (
+        rn.join(F.broadcast(offs), ["p_brand", "p_type", "__pid"])
+        .withColumn("__gpos", F.col("__offset") + F.col("__rn"))
+        .filter(
+            (F.col("__gpos") == F.expr("(__gcnt + 1) DIV 2"))
+            | (F.col("__gpos") == F.expr("__gcnt DIV 2 + 1"))
+        )
+    )
+    medians = mid.groupBy("p_brand", "p_type").agg(
+        ((F.min("coeff") + F.max("coeff")) / 2).alias("med")
+    )
+    m = s.join(F.broadcast(medians), ["p_brand", "p_type"])
     inliers = m.filter(
         F.col("ref_price").isNull()
         | ((F.col("coeff") - F.col("med")).between(-10.0, 10.0))
@@ -4129,7 +4173,22 @@ def top_products(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def top_products_core(li: DataFrame, part: DataFrame) -> DataFrame:
-    """Unordered core of top_products (raw lineitem + part)."""
+    """Unordered core of top_products (raw lineitem + part).
+
+    The overall rank is a GLOBAL total order over the part-grain
+    rollup — at 100 TB the part grain is the catalog (10⁸+ rows), so
+    the window form (Exchange SinglePartition + WindowExec) funnels
+    it through one task (measured ×10.54 sf1→sf10 slope, r7
+    BENCH_SF10). Instead it routes through the two-phase distributed
+    rank (operators/globalrank.attach_global_rank): range-partition
+    by (revenue DESC, p_partkey), per-partition ROW_NUMBER, offsets
+    from a shuffle.partitions-row frame. (revenue, p_partkey) is
+    unique per row, so RANK == ROW_NUMBER — value-identical to the
+    oracle's RANK() OVER (ORDER BY revenue DESC, p_partkey). The
+    brand rank stays a partitioned window (brand-grain parallelism
+    is real parallelism)."""
+    from .operators.globalrank import attach_global_rank
+
     p = part.select("p_partkey", "p_name", "p_brand")
     rev = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
@@ -4141,16 +4200,22 @@ def top_products_core(li: DataFrame, part: DataFrame) -> DataFrame:
             ).cast("double").alias("revenue")
         )
     )
-    ranked = rev.select(
-        "*",
-        F.rank()
-        .over(Window.partitionBy("p_brand").orderBy(F.col("revenue").desc(), "p_partkey"))
-        .alias("brand_rank"),
-        F.rank()
-        .over(Window.orderBy(F.col("revenue").desc(), "p_partkey"))
-        .alias("overall_rank"),
+    ranked = attach_global_rank(
+        rev.withColumn(
+            "brand_rank",
+            F.rank().over(
+                Window.partitionBy("p_brand").orderBy(
+                    F.col("revenue").desc(), "p_partkey"
+                )
+            ),
+        ),
+        [F.col("revenue").desc(), F.col("p_partkey").asc()],
+        "overall_rank",
     )
-    return ranked.filter(
+    return ranked.select(
+        "p_partkey", "p_name", "p_brand", "revenue",
+        "brand_rank", "overall_rank",
+    ).filter(
         (F.col("brand_rank") <= 2) | (F.col("overall_rank") <= 10)
     )
 
@@ -5272,7 +5337,30 @@ def sust_seasonality_core(o: DataFrame) -> DataFrame:
 @q(
     "pay_retry_payments",
     oracle="""
-WITH payments_all AS (
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type, props,
+    CAST(ts AS TIMESTAMP) - INTERVAL 23 YEAR AS ats
+  FROM events WHERE event_type IN ('purchase', 'error')
+),
+od AS (
+  SELECT * FROM (
+    SELECT o.*, ROW_NUMBER() OVER (
+      PARTITION BY o_custkey, o_orderdate
+      ORDER BY o_orderkey DESC) AS odrn
+    FROM orders o) t WHERE odrn = 1
+),
+linked AS (
+  SELECT * FROM (
+    SELECT a.*, b.o_orderkey, b.o_totalprice, b.o_orderdate,
+      b.o_orderpriority,
+      ROW_NUMBER() OVER (PARTITION BY a.event_id
+        ORDER BY b.o_orderdate DESC) AS lrn
+    FROM e a LEFT JOIN od b
+      ON a.user_id = b.o_custkey
+     AND CAST(b.o_orderdate AS TIMESTAMP) <= a.ats
+  ) t WHERE lrn = 1
+),
+payments_all AS (
   SELECT
     a.user_id AS group_id,
     CAST(a.user_id AS VARCHAR) || '|' ||
@@ -5281,22 +5369,22 @@ WITH payments_all AS (
     CAST(a.ts AS TIMESTAMP) AS createdat,
     a.event_id,
     json_extract_string(a.props, '$.k') AS payment_method_raw,
-    b.o_orderkey AS order_id,
-    CAST(b.o_totalprice AS DECIMAL(12,2)) AS amount,
-    CAST(b.o_orderdate AS DATE) AS duedate,
-    CASE WHEN b.o_orderkey IS NULL THEN FALSE ELSE TRUE
+    a.o_orderkey AS order_id,
+    CAST(a.o_totalprice AS DECIMAL(12,2)) AS amount,
+    CAST(a.o_orderdate AS DATE) AS duedate,
+    CASE WHEN a.o_orderkey IS NULL THEN FALSE ELSE TRUE
       END AS group_id_available,
     c.c_custkey AS customer_id,
     c.c_mktsegment AS customer_segment,
-    CASE WHEN b.o_orderpriority = '1-URGENT' THEN 'FIRST'
+    CASE WHEN a.o_orderpriority = '1-URGENT' THEN 'FIRST'
       ELSE 'RECURRING' END AS payment_type,
     ROW_NUMBER() OVER (
       PARTITION BY a.user_id, a.event_type
-      ORDER BY CAST(a.ts AS DATE) ASC, a.event_id ASC, b.o_orderkey ASC
+      ORDER BY CAST(a.ts AS DATE) ASC, a.event_id ASC
     ) AS rownum
-  FROM (SELECT * FROM events WHERE event_type IN ('purchase', 'error')) a
-  LEFT JOIN orders b ON a.user_id = b.o_custkey
-  LEFT JOIN customer c ON b.o_custkey = c.c_custkey
+  FROM linked a
+  LEFT JOIN customer c
+    ON a.o_orderkey IS NOT NULL AND a.user_id = c.c_custkey
 )
 SELECT group_id, key_, status, createdat, event_id,
   CASE WHEN payment_method_raw IS NULL OR payment_method_raw = ''
@@ -5319,12 +5407,16 @@ def pay_retry_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(account,status) ROW_NUMBER ordered by created_at::DATE
     (:33) that drives the `first failed` retry flag (:66-70).
 
-    Spark shape: the filtered event slice joins orders on the hashed
-    customer key (fan-out is the reference's own semantics — one
-    transaction row per order in the group); the wallet attach
-    broadcasts. The window shuffles on (user, status) once; ties on
-    the DATE-truncated order key are made deterministic with unique
-    tiebreakers on both sides."""
+    Spark shape: each transaction links to THE order it belongs to —
+    the latest order at-or-before the (epoch-aligned) event time —
+    via the distributed as-of join (operators/asof.py: union + one
+    window pass, ONE shuffle on the user key). The reference's join
+    is order-grain 1:1 (account_to resolves one payment order); the
+    r1-r7 user-grain fan-out stand-in multiplied events × orders per
+    user (pair count ∝ per-user density², measured ×6.75 sf1→sf10 —
+    r7 VERDICT #5) and is gone. The wallet attach broadcasts; the
+    rownum window shuffles on (user, status) once; event_id is the
+    unique tiebreaker."""
     return pay_retry_payments_core(
         load(spark, sf_dir, "events"),
         load(spark, sf_dir, "orders"),
@@ -5339,9 +5431,50 @@ def pay_retry_payments_core(
     build feeds it conformed ods.events + ods.orders + the raw
     customer dim. Requires events: user_id, ts, event_id,
     event_type, props; orders: all raw columns."""
-    e = events.filter(F.col("event_type").isin("purchase", "error"))
-    joined = e.join(o, on=[e.user_id == o.o_custkey], how="left").join(
-        F.broadcast(c), on=[o.o_custkey == c.c_custkey], how="left"
+    from .operators.asof import asof_join
+
+    e = events.filter(F.col("event_type").isin("purchase", "error")).withColumn(
+        # the synthetic events table lives 23 years after the orders
+        # epoch; align so the at-or-before-order linkage is
+        # non-degenerate at every scale factor (same shift as
+        # braze_order_attribution)
+        "__ats",
+        F.col("ts") - F.expr("INTERVAL 23 YEARS"),
+    )
+    # one candidate order per (customer, date): the as-of pick is
+    # date-grain, ties broken to the highest orderkey — mirrors the
+    # oracle's ROW_NUMBER ... ORDER BY o_orderkey DESC dedup
+    od = (
+        o.withColumn(
+            "__odrn",
+            F.row_number().over(
+                Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+                    F.col("o_orderkey").desc()
+                )
+            ),
+        )
+        .filter(F.col("__odrn") == 1)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.to_timestamp("o_orderdate").alias("__ots"),
+            "o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority",
+        )
+    )
+    linked = asof_join(
+        e,
+        od,
+        on=["user_id"],
+        left_ts="__ats",
+        right_ts="__ots",
+        right_payload=[
+            "o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority",
+        ],
+    ).drop("__ats")
+    joined = linked.join(
+        F.broadcast(c),
+        on=F.col("o_orderkey").isNotNull()
+        & (linked.user_id == c.c_custkey),
+        how="left",
     )
     pm_raw = F.get_json_object("props", "$.k")
     base = joined.select(
@@ -5370,7 +5503,6 @@ def pay_retry_payments_core(
         .over(
             Window.partitionBy("user_id", "event_type").orderBy(
                 F.to_date("ts").asc(), F.col("event_id").asc(),
-                F.col("o_orderkey").asc(),
             )
         )
         .alias("rownum"),

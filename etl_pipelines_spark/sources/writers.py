@@ -110,20 +110,56 @@ def upsert(
     Without partitioning: anti-join existing rows against the new
     keys, union, full atomic rewrite. With partitioning: restrict
     the rewrite to partitions that contain touched keys (the
-    incremental trailing-window case) via dynamic overwrite.
+    incremental trailing-window case) via dynamic overwrite. The
+    delete matches keys across ALL partitions — the reference's
+    `DELETE FROM tgt USING tmp ON key` is table-wide, so a duplicate
+    key whose old row sits in a partition the new batch doesn't
+    touch must still lose that old row. The stale-partition probe
+    scans only the key + partition columns (column pruning) with the
+    new keys broadcast; no corpus shuffle.
     """
     if not os.path.exists(path):
         full_refresh(new_rows, path, partition_by)
         return
     existing = spark.read.parquet(path)
     if partition_by:
-        # Only partitions containing new keys get rewritten.
-        parts = new_rows.select(*partition_by).distinct()
+        new_keys = new_rows.select(*keys).distinct()
+        # Partitions to rewrite: the new batch's partitions PLUS any
+        # partition holding an existing row of a replaced key.
+        new_parts = new_rows.select(*partition_by).distinct()
+        stale_parts = (
+            existing.join(F.broadcast(new_keys), keys, "left_semi")
+            .select(*partition_by)
+            .distinct()
+        )
+        parts = new_parts.unionByName(stale_parts).distinct()
         touched = existing.join(F.broadcast(parts), partition_by, "left_semi")
-        kept = touched.join(new_rows.select(*keys).distinct(), keys, "left_anti")
+        kept = touched.join(new_keys, keys, "left_anti")
         out = kept.unionByName(new_rows)
+        # Dynamic overwrite cannot DELETE a partition it writes no
+        # rows into: a stale partition whose every row was a
+        # replaced key must be dropped explicitly after the write.
+        # Both collects are bounded by the partition count (dates),
+        # never row counts.
+        touched_vals = {tuple(r) for r in parts.collect()}
+        survivor_vals = {
+            tuple(r)
+            for r in out.select(*partition_by).distinct().collect()
+        }
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         out.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+        for vals in sorted(touched_vals - survivor_vals, key=str):
+            if any(v is None for v in vals):
+                raise NotImplementedError(
+                    "upsert cannot drop a NULL-valued partition "
+                    f"({partition_by}={vals}); handle "
+                    "__HIVE_DEFAULT_PARTITION__ explicitly"
+                )
+            sub = os.path.join(
+                path, *(f"{c}={v}" for c, v in zip(partition_by, vals))
+            )
+            if os.path.exists(sub):
+                shutil.rmtree(sub)
     else:
         kept = existing.join(new_rows.select(*keys).distinct(), keys, "left_anti")
         out = kept.unionByName(new_rows)

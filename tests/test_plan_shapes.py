@@ -111,9 +111,11 @@ class TestPlanShapes:
         # the candidate-id prune of the corpus text is a broadcast
         # semi join in the final plan — the full text column never
         # shuffles
-        assert re.search(
-            r"BroadcastHashJoin.*LeftSemi", plan
-        ) or "BroadcastHashJoin" in plan, plan
+        # the formatted tree header renders the join type inline
+        # ("BroadcastHashJoin LeftSemi BuildRight (n)"), so this
+        # matches the specific broadcast-SEMI prune — no generic
+        # any-broadcast fallback (that made the assertion vacuous).
+        assert re.search(r"BroadcastHashJoin.*LeftSemi", plan), plan
         for m in re.finditer(
             r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]"
             r"\nArguments: ([^\n]*)",
@@ -315,3 +317,43 @@ class TestPlanShapes:
         for cols in singles:
             assert "__ptotal" in cols, (cols, plan)
             assert len(cols.split(",")) <= 3, (cols, plan)
+
+    def test_top_products_overall_rank_is_two_phase(self, spark, sf_dir):
+        """r7 VERDICT #1: the overall rank must NOT be a
+        single-reducer global window over the part-grain rollup
+        (measured ×10.54 sf1→sf10). The only SinglePartition exchange
+        allowed is the two-phase operator's totals frame
+        (__pid/__ptotal — shuffle.partitions rows)."""
+        _, plan = formatted_plan(spark, "top_products", sf_dir)
+        singles = re.findall(
+            r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\n"
+            r"Arguments: SinglePartition",
+            plan,
+        )
+        assert singles, plan  # the tiny totals sort must exist
+        for cols in singles:
+            assert "__ptotal" in cols, (cols, plan)
+            assert len(cols.split(",")) <= 3, (cols, plan)
+
+    def test_spv_price_outliers_median_is_group_keyed_two_phase(
+        self, spark, sf_dir
+    ):
+        """r7 VERDICT #2: the (brand,type) window median must not run
+        as whole-partition window passes over fact-grain rows
+        (parallelism capped at ~|groups|; measured ×10.8 sf1→sf10).
+        The two-phase form has NO SinglePartition exchange anywhere,
+        and every surviving Window node partitions by real keys."""
+        _, plan = formatted_plan(spark, "spv_price_outliers", sf_dir)
+        assert "SinglePartition" not in plan, plan
+        # two-phase signature: the fact frame RANGE-partitions on
+        # (group, coeff, tiebreak) so one group spans many tasks...
+        assert re.search(
+            r"rangepartitioning\(p_brand[^)]*coeff", plan
+        ), plan
+        # ...and the ~|groups|-row medians table rides BACK on a
+        # broadcast (a BroadcastExchange whose payload is the med
+        # column), never a fact-frame hash shuffle keyed by group.
+        assert re.search(
+            r"\(\d+\) BroadcastExchange\nInput \[\d+\]: \[[^\]]*med#",
+            plan,
+        ), plan

@@ -64,6 +64,54 @@ def test_upsert_partitioned_touches_only_hit_partitions(spark, tmp_table):
     assert got == {1: "new", 2: "keep"}
 
 
+def test_upsert_partitioned_deletes_key_across_partitions(spark, tmp_table):
+    """The reference's DELETE FROM tgt USING tmp is table-wide: a
+    duplicate key whose OLD row sits in a partition the new batch
+    does not write must still lose that row (ADVICE r7 high)."""
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", "old"), (2, "2024-01-01", "keep"),
+         (3, "2024-01-02", "keep2")],
+        ["id", "d", "v"],
+    )
+    full_refresh(base, tmp_table, partition_by=["d"])
+    # key 1 re-arrives in a DIFFERENT partition
+    upsert(
+        spark,
+        spark.createDataFrame([(1, "2024-01-03", "new")], ["id", "d", "v"]),
+        tmp_table,
+        keys=["id"],
+        partition_by=["d"],
+    )
+    rows = spark.read.parquet(tmp_table).collect()
+    got = {(r.id, str(r.d), r.v) for r in rows}
+    assert got == {
+        (1, "2024-01-03", "new"),
+        (2, "2024-01-01", "keep"),
+        (3, "2024-01-02", "keep2"),
+    }
+
+
+def test_upsert_partitioned_drops_emptied_partition(spark, tmp_table):
+    """A partition whose EVERY row was a replaced key must disappear
+    — dynamic overwrite alone cannot delete a partition it writes
+    zero rows into."""
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", "only"), (2, "2024-01-02", "keep")],
+        ["id", "d", "v"],
+    )
+    full_refresh(base, tmp_table, partition_by=["d"])
+    upsert(
+        spark,
+        spark.createDataFrame([(1, "2024-01-05", "moved")], ["id", "d", "v"]),
+        tmp_table,
+        keys=["id"],
+        partition_by=["d"],
+    )
+    assert not os.path.exists(os.path.join(tmp_table, "d=2024-01-01"))
+    got = {(r.id, str(r.d), r.v) for r in spark.read.parquet(tmp_table).collect()}
+    assert got == {(1, "2024-01-05", "moved"), (2, "2024-01-02", "keep")}
+
+
 def test_snapshot_idempotent(spark, tmp_table):
     df = spark.createDataFrame([(1, "a")], ["id", "v"])
     snapshot(df, tmp_table, "2024-01-01")
