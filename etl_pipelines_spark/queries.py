@@ -7917,76 +7917,75 @@ def compat_redshift_script(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _DRIVER_WINDOW = [
-    # --- round-7 window (VERDICT r6 "Next round" #2): DEBT FIRST —
-    # the two r3-aged rows deliberately held back in r5/r6 (their
-    # newest driver evidence is CORRECTNESS_r03.json), the
-    # r6-reserved mm_mjpeg_frames row (real AVI/MJPEG decode), and
-    # the three rows whose IMPLEMENTATION changed this round
-    # (dd_minhash_lsh / dd_neardup_components: the verify-join
-    # semi-prune scale fix; compat_redshift_script: transpiler gained
-    # 10 rewrite passes) — then the r4-aged cohort (newest evidence
-    # round 4). Four r4-aged rows are held to round 8 to fund the
-    # debt+re-proof slots, named at the end of this list; every one
-    # is an unchanged single-operator query, r4-green in the
-    # committed CORRECTNESS_r04.json. Union coverage across r1-r7
+    # --- round-8 window (VERDICT r7 "Next round" #6): the r4-aged
+    # cohort FIRST (held from the r7 rotation, newest driver
+    # evidence CORRECTNESS_r04.json — the oldest in the repo), then
+    # the three queries whose IMPLEMENTATION changed this round
+    # (top_products: two-phase distributed overall rank;
+    # spv_price_outliers: group-keyed two-phase window median;
+    # pay_retry_payments: as-of order linkage replacing the
+    # user-grain fan-out join — each needs a fresh hash re-proof
+    # against its window oracle), then the r5-aged rows (newest
+    # evidence round 5). One r5-aged row (m_date_spine — unchanged
+    # deterministic calendar single, r5-green in the committed
+    # CORRECTNESS_r05.json) is held to round 9 to fund the
+    # changed-query re-proof slots. Union coverage across r1-r8
     # stays total (test-pinned, tests/test_registry_window.py).
     #
-    # r3-aged debt (held back twice, ordered first):
-    "txt_vocab_topk",
-    "mm_audio_segments",
-    # reserved-from-r6 new decoder row:
-    "mm_mjpeg_frames",
+    # r4-aged cohort (3 rounds stale, ordered first):
+    "a_bool_or",
+    "j_right_parts",
+    "p_filter_predicates",
+    "p_like_ilike",
     # changed-this-round re-proofs:
-    "dd_minhash_lsh",
-    "dd_neardup_components",
-    "compat_redshift_script",
-    # r4-aged cohort (44 of 48):
-    "a_count_distinct",
-    "a_having_segments",
-    "a_listagg_ordered",
-    "a_median_percentiles",
-    "a_unpivot_measures",
-    "dd_embedding_neardup",
-    "dd_neardup_survivors",
-    "dd_semantic_dedup",
-    "dm_rfm_segmentation",
-    "emb_bitext_mine",
-    "f_datetime_kitchen_sink",
-    "f_json_extract",
-    "f_string_kitchen_sink",
-    "j_anti_not_in",
-    "j_asof_attribution",
-    "j_dedup_right",
-    "j_dod_delta",
-    "j_exists_corr",
-    "j_full_outer_calendar",
-    "j_range_bands",
-    "mm_gif_decode",
-    "mm_jpeg_decode",
-    "mm_mp4_meta",
-    "mm_png_decode",
-    "mon_table_stats",
-    "mon_value_quantiles",
-    "p_case_nested",
-    "p_regex",
-    "q3_top_revenue_orders",
-    "q5_regional_revenue",
-    "txt_bigram_logprob",
-    "txt_collocations",
-    "txt_pack_plan",
-    "txt_quality_buckets",
-    "txt_tfidf_topterms",
-    "u_union_all_pad",
-    "w_agg_over_partition",
-    "w_dense_rank_days",
-    "w_first_last_ignorenulls",
-    "w_lag_lead_gap",
-    "w_percent_rank_spend",
-    "w_rolling_7d",
-    "w_rownum_latest_event",
-    "w_running_balance",
-    # (held to r8: a_bool_or, p_like_ilike, j_right_parts,
-    # p_filter_predicates — unchanged operator singles, r4-green)
+    "top_products",
+    "spv_price_outliers",
+    "pay_retry_payments",
+    # r5-aged cohort (43 of 44 remaining):
+    "a_dedup_then_agg",
+    "a_greatest_least",
+    "a_listagg",
+    "a_pivot_status",
+    "braze_order_attribution",
+    "dd_ngram_jaccard",
+    "f_math",
+    "f_null_conditional",
+    "fin_collection_curves",
+    "gc_wallet_expansion",
+    "j_cross_spine",
+    "j_semi_in",
+    "luxco_multigrain_union",
+    "m_explode_split",
+    "m_posexplode",
+    "m_scalar_subquery",
+    "master_subscription",
+    "mm_binary_meta",
+    "mm_frame_plan",
+    "mm_resize_dims",
+    "mon_duplicate_keys",
+    "mon_freshness",
+    "mon_missing_dates",
+    "mon_value_drift",
+    "ops_allocation",
+    "ops_shipment_funnel",
+    "p_distinct",
+    "s_event_dedup_incremental",
+    "s_page_view_end",
+    "s_sessionize_gap",
+    "txt_bigram_logprob_pruned",
+    "txt_fingerprint",
+    "txt_quality",
+    "txt_weighted_sample",
+    "u_except",
+    "u_intersect",
+    "u_union_distinct",
+    "w_median_window",
+    "w_nth_value",
+    "w_percentile_window",
+    "w_rank_top_orders",
+    "wh_page_views",
+    "wh_sessions_mart",
+    # (held to r9: m_date_spine — unchanged, r5-green)
 ]
 
 

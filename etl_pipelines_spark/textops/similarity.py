@@ -759,6 +759,7 @@ def lsh_neardup_pairs(
     auto_planes: bool = False,
     target_occ: int = 16,
     p_max: int = 14,
+    candidates_only: bool = False,
 ) -> DataFrame:
     """Embedding near-dup pairs, the SCALE path: sign-LSH candidate
     buckets + exact-cosine verification (candidate→verify, the same
@@ -877,6 +878,12 @@ def lsh_neardup_pairs(
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
+    if candidates_only:
+        # instrumentation hook (r7 VERDICT #7): expose the candidate
+        # frame so stage volumes can be measured per scale point the
+        # way minhash_lsh_pairs was instrumented — no behavior change
+        # on the scoring path.
+        return cand
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     withv = cand.join(va, "id_a").join(vb, "id_b")

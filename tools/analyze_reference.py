@@ -123,11 +123,84 @@ def _inferred_columns(stmt_text: str, db: str, tbl: str) -> list[str]:
     return sorted(cols)
 
 
+def _hint_columns(stmt: str) -> tuple[str | None, list[str], str] | None:
+    """Schema hint from a RAW (possibly source-invalid) statement:
+    ``CREATE TABLE t (coldefs)`` or ``INSERT INTO t (collist)`` →
+    (qualified_name, [col, ...], via). Lexical only — the statements
+    this serves FAILED transpile (the corpus's 150 source-invalid
+    creators), so the transpiled form never executes and the shadow
+    catalog would otherwise have no schema for their tables; their
+    column lists are still perfectly readable."""
+    m = re.match(
+        r"(?is)\s*CREATE\s+(?:TEMP(?:ORARY)?\s+)?TABLE\s+"
+        r"(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w]*(?:\s*\.\s*[A-Za-z_][\w]*)?)"
+        r"\s*\(",
+        stmt,
+    )
+    via = "create-column-defs"
+    if not m:
+        m = re.match(
+            r"(?is)\s*INSERT\s+INTO\s+"
+            r"([A-Za-z_][\w]*(?:\s*\.\s*[A-Za-z_][\w]*)?)\s*\(",
+            stmt,
+        )
+        via = "insert-column-list"
+    if not m:
+        return None
+    name = re.sub(r"\s", "", m.group(1)).lower()
+    # slice the parenthesized list: depth scan from the open paren
+    i = m.end() - 1
+    depth = 0
+    for j in range(i, len(stmt)):
+        if stmt[j] == "(":
+            depth += 1
+        elif stmt[j] == ")":
+            depth -= 1
+            if depth == 0:
+                break
+    else:
+        return None
+    body = stmt[i + 1 : j]
+    cols: list[str] = []
+    skip = {
+        "primary", "unique", "constraint", "foreign", "check",
+        "like", "distkey", "sortkey", "interleaved", "compound",
+    }
+    d = 0
+    group_start = 0
+    groups: list[str] = []
+    for k, ch in enumerate(body):
+        if ch == "(":
+            d += 1
+        elif ch == ")":
+            d -= 1
+        elif ch == "," and d == 0:
+            groups.append(body[group_start:k])
+            group_start = k + 1
+    groups.append(body[group_start:])
+    for g in groups:
+        w = re.match(r'\s*(?:"([^"]+)"|([A-Za-z_][\w]*))', g)
+        if not w:
+            continue
+        c = (w.group(1) or w.group(2)).strip()
+        if c.lower() in skip or _PLACEHOLDER_RE.fullmatch(c):
+            continue
+        cols.append(c)
+    if via == "insert-column-list" and not cols:
+        return None
+    return name if "." in name else f"default.{name}", cols, via
+
+
 class Shadow:
     def __init__(self, spark):
         self.spark = spark
         self.repaired_tables: set[str] = set()
         self.repaired_cols = 0
+        # key -> [col, ...] lexically lifted from source-invalid
+        # creators (CREATE column defs / INSERT column lists)
+        self.schema_hints: dict[str, tuple[list[str], str, str]] = {}
+        # key -> provenance of each synthesized table
+        self.provenance: dict[str, dict] = {}
 
     def ensure_db(self, name: str) -> None:
         self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{name}`")
@@ -179,6 +252,21 @@ class Shadow:
             return False
         self.ensure_db(db)
         cols = _inferred_columns(stmt_text, db.lower(), tbl.lower())
+        via = "consumer-inference"
+        hint_file = None
+        hint = self.schema_hints.get(key)
+        if hint:
+            hcols, hvia, hfile = hint
+            # creator-declared columns first (real order), then any
+            # extra columns the consumer provably reads
+            seen = {c.lower() for c in hcols}
+            cols = hcols + [c for c in cols if c.lower() not in seen]
+            via, hint_file = hvia, hfile
+        cols = [
+            c for c in cols
+            if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_ ]*", c)
+            and not _PLACEHOLDER_RE.fullmatch(c)
+        ]
         ddl = ", ".join(f"`{c}` STRING" for c in cols) or "__repair__ STRING"
         try:
             self.spark.sql(
@@ -190,6 +278,11 @@ class Shadow:
             self.repaired_tables.add(key)  # don't retry forever
             return False
         self.repaired_tables.add(key)
+        self.provenance[key] = {
+            "via": via,
+            "n_cols": len(cols),
+            **({"source_file": hint_file} if hint_file else {}),
+        }
         return True
 
     def add_column(self, qcol: str, stmt_text: str) -> bool:
@@ -346,6 +439,7 @@ def main() -> None:
     n_transpile_fail = 0
     fail_buckets: dict[str, int] = {}
     param_names: set[str] = set()
+    schema_hints: dict[str, tuple[list[str], str, str]] = {}
     for path in sorted(p for p in ref.rglob("*.sql") if p.is_file()):
         text = path.read_text(errors="replace")
         for stmt in split_statements(text):
@@ -358,6 +452,19 @@ def main() -> None:
                 n_transpile_fail += 1
                 key = "transpile: " + str(e)[:50]
                 fail_buckets[key] = fail_buckets.get(key, 0) + 1
+                # a source-invalid CREATOR still declares its schema
+                # lexically; lift it so the consumers of its table
+                # can be synthesized instead of stranded (r7 VERDICT
+                # missing #2: 1,113 TABLE_OR_VIEW_NOT_FOUND dominated
+                # by consumers of the 150 source-invalid creators)
+                h = _hint_columns(stmt)
+                if h:
+                    k, cols, via = h
+                    prev = schema_hints.get(k)
+                    if prev is None or len(cols) > len(prev[0]):
+                        schema_hints[k] = (
+                            cols, via, str(path.relative_to(ref))
+                        )
                 continue
             param_names.update(re.findall(r"__param_\w+__", t))
             stmts.append((str(path.relative_to(ref)), head, t))
@@ -367,6 +474,7 @@ def main() -> None:
         )
 
     shadow = Shadow(spark)
+    shadow.schema_hints = schema_hints
 
     _TARGET_RE = re.compile(
         r"(?i)\bCREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?"
@@ -418,61 +526,80 @@ def main() -> None:
     # creator runs first and the fixed point picks the dependent up
     # next round (otherwise a wrongly-ordered file pair would turn a
     # corpus-built table into a placeholder).
-    for _round in range(30):
-        progress = False
-        creatable = {
-            _create_target(stmts[i][2])
-            for i in pending
-            if stmts[i][1] == "CREATE"
-        } - {None}
-        for i in list(pending):
-            f, head, t = stmts[i]
-            for _try in range(12):
-                try:
-                    _attempt(spark, head, t)
-                    status[i] = "ok"
-                    pending.remove(i)
-                    progress = True
-                    break
-                except Exception as e:  # noqa: BLE001
-                    msg = str(e)
-                    status[i] = _err_code(e)
+    def repair_sweep(guard_creators: bool) -> None:
+        for _round in range(30):
+            progress = False
+            creatable = (
+                {
+                    _create_target(stmts[i][2])
+                    for i in pending
+                    if stmts[i][1] == "CREATE"
+                }
+                - {None}
+                if guard_creators
+                else set()
+            )
+            for i in list(pending):
+                f, head, t = stmts[i]
+                for _try in range(12):
                     try:
-                        m = _MISSING_RE.search(msg)
-                        if m:
-                            parts = [
-                                p.strip("`")
-                                for p in m.group(1)
-                                .replace("`.`", "\x00")
-                                .split("\x00")
-                            ]
-                            key = (
-                                f"{parts[-2]}.{parts[-1]}".lower()
-                                if len(parts) >= 2
-                                else f"default.{parts[0]}".lower()
+                        _attempt(spark, head, t)
+                        status[i] = "ok"
+                        pending.remove(i)
+                        progress = True
+                        break
+                    except Exception as e:  # noqa: BLE001
+                        msg = str(e)
+                        status[i] = _err_code(e)
+                        try:
+                            m = _MISSING_RE.search(msg)
+                            if m:
+                                parts = [
+                                    p.strip("`")
+                                    for p in m.group(1)
+                                    .replace("`.`", "\x00")
+                                    .split("\x00")
+                                ]
+                                key = (
+                                    f"{parts[-2]}.{parts[-1]}".lower()
+                                    if len(parts) >= 2
+                                    else f"default.{parts[0]}".lower()
+                                )
+                                if (
+                                    key in creatable
+                                    and key != _create_target(t)
+                                ):
+                                    break  # its creator is still pending
+                            if m and shadow.create_missing(m.group(1), t):
+                                progress = True
+                                continue
+                            m = (
+                                _UNRESOLVED_RE.search(msg)
+                                or _LATERAL_RE.search(msg)
                             )
-                            if key in creatable and key != _create_target(t):
-                                break  # its creator is still pending
-                        if m and shadow.create_missing(m.group(1), t):
-                            progress = True
-                            continue
-                        m = (
-                            _UNRESOLVED_RE.search(msg)
-                            or _LATERAL_RE.search(msg)
-                        )
-                        if m and shadow.add_column(m.group(1), t):
-                            progress = True
-                            continue
-                        if shadow.pad_for_insert(msg):
-                            progress = True
-                            continue
-                    except Exception:  # noqa: BLE001  (a repair crash
-                        # must never kill the sweep -- the statement
-                        # keeps its recorded error)
-                        pass
-                    break
-        if not progress or not pending:
-            break
+                            if m and shadow.add_column(m.group(1), t):
+                                progress = True
+                                continue
+                            if shadow.pad_for_insert(msg):
+                                progress = True
+                                continue
+                        except Exception:  # noqa: BLE001  (a repair
+                            # crash must never kill the sweep -- the
+                            # statement keeps its recorded error)
+                            pass
+                        break
+            if not progress or not pending:
+                break
+
+    repair_sweep(guard_creators=True)
+    # Phase 3: every CREATE still pending is TERMINAL (phase 2 ran to
+    # its fixed point) -- its consumers would wait forever behind the
+    # creator guard. Lift the guard so tables whose creators are
+    # permanently failed (source-invalid or analyzer-failed) get
+    # synthesized from schema hints / consumer inference instead of
+    # stranding their whole downstream cone in
+    # TABLE_OR_VIEW_NOT_FOUND (r7 VERDICT "Next round" #4).
+    repair_sweep(guard_creators=False)
 
     n_ok = sum(1 for s in status.values() if s == "ok")
     # Row-level-op-on-v1 boundary (MERGE/DELETE/UPDATE on parquet):
@@ -509,6 +636,8 @@ def main() -> None:
         "analyzed_ok": n_ok,
         "rowlevel_v1_table_format": n_rowlevel_v1,
         "repaired_tables": len(shadow.repaired_tables),
+        "schema_hints_lifted": len(schema_hints),
+        "synthesized_tables": dict(sorted(shadow.provenance.items())),
         "residual_buckets": dict(
             sorted(residual.items(), key=lambda kv: -kv[1])
         ),
