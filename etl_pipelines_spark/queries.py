@@ -3919,7 +3919,9 @@ def spv_price_outliers_core(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     medians = mid.groupBy("p_brand", "p_type").agg(
         ((F.min("coeff") + F.max("coeff")) / 2).alias("med")
     )
-    m = s.join(F.broadcast(medians), ["p_brand", "p_type"])
+    # output rows come from the ALREADY range-partitioned frame (one
+    # fact scan, ReusedExchange), not a second scan+join of the slice
+    m = keyed.drop("__pid").join(F.broadcast(medians), ["p_brand", "p_type"])
     inliers = m.filter(
         F.col("ref_price").isNull()
         | ((F.col("coeff") - F.col("med")).between(-10.0, 10.0))

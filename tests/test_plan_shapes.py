@@ -335,6 +335,22 @@ class TestPlanShapes:
             assert "__ptotal" in cols, (cols, plan)
             assert len(cols.split(",")) <= 3, (cols, plan)
 
+    def test_pay_retry_links_orders_asof_without_fanout_join(
+        self, spark, sf_dir
+    ):
+        """r7 VERDICT #5: the transaction→order linkage must be the
+        union+window as-of (one shuffle on the user key), never the
+        user-grain equi-join whose pair count grows with per-user
+        density². The as-of signature is a Union feeding a Window;
+        the only joins left are broadcasts (the wallet/customer
+        attach) — any SortMergeJoin or ShuffledHashJoin is the
+        fan-out coming back."""
+        _, plan = formatted_plan(spark, "pay_retry_payments", sf_dir)
+        assert "SortMergeJoin" not in plan, plan
+        assert "ShuffledHashJoin" not in plan, plan
+        assert "Union" in plan, plan
+        assert re.search(r"\(\d+\) Window", plan), plan
+
     def test_spv_price_outliers_median_is_group_keyed_two_phase(
         self, spark, sf_dir
     ):
