@@ -635,3 +635,18 @@ class TestTokenizerProperties:
             assert "".join(t.text for t in tokenize(s)) == s
 
         check()
+
+
+class TestArrayAggOrderKeySplit:
+    def test_order_key_with_call_commas_splits_at_depth_zero(self):
+        """A sort key containing a comma-bearing call (coalesce(a,b))
+        must stay ONE key — the old rendered-string split cut inside
+        the call and emitted malformed named_struct SQL that only
+        failed later at Spark parse time (ADVICE r7 medium)."""
+        from etl_pipelines_spark.compat.transpile import transpile
+
+        out = transpile(
+            "SELECT array_agg(x ORDER BY coalesce(a,b), c) FROM t"
+        )
+        assert "named_struct('o0', coalesce(a,b), 'o1', c, 'v', x)" in \
+            out.replace("coalesce(a, b)", "coalesce(a,b)"), out

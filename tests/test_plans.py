@@ -411,3 +411,18 @@ class TestMaterializedView:
 
         with _pytest.raises(FileNotFoundError):
             self._mv().read(ctx)
+
+
+def test_load_ts_since_rejects_non_events_tables(spark, tmp_path):
+    """ts_since is the events trailing-window contract (raw nanos ts
+    pushdown); on any other table it must loud-stop instead of
+    binding to an unrelated (or missing) ts column (ADVICE r7)."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from etl_pipelines_spark.queries import load
+
+    with _pytest.raises(ValueError, match="events trailing-window"):
+        load(spark, "/root/testdata/sf0.001", "orders",
+             ts_since=dt.date(1998, 8, 1))
