@@ -3843,8 +3843,12 @@ def spv_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1_pricing_outlier_removal.sql:95-134): price/ref-price coefficient,
     windowed MEDIAN per (group, condition), keep rows within +-10 of the
     group median, rank survivors. Trailing window pinned to the logical
-    run date (1998-08-02 - 14d). part broadcasts; the only shuffle is
-    the (brand, container) window grain, shared by median and rank."""
+    run date (1998-08-02 - 14d). part broadcasts; the median middle
+    pair comes from group-keyed two-phase order statistics over ONE
+    range partition of the fact slice (a group spans tasks — see
+    spv_price_outliers_core), the ~|groups|-row medians table
+    broadcasts back, and the output rank window is the one remaining
+    group-grain sort."""
     return spv_price_outliers_core(
         load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "part")
     ).orderBy("p_brand", "p_type", "price_rank")
@@ -4165,10 +4169,10 @@ def top_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     toptenproducts/toptenproducts_v2.sql:54-61 "top 2 per
     subcategory" + "top 10 store wise"): revenue rollup, RANK within
     brand and RANK overall, rank-filter instead of LIMIT. Unique
-    p_partkey tiebreaker keeps ties deterministic. The global rank is
-    a single-reducer total order on the small part-grain rollup (the
-    reference accepts the same); the brand rank shares the rollup's
-    shuffle."""
+    p_partkey tiebreaker keeps ties deterministic. The global rank
+    runs through the two-phase distributed rank — no single-reducer
+    total order anywhere (see top_products_core); the brand rank
+    shares the rollup's shuffle."""
     return top_products_core(
         load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "part")
     ).orderBy("p_brand", "brand_rank", "p_partkey")

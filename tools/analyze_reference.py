@@ -630,10 +630,20 @@ def main() -> None:
             samples.append({"file": stmts[i][0], "head": stmts[i][1],
                             "err": status[i][:160]})
 
+    # Per-top-level-directory PARSE residual: lets a directory-scoped
+    # re-run be compared 1:1 against the full-corpus sweep (the r7
+    # PARSE-bucket excess was only visible cross-directory).
+    parse_by_dir: dict[str, int] = {}
+    for i, s in status.items():
+        if s.startswith("PARSE_SYNTAX_ERROR"):
+            d = stmts[i][0].split("/", 1)[0]
+            parse_by_dir[d] = parse_by_dir.get(d, 0) + 1
+
     result = {
         "statements": len(stmts) + n_transpile_fail,
         "transpile_failed": n_transpile_fail,
         "analyzed_ok": n_ok,
+        "parse_residual_by_dir": dict(sorted(parse_by_dir.items())),
         "rowlevel_v1_table_format": n_rowlevel_v1,
         "repaired_tables": len(shadow.repaired_tables),
         "schema_hints_lifted": len(schema_hints),
