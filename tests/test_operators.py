@@ -392,3 +392,47 @@ class TestGlobalRank:
         df = spark.range(100).select(F.lit(7).alias("v"), "id")
         rows = attach_percent_rank(df, "v", "pr").select("pr").distinct().collect()
         assert [r.pr for r in rows] == [0.0]
+
+    @pytest.mark.parametrize("descending", [True, False])
+    def test_attach_global_rank_matches_window_rank(self, spark, descending):
+        """attach_global_rank == RANK() OVER (ORDER BY v, id) when
+        the composite key is unique (then RANK == ROW_NUMBER) — the
+        contract top_products_core's overall rank rides on. Heavy
+        value ties (mod 37) force tie-groups to straddle range
+        partitions; the unique id tiebreaker must keep the two-phase
+        result bit-identical to the single-reducer window form."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from etl_pipelines_spark.operators.globalrank import (
+            attach_global_rank,
+        )
+
+        df = self._frame(spark)
+        order = [
+            F.col("v").desc() if descending else F.col("v").asc(),
+            F.col("id").asc(),
+        ]
+        want = df.select(
+            "id", F.rank().over(Window.orderBy(*order)).alias("rk")
+        )
+        got = attach_global_rank(df, order, "rk").select("id", "rk")
+        n_bad = (
+            got.alias("g")
+            .join(want.alias("w"), "id")
+            .filter("g.rk <> w.rk")
+            .count()
+        )
+        assert n_bad == 0
+
+    def test_attach_global_rank_empty_frame(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_pipelines_spark.operators.globalrank import (
+            attach_global_rank,
+        )
+
+        df = spark.range(0).select(F.col("id"), F.col("id").alias("v"))
+        out = attach_global_rank(df, [F.col("v").asc()], "rk")
+        assert out.count() == 0
+        assert "rk" in out.columns
