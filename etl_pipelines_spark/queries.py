@@ -3896,7 +3896,15 @@ def spv_price_outliers_core(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         F.col("p_brand"), F.col("p_type"), *okeys
     ).withColumn("__pid", F.spark_partition_id())
     w_in = Window.partitionBy("__pid", "p_brand", "p_type").orderBy(*okeys)
-    rn = keyed.withColumn("__rn", F.row_number().over(w_in))
+    # cache the ranged+numbered slice: three consumers (per-group
+    # totals, middle-pair pick, output rows) would otherwise each
+    # recompute the scan+exchange — column pruning makes their
+    # exchange subtrees non-identical, so ReuseExchange never fires
+    # (measured: 3 fact scans, 4 range exchanges). The cached frame
+    # is the 14-DAY TRAILING SLICE (a night's working set, bounded by
+    # the window — never the fact corpus), the ops_allocation
+    # precedent.
+    rn = keyed.withColumn("__rn", F.row_number().over(w_in)).cache()
     tot = rn.groupBy("p_brand", "p_type", "__pid").agg(
         F.count(F.lit(1)).alias("__ptotal")
     )
@@ -3923,9 +3931,11 @@ def spv_price_outliers_core(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     medians = mid.groupBy("p_brand", "p_type").agg(
         ((F.min("coeff") + F.max("coeff")) / 2).alias("med")
     )
-    # output rows come from the ALREADY range-partitioned frame (one
-    # fact scan, ReusedExchange), not a second scan+join of the slice
-    m = keyed.drop("__pid").join(F.broadcast(medians), ["p_brand", "p_type"])
+    # output rows come from the same cached frame (one fact scan),
+    # not a second scan+join of the slice
+    m = rn.drop("__pid", "__rn").join(
+        F.broadcast(medians), ["p_brand", "p_type"]
+    )
     inliers = m.filter(
         F.col("ref_price").isNull()
         | ((F.col("coeff") - F.col("med")).between(-10.0, 10.0))
