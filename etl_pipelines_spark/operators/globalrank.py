@@ -61,7 +61,11 @@ def percent_rank_map(
         .orderBy(order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    pref = ranged.withColumn("__prefix", F.sum("__cnt").over(within))
+    # cache the distinct-value histogram: the totals branch and the
+    # rank join would otherwise each recompute the corpus groupBy
+    # (pruning-divergent exchanges defeat ReuseExchange); the cached
+    # frame is |distinct values|, never the corpus
+    pref = ranged.withColumn("__prefix", F.sum("__cnt").over(within)).cache()
     totals = pref.groupBy("__pid").agg(
         F.sum("__cnt").alias("__ptotal")
     )
@@ -128,7 +132,12 @@ def attach_global_rank(
         "__pid", F.spark_partition_id()
     )
     within = Window.partitionBy("__pid").orderBy(*order_cols)
-    rn = ranged.withColumn("__rn", F.row_number().over(within))
+    # cache: the totals branch and the output join both consume rn;
+    # column pruning makes their exchange subtrees non-identical so
+    # ReuseExchange never fires and the input recomputes per branch.
+    # Callers rank an AGGREGATED grain (top_products: the part-grain
+    # rollup), so the cached frame is bounded by that grain.
+    rn = ranged.withColumn("__rn", F.row_number().over(within)).cache()
     totals = rn.groupBy("__pid").agg(F.count(F.lit(1)).alias("__ptotal"))
     # The ONLY global sort: one row per range partition.
     woff = Window.orderBy("__pid").rowsBetween(
@@ -176,7 +185,9 @@ def exact_quantiles(
         .orderBy(order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    pref = ranged.withColumn("__prefix", F.sum("__cnt").over(within))
+    # same caching rationale as percent_rank_map: two consumers of
+    # the |distinct values|-sized prefix frame
+    pref = ranged.withColumn("__prefix", F.sum("__cnt").over(within)).cache()
     totals = pref.groupBy("__pid").agg(F.sum("__cnt").alias("__ptotal"))
     woff = Window.orderBy("__pid").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
