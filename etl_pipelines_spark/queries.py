@@ -5644,12 +5644,25 @@ def mkt_affiliate_payout_core(
     filter — same row set by key constraint, proven value-equal by
     the promoted-model test. The registry form keeps the literal
     multi-feed shape for oracle parity."""
-    wsrc = Window.partitionBy()
-    qual_src = (
+    # "above-average source" gate: the two global scalars (supplier
+    # count, total lines) come from a 1-row aggregate cross-joined
+    # back — NOT a Window.partitionBy() pass, which plans as Exchange
+    # SinglePartition + Window and funnels the whole supplier grain
+    # through one task at scale. The supplier rollup is cached: both
+    # the scalar branch and the filter branch consume it, and
+    # pruning-divergent exchanges would otherwise recompute the
+    # lineitem groupBy twice.
+    per_supp = (
         li.groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("n_lines"))
-        .withColumn("n_supp", F.count(F.lit(1)).over(wsrc))
-        .withColumn("total_lines", F.sum("n_lines").over(wsrc))
+        .cache()
+    )
+    stats = per_supp.agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("n_lines").alias("total_lines"),
+    )
+    qual_src = (
+        per_supp.crossJoin(F.broadcast(stats))
         .filter(F.col("n_lines") * F.col("n_supp") > F.col("total_lines"))
         .select("l_suppkey")
     )

@@ -335,6 +335,24 @@ class TestPlanShapes:
             assert "__ptotal" in cols, (cols, plan)
             assert len(cols.split(",")) <= 3, (cols, plan)
 
+    def test_affiliate_payout_global_stats_are_scalar_aggregates(
+        self, spark, sf_dir
+    ):
+        """The above-average-source gate must compute its two global
+        scalars as a 1-row aggregate (partials reduce on a
+        SinglePartition exchange carrying only count/sum cells),
+        never a Window.partitionBy() pass that funnels the whole
+        supplier grain through one task."""
+        _, plan = formatted_plan(spark, "mkt_affiliate_payout", sf_dir)
+        singles = re.findall(
+            r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\n"
+            r"Arguments: SinglePartition",
+            plan,
+        )
+        for cols in singles:
+            assert "l_suppkey" not in cols, (cols, plan)
+            assert len(cols.split(",")) <= 3, (cols, plan)
+
     def test_pay_retry_links_orders_asof_without_fanout_join(
         self, spark, sf_dir
     ):
