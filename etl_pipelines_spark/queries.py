@@ -3540,6 +3540,13 @@ def dm_rfm_segmentation_core(prep: DataFrame) -> DataFrame:
     topology prescribes, instead of re-aggregating raw orders."""
     from .operators.globalrank import attach_percent_rank
 
+    # cache the customer-grain feature frame: three rank attaches
+    # each consume prep twice (histogram + join-back), and without
+    # the cache the raw customer x orders rollup re-scans per
+    # consumer (measured: 4 scans of each input). The frame is
+    # customer-grain — bounded by the entity count, never the fact
+    # volume.
+    prep = prep.cache()
     prep = attach_percent_rank(prep, "frequency", "frequency_rank")
     prep = attach_percent_rank(prep, "recency_days", "recency_rank", ascending=False)
     prep = attach_percent_rank(prep, "monetary", "monetary_rank")
