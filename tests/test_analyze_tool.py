@@ -41,6 +41,27 @@ CREATE TABLE mart_x.broken AS
 SELECT missing_fn_xyz(1, 2, 3) AS v
 FROM ods_x.orders_conformed;
 """,
+    # a SOURCE-INVALID creator (array_agg ORDER BY DESC has no
+    # mechanical rewrite -> TranspileError) whose INSERT column list
+    # still declares the schema lexically -- the r8 hint-synthesis
+    # path: the consumer below must analyze against the synthesized
+    # table
+    "c_dead/40_dead_creator.sql": """
+INSERT INTO stg_dead.landing_q (qid, qval, qday)
+SELECT array_agg(x ORDER BY y DESC), 1, 2 FROM somewhere;
+
+DROP TABLE IF EXISTS mart_x.from_dead;
+CREATE TABLE mart_x.from_dead AS
+SELECT qid, qday FROM stg_dead.landing_q;
+""",
+    # a consumer of the ANALYZER-failed creator above (mart_x.broken
+    # never materializes): phase 3 must lift the pending-creator
+    # guard and synthesize it from consumer inference
+    "d_downstream/50_downstream.sql": """
+DROP TABLE IF EXISTS mart_x.downstream;
+CREATE TABLE mart_x.downstream AS
+SELECT b.v FROM mart_x.broken b;
+""",
 }
 
 
@@ -57,12 +78,22 @@ def test_shadow_analysis_smoke(tmp_path):
         check=True, cwd=REPO, capture_output=True, timeout=300,
     )
     cov = json.loads(out.read_text())
-    # 6 statements total: 2 DROP + 2 CTAS + 1 INSERT analyze OK (the
-    # raw landing table is repair-created with the referenced
-    # columns); the unknown function stays red.
-    assert cov["statements"] == 6
-    assert cov["analyzed_ok"] == 5
-    assert cov["repaired_tables"] == 1
+    # 11 statements total: the original 6 (2 DROP + 2 CTAS + 1
+    # INSERT ok; unknown function stays red) plus 1 transpile-failed
+    # dead creator, its DROP+CTAS consumer (hint-synthesized table),
+    # and the DROP+CTAS consumer of the analyzer-failed creator
+    # (phase-3 guard lift). Repaired: stg_raw.orders_landing,
+    # stg_dead.landing_q, mart_x.broken.
+    assert cov["statements"] == 11
+    assert cov["transpile_failed"] == 1
+    assert cov["analyzed_ok"] == 9
+    assert cov["repaired_tables"] == 3
     assert any(
         "UNRESOLVED_ROUTINE" in k for k in cov["residual_buckets"]
     ), cov["residual_buckets"]
+    synth = cov["synthesized_tables"]
+    assert synth["stg_dead.landing_q"]["via"] == "insert-column-list"
+    assert synth["stg_dead.landing_q"]["n_cols"] >= 3
+    assert "40_dead_creator.sql" in synth["stg_dead.landing_q"]["source_file"]
+    assert synth["mart_x.broken"]["via"] == "consumer-inference"
+    assert cov["schema_hints_lifted"] == 1
