@@ -53,6 +53,11 @@ def main() -> None:
         kw = dict(
             threshold=0.4, dim=64, n_planes=6, n_tables=4, auto_planes=True
         )
+        # warm-up: one untimed full pass absorbs JVM/codegen/Python
+        # worker spawn (the first-ever run otherwise bills cold-start
+        # to whichever stage runs first — r8's first capture showed a
+        # negative verify share from exactly that)
+        lsh_neardup_pairs(e, **kw).count()
         cand = lsh_neardup_pairs(e, candidates_only=True, **kw)
         t0 = time.perf_counter()
         n_cand = cand.count()
