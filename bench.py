@@ -261,14 +261,17 @@ def main() -> None:
     }
     # The headline line must stay small enough for the driver's tail
     # capture (r7's BENCH_r07.json truncated, parsed=null, once the
-    # 31-entry per-model map rode inside it). Big auxiliary maps are
-    # emitted as SEPARATE JSON lines after the headline.
-    print(json.dumps(out))
+    # 31-entry per-model map rode inside it), and it must be the LAST
+    # JSON line: the driver parses the last complete JSON line of its
+    # tail buffer (r8's BENCH_r08.json parsed the wh_rebuild_models
+    # auxiliary line instead of the headline because it was printed
+    # after). Auxiliary maps go FIRST, headline LAST.
     if model_times:
         print(json.dumps(
             {"metric": "wh_rebuild_models", "unit": "sec",
              "models": model_times}
         ))
+    print(json.dumps(out))
     spark.stop()
 
 

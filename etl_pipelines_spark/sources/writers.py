@@ -19,9 +19,48 @@ from __future__ import annotations
 import os
 import shutil
 import uuid
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _expected_partition_str(v) -> str:
+    """The string form Spark uses for a partition VALUE (before path
+    escaping): booleans lower-case ('true', not Python's 'True');
+    dates/timestamps/numbers via str(), which matches Spark's cast-to
+    -string for the types parquet partitioning admits."""
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
+
+
+def _resolve_partition_dir(root: str, partition_by, vals):
+    """Locate a partition's on-disk directory by PARSING directory
+    names instead of reconstructing them: Spark escapes partition
+    values in paths (Hive escapePathName — ':', '/', '%', '#', '=',
+    control chars → %XX; booleans 'true'/'false'; timestamps contain
+    spaces), so a raw f"{col}={v}" join diverges exactly on the
+    values that need escaping and the stale dir would silently
+    survive. Walks one partition level at a time, unescaping each
+    candidate entry's value with %XX-decoding (the exact inverse of
+    Spark's escaping — Spark-written names contain no other '%').
+    Returns the directory path, or None when no level matches."""
+    cur = root
+    for col, v in zip(partition_by, vals):
+        want = _expected_partition_str(v)
+        prefix = f"{col}="
+        nxt = None
+        for entry in sorted(os.listdir(cur)):
+            if entry.startswith(prefix) and unquote(
+                entry[len(prefix):]
+            ) == want:
+                nxt = os.path.join(cur, entry)
+                break
+        if nxt is None or not os.path.isdir(nxt):
+            return None
+        cur = nxt
+    return cur
 
 
 def _atomic_swap(tmp_dir: str, final_dir: str) -> None:
@@ -146,20 +185,32 @@ def upsert(
             tuple(r)
             for r in out.select(*partition_by).distinct().collect()
         }
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        out.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
-        for vals in sorted(touched_vals - survivor_vals, key=str):
+        stale = sorted(touched_vals - survivor_vals, key=str)
+        # Validate BEFORE the write: raising after out.write has
+        # committed would leave the table half-merged (new rows
+        # written, stale NULL-partition rows retained).
+        for vals in stale:
             if any(v is None for v in vals):
                 raise NotImplementedError(
                     "upsert cannot drop a NULL-valued partition "
                     f"({partition_by}={vals}); handle "
                     "__HIVE_DEFAULT_PARTITION__ explicitly"
                 )
-            sub = os.path.join(
-                path, *(f"{c}={v}" for c, v in zip(partition_by, vals))
-            )
-            if os.path.exists(sub):
-                shutil.rmtree(sub)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        out.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+        for vals in stale:
+            sub = _resolve_partition_dir(path, partition_by, vals)
+            if sub is None:
+                # The partition held only replaced keys, so it MUST
+                # exist on disk right now; not finding it means the
+                # name-matching logic diverged from Spark's escaping
+                # and rows of a deleted key would silently resurface.
+                raise RuntimeError(
+                    f"upsert: stale partition {partition_by}="
+                    f"{tuple(vals)} not found under {path}; refusing "
+                    "to leave deleted keys' rows on disk"
+                )
+            shutil.rmtree(sub)
     else:
         kept = existing.join(new_rows.select(*keys).distinct(), keys, "left_anti")
         out = kept.unionByName(new_rows)

@@ -112,6 +112,83 @@ def test_upsert_partitioned_drops_emptied_partition(spark, tmp_table):
     assert got == {(1, "2024-01-05", "moved"), (2, "2024-01-02", "keep")}
 
 
+def test_upsert_drops_emptied_partition_with_escaped_values(spark, tmp_table):
+    """ADVICE r8 (medium): Spark ESCAPES partition values in paths
+    (bool → 'true'; ':' → '%3A'), so stale-partition cleanup must
+    parse directory names, not rebuild them with raw str(v). A
+    colon-bearing string partition whose only row is replaced must
+    vanish from disk."""
+    base = spark.createDataFrame(
+        [(1, "shard:a", "only"), (2, "shard:b", "keep")],
+        ["id", "part", "v"],
+    )
+    full_refresh(base, tmp_table, partition_by=["part"])
+    # Spark wrote the escaped form — the raw f"part={v}" would miss it
+    assert os.path.exists(os.path.join(tmp_table, "part=shard%3Aa"))
+    upsert(
+        spark,
+        spark.createDataFrame([(1, "shard:c", "moved")], ["id", "part", "v"]),
+        tmp_table,
+        keys=["id"],
+        partition_by=["part"],
+    )
+    got = {(r.id, r.part, r.v) for r in spark.read.parquet(tmp_table).collect()}
+    assert got == {(1, "shard:c", "moved"), (2, "shard:b", "keep")}
+    assert not os.path.exists(os.path.join(tmp_table, "part=shard%3Aa"))
+
+
+def test_upsert_drops_emptied_timestamp_partition(spark, tmp_table):
+    """Timestamp partitions write 'ts=2024-01-01 00%3A00%3A00'
+    (space kept, colons %-escaped) and read back as datetime values;
+    the cleanup must match str(datetime) against the UNESCAPED
+    directory value."""
+    import datetime as dt
+
+    base = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 6, 30), "only"),
+         (2, dt.datetime(2024, 1, 2, 6, 30), "keep")],
+        ["id", "ts", "v"],
+    )
+    full_refresh(base, tmp_table, partition_by=["ts"])
+    escaped = os.path.join(tmp_table, "ts=2024-01-01 06%3A30%3A00")
+    assert os.path.exists(escaped)
+    upsert(
+        spark,
+        spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 5, 6, 30), "moved")], ["id", "ts", "v"]
+        ),
+        tmp_table,
+        keys=["id"],
+        partition_by=["ts"],
+    )
+    got = {(r.id, str(r.ts), r.v) for r in spark.read.parquet(tmp_table).collect()}
+    assert got == {
+        (1, "2024-01-05 06:30:00", "moved"),
+        (2, "2024-01-02 06:30:00", "keep"),
+    }
+    assert not os.path.exists(escaped)
+
+
+def test_upsert_null_partition_fails_before_write(spark, tmp_table):
+    """ADVICE r8 (low): the NULL-partition guard must fire BEFORE the
+    dynamic overwrite commits, leaving the table untouched."""
+    base = spark.createDataFrame(
+        [(1, None, "only"), (2, "2024-01-02", "keep")], ["id", "d", "v"]
+    )
+    full_refresh(base, tmp_table, partition_by=["d"])
+    before = {(r.id, r.d, r.v) for r in spark.read.parquet(tmp_table).collect()}
+    with pytest.raises(NotImplementedError, match="NULL-valued partition"):
+        upsert(
+            spark,
+            spark.createDataFrame([(1, "2024-01-05", "moved")], ["id", "d", "v"]),
+            tmp_table,
+            keys=["id"],
+            partition_by=["d"],
+        )
+    after = {(r.id, r.d, r.v) for r in spark.read.parquet(tmp_table).collect()}
+    assert after == before  # clean no-op, not half-merged
+
+
 def test_snapshot_idempotent(spark, tmp_table):
     df = spark.createDataFrame([(1, "a")], ["id", "v"])
     snapshot(df, tmp_table, "2024-01-01")

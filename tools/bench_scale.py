@@ -29,27 +29,9 @@ def run_bench(sf_dir: str) -> dict:
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, check=True,
     )
-    # bench.py prints ONE JSON line (possibly after Spark log noise)
-    # bench.py prints the headline JSON line plus auxiliary metric
-    # lines (e.g. wh_rebuild_models, split out so the driver's tail
-    # capture stays parseable) — merge them back here.
-    docs = [
-        json.loads(line)
-        for line in out.stdout.strip().splitlines()
-        if line.startswith("{")
-    ]
-    headline = next(
-        (d for d in docs if d.get("metric") == "headline_queries_total"),
-        None,
-    )
-    if headline is None:
-        raise RuntimeError(
-            f"no headline JSON line in bench output:\n{out.stdout[-2000:]}"
-        )
-    for d in docs:
-        if d.get("metric") == "wh_rebuild_models":
-            headline["wh_rebuild_models"] = d["models"]
-    return headline
+    from bench_lines import parse_bench_stdout
+
+    return parse_bench_stdout(out.stdout)
 
 
 def main() -> None:
