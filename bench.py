@@ -184,6 +184,12 @@ def main() -> None:
             timings[name] = round(sorted(times)[1], 3)
         else:
             timings[name] = round(min(times), 3)
+        # Release the query's tracked cached intermediates so 47
+        # queries' caches don't stack up as storage-memory pressure
+        # (ADVICE r8); the release is outside the timed region.
+        from etl_pipelines_spark.operators.cacheutil import unpersist_tracked
+
+        unpersist_tracked()
 
     # End-to-end nightly rebuild (the reference's actual product — the
     # ordered fullload DAG): one config-ordered Pipeline run, ods ->

@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .cacheutil import tracked_cache
+
 
 def percent_rank_map(
     df: DataFrame, col: str, ascending: bool = True
@@ -65,7 +67,7 @@ def percent_rank_map(
     # rank join would otherwise each recompute the corpus groupBy
     # (pruning-divergent exchanges defeat ReuseExchange); the cached
     # frame is |distinct values|, never the corpus
-    pref = ranged.withColumn("__prefix", F.sum("__cnt").over(within)).cache()
+    pref = ranged.withColumn("__prefix", F.sum("__cnt").over(within)).transform(tracked_cache)
     totals = pref.groupBy("__pid").agg(
         F.sum("__cnt").alias("__ptotal")
     )
@@ -137,7 +139,7 @@ def attach_global_rank(
     # ReuseExchange never fires and the input recomputes per branch.
     # Callers rank an AGGREGATED grain (top_products: the part-grain
     # rollup), so the cached frame is bounded by that grain.
-    rn = ranged.withColumn("__rn", F.row_number().over(within)).cache()
+    rn = ranged.withColumn("__rn", F.row_number().over(within)).transform(tracked_cache)
     totals = rn.groupBy("__pid").agg(F.count(F.lit(1)).alias("__ptotal"))
     # The ONLY global sort: one row per range partition.
     woff = Window.orderBy("__pid").rowsBetween(
@@ -187,7 +189,7 @@ def exact_quantiles(
     )
     # same caching rationale as percent_rank_map: two consumers of
     # the |distinct values|-sized prefix frame
-    pref = ranged.withColumn("__prefix", F.sum("__cnt").over(within)).cache()
+    pref = ranged.withColumn("__prefix", F.sum("__cnt").over(within)).transform(tracked_cache)
     totals = pref.groupBy("__pid").agg(F.sum("__cnt").alias("__ptotal"))
     woff = Window.orderBy("__pid").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -107,6 +107,12 @@ class Pipeline:
         # reference's TEMP TABLE idiom); their tables are parquet
         # now, so the blocks are dead weight — leave the session
         # clean rather than letting 31 models' caches linger.
+        # unpersist_tracked also drains the tracked-cache registry so
+        # repeated pipeline runs don't grow the reference list
+        # (ADVICE r8 cache-lifecycle item).
+        from ..operators.cacheutil import unpersist_tracked
+
+        unpersist_tracked()
         try:
             ctx.spark.catalog.clearCache()
         except Exception:

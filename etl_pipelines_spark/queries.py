@@ -40,6 +40,7 @@ from .operators import (
     sessionize,
     top_k_per_group,
 )
+from .operators.cacheutil import tracked_cache
 from .operators.sessionize import session_rollup
 
 
@@ -3546,7 +3547,7 @@ def dm_rfm_segmentation_core(prep: DataFrame) -> DataFrame:
     # consumer (measured: 4 scans of each input). The frame is
     # customer-grain — bounded by the entity count, never the fact
     # volume.
-    prep = prep.cache()
+    prep = prep.transform(tracked_cache)
     prep = attach_percent_rank(prep, "frequency", "frequency_rank")
     prep = attach_percent_rank(prep, "recency_days", "recency_rank", ascending=False)
     prep = attach_percent_rank(prep, "monetary", "monetary_rank")
@@ -3911,7 +3912,7 @@ def spv_price_outliers_core(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     # is the 14-DAY TRAILING SLICE (a night's working set, bounded by
     # the window — never the fact corpus), the ops_allocation
     # precedent.
-    rn = keyed.withColumn("__rn", F.row_number().over(w_in)).cache()
+    rn = keyed.withColumn("__rn", F.row_number().over(w_in)).transform(tracked_cache)
     tot = rn.groupBy("p_brand", "p_type", "__pid").agg(
         F.count(F.lit(1)).alias("__ptotal")
     )
@@ -4383,7 +4384,7 @@ def luxco_multigrain_union_core(
             F.col("n_name").alias("nation"),
             _d(F.col("o_totalprice")).alias("price"),
         )
-        .cache()
+        .transform(tracked_cache)
     )
     aggs = [
         F.sum("price").cast("double").alias("revenue"),
@@ -5183,7 +5184,7 @@ def ops_allocation_core(e: DataFrame) -> DataFrame:
         # referenced twice downstream (union + NOT IN side): cache =
         # the reference's TEMP TABLE materialization (SURVEY §4),
         # without it the two-window dedup subtree is computed twice
-        .cache()
+        .transform(tracked_cache)
     )
 
     regular = (
@@ -5662,7 +5663,7 @@ def mkt_affiliate_payout_core(
     per_supp = (
         li.groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("n_lines"))
-        .cache()
+        .transform(tracked_cache)
     )
     stats = per_supp.agg(
         F.count(F.lit(1)).alias("n_supp"),
@@ -5886,7 +5887,7 @@ def scd2_history_core(events: DataFrame) -> DataFrame:
             ),
         )
         .repartition("user_id")
-        .cache()
+        .transform(tracked_cache)
     )
     hist = None
     for ds in _SCD2_SNAPSHOT_DATES:

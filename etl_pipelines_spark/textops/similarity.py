@@ -21,6 +21,8 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..operators.cacheutil import tracked_cache
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -1004,7 +1006,7 @@ def semantic_dedup_pairs(
         keyed = df.select(id_col, vec_col).mapInPandas(
             assign_and_sig, schema=f"{id_col} long, __list int, __rsig long"
         )
-        ids = keyed.cache()
+        ids = keyed.transform(tracked_cache)
         cnt = F.broadcast(ids.groupBy().agg(F.count(F.lit(1)).alias("__n")))
         mask = occupancy_mask_col(
             F.col("__n"), base_buckets=nlist, target_occ=target_occ,
@@ -1029,7 +1031,7 @@ def semantic_dedup_pairs(
         # re-runs the Arrow assignment pass once per branch (plans have
         # no cross-branch CSE — the ops_allocation materialize-if-reused
         # rule applied to vectors)
-        ids = assigned.select(F.col(id_col), F.col("__list")).cache()
+        ids = assigned.select(F.col(id_col), F.col("__list")).transform(tracked_cache)
         left = ids.select(F.col(id_col).alias("id_a"), "__list")
         right = ids.select(F.col(id_col).alias("id_b"), "__list")
         cand = left.join(right, "__list").filter(F.col("id_a") < F.col("id_b"))
