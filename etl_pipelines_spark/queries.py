@@ -4287,7 +4287,20 @@ def braze_order_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def braze_order_attribution_core(o: DataFrame, events: DataFrame) -> DataFrame:
     """Unordered core of braze_order_attribution; the nightly layered
-    build feeds it conformed ods.orders + ods.events."""
+    build feeds it conformed ods.orders + ods.events.
+
+    Scale shape (r9): last-touch IS an as-of pick — the latest touch
+    at-or-before the order — so the equi-join + rn=1 form (which
+    materializes every user's events × orders pair grain before the
+    window filters it, the ∝ density² class that payment_retries had,
+    measured ×4.26 sf1→sf10 in-rebuild) is re-expressed on
+    operators/asof.py: touches pre-dedup to one per (user, ts) — max
+    event_id, the reference's own rn tiebreak — then union + ONE
+    window pass on the user key. Pair rows are never materialized;
+    value-identical to the rn=1 form (same pick, same tiebreak), so
+    the oracle is unchanged."""
+    from .operators.asof import asof_join
+
     e = (
         events
         .filter(F.col("event_type").isin("click", "view"))
@@ -4296,28 +4309,42 @@ def braze_order_attribution_core(o: DataFrame, events: DataFrame) -> DataFrame:
         # is non-degenerate at every scale factor
         .withColumn("ts", F.col("ts") - F.expr("INTERVAL 23 YEARS"))
     )
-    touches = o.join(
-        e, (e.user_id == o.o_custkey) & (e.ts <= o.o_orderdate)
-    )
-    w = Window.partitionBy("o_orderkey").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    return (
-        touches.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "o_orderkey",
-            F.md5(F.concat(F.lit("cust-"), F.col("o_custkey").cast("string"))).alias(
-                "customer_hash"
-            ),
-            F.sha2(F.col("event_type"), 256).alias("channel_hash"),
-            F.col("event_type").alias("last_touch_channel"),
-            F.col("ts").alias("touch_ts"),
-            RF.datediff("day", F.to_date("ts"), F.to_date("o_orderdate")).alias(
-                "days_to_order"
-            ),
-            _d(F.col("o_totalprice")).cast("double").alias("order_value"),
+    # one touch per (user, instant): the reference rn orders by
+    # (ts DESC, event_id DESC), so at equal ts the max event_id wins
+    touch = (
+        e.groupBy(
+            F.col("user_id").alias("o_custkey"),
+            F.col("ts").alias("__tts"),
         )
+        .agg(
+            F.max(F.struct("event_id", "event_type")).alias("__t")
+        )
+        .select(
+            "o_custkey",
+            "__tts",
+            F.col("__t.event_type").alias("__etype"),
+        )
+    )
+    linked = asof_join(
+        o.withColumn("__ots", F.col("o_orderdate").cast("timestamp")),
+        touch,
+        on=["o_custkey"],
+        left_ts="__ots",
+        right_ts="__tts",
+        right_payload=["__tts", "__etype"],
+    ).filter(F.col("__etype").isNotNull())
+    return linked.select(
+        "o_orderkey",
+        F.md5(F.concat(F.lit("cust-"), F.col("o_custkey").cast("string"))).alias(
+            "customer_hash"
+        ),
+        F.sha2(F.col("__etype"), 256).alias("channel_hash"),
+        F.col("__etype").alias("last_touch_channel"),
+        F.col("__tts").alias("touch_ts"),
+        RF.datediff(
+            "day", F.to_date("__tts"), F.to_date("o_orderdate")
+        ).alias("days_to_order"),
+        _d(F.col("o_totalprice")).cast("double").alias("order_value"),
     )
 
 
@@ -4468,7 +4495,17 @@ def fin_collection_curves_core(
     reference's defensive DISTINCT (asset_collection_curves.sql:8, a
     guard against dirty landing-zone feeds) a full-corpus shuffle
     for nothing. The registry form keeps it for oracle parity; the
-    equality test proves the skip is value-invisible."""
+    equality test proves the skip is value-invisible.
+
+    Scale note (r9, measured): a lineitem pre-aggregation to
+    (l_orderkey, ship_month) before the join was tried and REJECTED
+    — it adds an exchange (agg shuffle + join re-shuffle of the
+    aggregated rows) while the existing plan's post-join groupBy
+    already collapses to the tiny (priority, month) grain via
+    map-side partial aggregation; interleaved best-of-3 at sf1/sf10:
+    line-grain 1.75/6.07 s (×3.5) vs pre-agg 2.13/10.67 s. The
+    in-rebuild ×6.19 slope is parallel-group co-scheduling, not this
+    plan (PLANS.md round 9)."""
     dist = (
         o.join(li, li.l_orderkey == o.o_orderkey)
         .select(
@@ -5555,6 +5592,64 @@ def pay_retry_payments_core(
         ((F.col("status") == "error") & (F.col("rownum") == 1)).alias(
             "is_first_failed"
         ),
+    )
+
+
+@q(
+    "pay_retry_fanout",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id FROM events
+  WHERE event_type IN ('purchase', 'error')
+)
+SELECT e.user_id AS group_id,
+  COUNT(*) AS n_rows,
+  COUNT(o.o_orderkey) AS n_pairs,
+  CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE)
+    AS amount_sum
+FROM e LEFT JOIN orders o ON e.user_id = o.o_custkey
+GROUP BY e.user_id
+ORDER BY group_id
+""",
+)
+def pay_retry_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REFERENCE-SEMANTICS WITNESS for pay_retry_payments (ADVICE r8):
+    the reference's v_retry_payments joins transactions to payment
+    orders with a PLAIN equi join (16_payment_reporting/
+    dm_payments.v_retry_payments.sql:35-36, `account_to = group`) —
+    if that relationship is 1:N the join fans out and every pair is a
+    row. The r8 production query models an as-of order linkage
+    instead (a modeled-semantics change, documented in COVERAGE.md);
+    rewriting its oracle in lockstep made it self-referential, so THIS
+    row pins the reference's row-multiplicity semantics against an
+    independent oracle: the real fan-out join runs in both engines
+    and per-user pair counts + the pair-grain amount sum are
+    hash-compared. A dropped or duplicated pair moves n_pairs and
+    amount_sum.
+
+    Scale note: the fan-out pair grain grows with per-user density²
+    — this witness exists to pin semantics at oracle scale, NOT as
+    the 100 TB path (that is pay_retry_payments' as-of linkage). The
+    output is user-grain (bounded by the entity count); the join
+    shuffles on the user key once, aggregation is map-side
+    combinable."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    ).select("user_id", "event_id")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    joined = e.join(o, e.user_id == o.o_custkey, "left")
+    return (
+        joined.groupBy(F.col("user_id").alias("group_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("o_orderkey").alias("n_pairs"),
+            # exact-decimal sum (o_totalprice is DOUBLE on disk; a
+            # float sum is addend-order-dependent across engines)
+            F.coalesce(
+                F.sum(_d(F.col("o_totalprice"))).cast("double"), F.lit(0.0)
+            ).alias("amount_sum"),
+        )
+        .orderBy("group_id")
     )
 
 
@@ -7954,75 +8049,69 @@ def compat_redshift_script(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _DRIVER_WINDOW = [
-    # --- round-8 window (VERDICT r7 "Next round" #6): the r4-aged
-    # cohort FIRST (held from the r7 rotation, newest driver
-    # evidence CORRECTNESS_r04.json — the oldest in the repo), then
-    # the three queries whose IMPLEMENTATION changed this round
-    # (top_products: two-phase distributed overall rank;
-    # spv_price_outliers: group-keyed two-phase window median;
-    # pay_retry_payments: as-of order linkage replacing the
-    # user-grain fan-out join — each needs a fresh hash re-proof
-    # against its window oracle), then the r5-aged rows (newest
-    # evidence round 5). One r5-aged row (m_date_spine — unchanged
-    # deterministic calendar single, r5-green in the committed
-    # CORRECTNESS_r05.json) is held to round 9 to fund the
-    # changed-query re-proof slots. Union coverage across r1-r8
-    # stays total (test-pinned, tests/test_registry_window.py).
-    #
-    # r4-aged cohort (3 rounds stale, ordered first):
-    "a_bool_or",
-    "j_right_parts",
-    "p_filter_predicates",
-    "p_like_ilike",
-    # changed-this-round re-proofs:
-    "top_products",
-    "spv_price_outliers",
-    "pay_retry_payments",
-    # r5-aged cohort (43 of 44 remaining):
-    "a_dedup_then_agg",
-    "a_greatest_least",
-    "a_listagg",
-    "a_pivot_status",
+    # --- round-9 window: oldest evidence first. m_date_spine (r5 —
+    # held from the r8 rotation, now the single oldest oracle-checked
+    # row), then the 47 r6-aged rows (newest driver evidence
+    # CORRECTNESS_r06.json), then the queries that are NEW or whose
+    # implementation changed this round and need a fresh hash proof:
+    # pay_retry_fanout (new — the reference-semantics fan-out witness
+    # for pay_retry_payments, ADVICE r8) and dd_embedding_neardup
+    # (r7-aged watch item — verify-stage instrumentation keeps
+    # touching its plan). Union coverage across r1-r9 stays total
+    # (test-pinned, tests/test_registry_window.py).
+    "m_date_spine",
+    # r6-aged cohort (47):
+    "q1_pricing_summary",
+    "master_customer",
+    "dd_exact_dup_groups",
+    "dd_exact_dedup_survivors",
+    "dd_simhash_md5",
+    "ann_brute_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "emb_pq_encode",
+    "ann_pq_adc",
+    "txt_bpe_encode",
+    "txt_langid",
+    "txt_hash_split",
+    "txt_stratified_sample",
+    "corpus_curation",
+    "txt_repetition",
+    "txt_chunk_plan",
+    "txt_contamination",
+    "ml_churn_score",
+    "ml_price_score",
+    "ml_mlp_score",
+    "wh_daily_kpi",
+    "sessions_union_stitch",
+    "gc_account_balance",
+    "wh_track_events",
+    "sust_seasonality",
+    "mkt_affiliate_payout",
+    "scd2_history",
+    "mm_ppm_decode",
+    "mm_wav_decode",
+    "mm_video_frames",
+    "mm_mp3_meta",
+    "a_rollup_multigrain",
+    "txt_pii_redact",
+    "dd_line_dedup",
+    "txt_ngram_decontam",
+    "txt_unigram_logprob",
+    "txt_source_mix",
+    "w_time_range_rolling",
+    "txt_gopher_filter",
+    "mm_patch_plan",
+    "mon_volume_anomaly",
+    "tx_merge_readback",
+    "mon_hll_distinct",
+    "mon_cms_heavyhitters",
+    "j_bloom_prefilter",
+    # new / changed this round (skew_salted_rollup — r6-green,
+    # physical-rewrite-only query — defers to r10 to fund the slot):
+    "pay_retry_fanout",
     "braze_order_attribution",
-    "dd_ngram_jaccard",
-    "f_math",
-    "f_null_conditional",
-    "fin_collection_curves",
-    "gc_wallet_expansion",
-    "j_cross_spine",
-    "j_semi_in",
-    "luxco_multigrain_union",
-    "m_explode_split",
-    "m_posexplode",
-    "m_scalar_subquery",
-    "master_subscription",
-    "mm_binary_meta",
-    "mm_frame_plan",
-    "mm_resize_dims",
-    "mon_duplicate_keys",
-    "mon_freshness",
-    "mon_missing_dates",
-    "mon_value_drift",
-    "ops_allocation",
-    "ops_shipment_funnel",
-    "p_distinct",
-    "s_event_dedup_incremental",
-    "s_page_view_end",
-    "s_sessionize_gap",
-    "txt_bigram_logprob_pruned",
-    "txt_fingerprint",
-    "txt_quality",
-    "txt_weighted_sample",
-    "u_except",
-    "u_intersect",
-    "u_union_distinct",
-    "w_median_window",
-    "w_nth_value",
-    "w_percentile_window",
-    "w_rank_top_orders",
-    "wh_page_views",
-    "wh_sessions_mart",
-    # (held to r9: m_date_spine — unchanged, r5-green)
+    "dd_embedding_neardup",
 ]
 
 

@@ -62,6 +62,29 @@ DROP TABLE IF EXISTS mart_x.downstream;
 CREATE TABLE mart_x.downstream AS
 SELECT b.v FROM mart_x.broken b;
 """,
+    # the r9 ambiguity-retraction path: 60_a makes a BARE-column
+    # guess (sku lands on stg_amb.products), 61_b later proves sku's
+    # real home via a QUALIFIED reference (stg_amb.variants), so
+    # 62_c's bare sku over a join of both is AMBIGUOUS_REFERENCE --
+    # the repair must retract the bare guess from products and let
+    # sku resolve to variants
+    "e_ambig/60_a.sql": """
+DROP TABLE IF EXISTS mart_x.amb_a;
+CREATE TABLE mart_x.amb_a AS
+SELECT p.pid, sku FROM stg_amb.products p;
+""",
+    "e_ambig/61_b.sql": """
+DROP TABLE IF EXISTS mart_x.amb_b;
+CREATE TABLE mart_x.amb_b AS
+SELECT v.sku, v.vid FROM stg_amb.variants v;
+""",
+    "e_ambig/62_c.sql": """
+DROP TABLE IF EXISTS mart_x.amb_c;
+CREATE TABLE mart_x.amb_c AS
+SELECT sku
+FROM stg_amb.products p
+JOIN stg_amb.variants v ON v.vid = p.pid;
+""",
 }
 
 
@@ -84,10 +107,13 @@ def test_shadow_analysis_smoke(tmp_path):
     # and the DROP+CTAS consumer of the analyzer-failed creator
     # (phase-3 guard lift). Repaired: stg_raw.orders_landing,
     # stg_dead.landing_q, mart_x.broken.
-    assert cov["statements"] == 11
+    assert cov["statements"] == 17
     assert cov["transpile_failed"] == 1
-    assert cov["analyzed_ok"] == 9
-    assert cov["repaired_tables"] == 3
+    assert cov["analyzed_ok"] == 15
+    assert cov["repaired_tables"] == 5
+    # the bare guess on stg_amb.products was retracted when the
+    # qualified home (stg_amb.variants) made 62_c ambiguous
+    assert cov["ambiguity_drops"] >= 1
     assert any(
         "UNRESOLVED_ROUTINE" in k for k in cov["residual_buckets"]
     ), cov["residual_buckets"]

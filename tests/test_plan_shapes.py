@@ -369,6 +369,21 @@ class TestPlanShapes:
         assert "Union" in plan, plan
         assert re.search(r"\(\d+\) Window", plan), plan
 
+    def test_order_attribution_links_touches_asof_without_fanout_join(
+        self, spark, sf_dir
+    ):
+        """r9: last-touch attribution must be the union+window as-of
+        (touches pre-deduped per (user, ts), one shuffle on the user
+        key) — never the user-grain equi-join whose touch×order pair
+        grain grows with per-user density² (measured ×4.26 sf1→sf10
+        in-rebuild as dwh.order_attribution). Any SortMergeJoin or
+        ShuffledHashJoin is the fan-out coming back."""
+        _, plan = formatted_plan(spark, "braze_order_attribution", sf_dir)
+        assert "SortMergeJoin" not in plan, plan
+        assert "ShuffledHashJoin" not in plan, plan
+        assert "Union" in plan, plan
+        assert re.search(r"\(\d+\) Window", plan), plan
+
     def test_spv_price_outliers_median_is_group_keyed_two_phase(
         self, spark, sf_dir
     ):
