@@ -510,7 +510,7 @@ def _rw_types(toks: list[Tok]) -> list[Tok]:
                         and _word_is(out[m], "ZONE")
                     ):
                         del out[i + 1 : m + 1]
-            elif lw in ("text", "datetime"):
+            elif lw in ("text", "datetime", "json"):
                 p = _prev_sig(out, i)
                 cast_pos = False
                 if p >= 0 and out[p].kind == "op" and out[p].text == "::":
@@ -531,7 +531,7 @@ def _rw_types(toks: list[Tok]) -> list[Tok]:
                 if cast_pos:
                     out[i] = Tok(
                         "word",
-                        "string" if lw == "text" else "timestamp",
+                        "timestamp" if lw == "datetime" else "string",
                     )
             elif lw == "double":
                 # DOUBLE PRECISION -> DOUBLE (Spark has no two-word
@@ -1313,6 +1313,267 @@ def _operand_start(toks: list[Tok], end: int) -> int:
     return start
 
 
+def _rw_deferred_on(toks: list[Tok]) -> list[Tok]:
+    """SQL-standard nested-join deferred ON — ``A JOIN B JOIN C ON bc
+    ON ab``, valid in Redshift/Postgres/DuckDB (each ON binds the
+    nearest unbound JOIN, inside-out), rejected by Spark's join
+    grammar (probed: PARSE_SYNTAX_ERROR at the second ON). The one
+    corpus residual the r7 adjudicator classed a REAL dialect gap
+    (dm_b2b.v_business_customers_kpis_tableau.sql:41). Rewrite to the
+    explicit-parens equivalent ``A JOIN (B JOIN C ON bc) ON ab``:
+    when an ON follows another ON's condition with no JOIN between
+    (same paren depth), '(' lands at the right-operand start of the
+    join this ON binds and ')' immediately before the ON."""
+    while True:
+        out = toks
+        depth = 0
+        stack: dict[int, list[int]] = {}
+        join_since_on: dict[int, bool] = {}
+        fix = None
+        i = 0
+        while i < len(out):
+            t = out[i]
+            if t.kind == "punct" and t.text == "(":
+                depth += 1
+            elif t.kind == "punct" and t.text == ")":
+                stack.pop(depth, None)
+                join_since_on.pop(depth, None)
+                depth -= 1
+            elif t.kind == "word":
+                w = t.text.upper()
+                if w == "JOIN":
+                    p = _prev_sig(out, i)
+                    if p < 0 or not _word_is(out[p], "CROSS", "NATURAL"):
+                        stack.setdefault(depth, []).append(
+                            _next_sig(out, i)
+                        )
+                    join_since_on[depth] = True
+                elif w == "ON" and stack.get(depth):
+                    if not join_since_on.get(depth, True):
+                        fix = (stack[depth].pop(), i)
+                        break
+                    stack[depth].pop()
+                    join_since_on[depth] = False
+            i += 1
+        if fix is None:
+            return toks
+        rs, on_i = fix
+        toks = (
+            out[:rs]
+            + [Tok("punct", "(")]
+            + out[rs:on_i]
+            + [Tok("punct", ")"), Tok("ws", " ")]
+            + out[on_i:]
+        )
+
+
+_MYSQL_FMT = (
+    ("%%", "\x00"), ("%Y", "yyyy"), ("%y", "yy"), ("%M", "MMMM"),
+    ("%m", "MM"), ("%c", "M"), ("%d", "dd"), ("%e", "d"),
+    ("%H", "HH"), ("%h", "hh"), ("%I", "hh"), ("%i", "mm"),
+    ("%s", "ss"), ("%S", "ss"), ("%f", "SSSSSS"),
+    ("%T", "HH:mm:ss"), ("%r", "hh:mm:ss a"), ("%p", "a"),
+    ("%W", "EEEE"), ("%a", "EEE"), ("%b", "MMM"), ("%j", "DDD"),
+    ("\x00", "%"),
+)
+
+_TRINO_SCALARS = {
+    "varchar": "string", "char": "string", "text": "string",
+    "json": "string", "integer": "int", "int": "int",
+    "bigint": "bigint", "smallint": "smallint", "tinyint": "tinyint",
+    "double": "double", "real": "float", "boolean": "boolean",
+    "timestamp": "timestamp", "date": "date",
+}
+
+
+def _render_trino_type(toks: list[Tok], lo: int, hi: int) -> str | None:
+    """Render a Trino complex-type token span (``ARRAY(MAP(VARCHAR,
+    JSON))``) as a Spark type string. A MAP whose VALUE type is JSON
+    collapses to ``string``: Trino keeps each object's fields as raw
+    JSON there, and the Spark equivalent keeps the whole element as
+    the raw JSON string (``from_json(e, 'array<string>')`` preserves
+    object substrings verbatim), which downstream
+    ``json_extract_scalar`` -> ``get_json_object`` consumes directly.
+    Returns None (leave untouched, loud parse error stays) on any
+    word it does not know."""
+    sig = [k for k in range(lo, hi + 1) if _is_sig(toks[k])]
+    pos = 0
+
+    def _peek() -> Tok | None:
+        return toks[sig[pos]] if pos < len(sig) else None
+
+    def _eat_punct(ch: str) -> bool:
+        nonlocal pos
+        t = _peek()
+        if t is not None and t.kind == "punct" and t.text == ch:
+            pos += 1
+            return True
+        return False
+
+    def parse() -> str | None:
+        nonlocal pos
+        t = _peek()
+        if t is None or t.kind != "word":
+            return None
+        w = t.text.lower()
+        pos += 1
+        if w == "array":
+            if not _eat_punct("("):
+                return None
+            inner = parse()
+            if inner is None or not _eat_punct(")"):
+                return None
+            return f"array<{inner}>"
+        if w == "map":
+            if not _eat_punct("("):
+                return None
+            vt = _peek()
+            val_is_json = False
+            k = parse()
+            if k is None or not _eat_punct(","):
+                return None
+            vt = _peek()
+            val_is_json = (
+                vt is not None and vt.kind == "word"
+                and vt.text.lower() == "json"
+            )
+            v = parse()
+            if v is None or not _eat_punct(")"):
+                return None
+            return "string" if val_is_json else f"map<{k},{v}>"
+        if w in ("varchar", "char", "decimal", "numeric"):
+            base = _TRINO_SCALARS.get(w, w)
+            if _eat_punct("("):
+                args = []
+                t2 = _peek()
+                while t2 is not None and not (
+                    t2.kind == "punct" and t2.text == ")"
+                ):
+                    if t2.kind == "num":
+                        args.append(t2.text)
+                    pos += 1
+                    t2 = _peek()
+                if not _eat_punct(")"):
+                    return None
+                if w in ("decimal", "numeric"):
+                    return f"decimal({','.join(args)})"
+            return base
+        return _TRINO_SCALARS.get(w)
+
+    out = parse()
+    return out if pos == len(sig) else None
+
+
+def _rw_trino(toks: list[Tok]) -> list[Tok]:
+    """Trino/Athena-dialect constructs (the corpus's bi-airflow
+    Athena feeds, e.g. order_item_historical.sql — the one residual
+    the r7 adjudicator classed dialect-gap):
+
+    - ``json_parse(e)``            -> ``(e)`` (strings stay strings)
+    - ``json_extract_scalar(j,p)`` / ``json_extract(j,p)``
+                                   -> ``get_json_object(j, p)``
+    - ``CAST(e AS ARRAY(..)/MAP(..))`` (Trino paren type grammar)
+                                   -> ``from_json(e, '<spark type>')``
+      (a Spark CAST cannot parse a JSON string into a complex type)
+    - ``, UNNEST(e) AS t(c)``      -> ``, LATERAL explode(e) AS t(c)``
+      (parse- AND analyze-equivalent, probed on Spark 4)
+    - MySQL-style ``date_format`` codes (%Y-%m-%d %H:%i:%s) -> JDK
+      patterns, only when the literal carries '%'.
+    """
+    # 1) token renames / deletions (no structural change)
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if t.kind == "word":
+            lw = t.text.lower()
+            j = _next_sig(out, i)
+            has_call = (
+                j < len(out)
+                and out[j].kind == "punct"
+                and out[j].text == "("
+            )
+            if lw in ("json_extract_scalar", "json_extract") and has_call:
+                out[i] = Tok("word", "get_json_object")
+            elif lw in ("json_parse", "parse_json") and has_call:
+                # _rw_words maps json_parse -> parse_json (Spark's
+                # VARIANT parser); for the Athena string-JSON idiom
+                # the raw string IS what get_json_object consumes
+                del out[i]
+                continue
+            elif lw == "unnest" and has_call:
+                p = _prev_sig(out, i)
+                if p >= 0 and out[p].kind == "punct" and out[p].text == ",":
+                    out[i : i + 1] = [
+                        Tok("word", "lateral"), Tok("ws", " "),
+                        Tok("word", "explode"),
+                    ]
+                    i += 2
+            elif lw == "date_format" and has_call:
+                args, _close = _call_args(out, j)
+                if len(args) == 2:
+                    for k in args[1]:
+                        if out[k].kind == "str" and "%" in out[k].text:
+                            v = _str_value(out[k])
+                            for a, b in _MYSQL_FMT:
+                                v = v.replace(a, b)
+                            out[k] = _str_lit(v)
+        i += 1
+    toks = out
+    # 2) CAST(e AS ARRAY(...)/MAP(...)) -> from_json(e, '<type>')
+    while True:
+        out = list(toks)
+        hit = None
+        for i, t in enumerate(out):
+            if t.kind != "word" or t.text.lower() not in ("array", "map"):
+                continue
+            j = _next_sig(out, i)
+            if not (
+                j < len(out) and out[j].kind == "punct" and out[j].text == "("
+            ):
+                continue
+            p = _prev_sig(out, i)
+            if p < 0 or not _word_is(out[p], "AS"):
+                continue
+            # the enclosing call must be CAST/TRY_CAST: find the type
+            # span's close, expect the cast's ')' right after
+            depth = 0
+            close = -1
+            for k in range(j, len(out)):
+                if out[k].kind == "punct" and out[k].text == "(":
+                    depth += 1
+                elif out[k].kind == "punct" and out[k].text == ")":
+                    depth -= 1
+                    if depth == 0:
+                        close = k
+                        break
+            if close < 0:
+                continue
+            q = _next_sig(out, close)
+            if not (
+                q < len(out) and out[q].kind == "punct" and out[q].text == ")"
+            ):
+                continue
+            o = _matching_open(out, q)
+            c = _prev_sig(out, o) if o > 0 else -1
+            if c < 0 or not _word_is(out[c], "CAST", "TRY_CAST"):
+                continue
+            tstr = _render_trino_type(out, i, close)
+            if tstr is None:
+                continue
+            hit = (c, o, p, i, close, q, tstr)
+            break
+        if hit is None:
+            return toks
+        c, o, p, i, close, q, tstr = hit
+        expr = _render(out[o + 1 : p]).strip()
+        toks = (
+            out[:c]
+            + tokenize(f"from_json({expr}, '{tstr}')")
+            + out[q + 1 :]
+        )
+
+
 def _rw_at_time_zone(toks: list[Tok]) -> list[Tok]:
     """``expr AT TIME ZONE 'tz'`` -> ``from_utc_timestamp(expr,
     'tz')`` -- Redshift interprets a naive timestamp as UTC and
@@ -1663,6 +1924,8 @@ _PASSES = (
     _rw_update_from,
     _rw_delete_using,
     _rw_at_time_zone,
+    _rw_trino,
+    _rw_deferred_on,
     _rw_types,
     _rw_minmax_within_group,
     _rw_ignore_nulls,

@@ -650,3 +650,88 @@ class TestArrayAggOrderKeySplit:
         )
         assert "named_struct('o0', coalesce(a,b), 'o1', c, 'v', x)" in \
             out.replace("coalesce(a, b)", "coalesce(a,b)"), out
+
+
+class TestTrinoDialect:
+    """r9: the two machine-adjudicated dialect gaps closed — Trino/
+    Athena constructs (bi-airflow Athena feeds) and SQL-standard
+    nested-join deferred ON (dm_b2b, valid Redshift/DuckDB, rejected
+    by Spark's join grammar)."""
+
+    def test_json_family_maps_to_get_json_object(self):
+        from etl_pipelines_spark.compat.transpile import transpile
+
+        out = transpile(
+            "SELECT JSON_EXTRACT_SCALAR(json_parse(payload), '$.a') FROM t"
+        )
+        assert "get_json_object" in out, out
+        assert "json_parse" not in out and "parse_json" not in out, out
+
+    def test_cast_trino_complex_type_becomes_from_json(self):
+        from etl_pipelines_spark.compat.transpile import transpile
+
+        out = transpile(
+            "SELECT cast(json_extract(p, '$.items') as "
+            "ARRAY(MAP(VARCHAR, JSON))) FROM t"
+        )
+        # a JSON-valued map collapses to the raw-JSON string element
+        assert "from_json(get_json_object(p, '$.items'), "
+        assert "'array<string>'" in out, out
+
+    def test_cast_as_json_becomes_string(self):
+        from etl_pipelines_spark.compat.transpile import transpile
+
+        out = transpile("SELECT cast(x as JSON) FROM t")
+        assert "cast(x as string)" in out.lower(), out
+
+    def test_comma_unnest_becomes_lateral_explode(self, spark):
+        from etl_pipelines_spark.compat.transpile import transpile
+
+        out = transpile(
+            "SELECT id, c FROM src, UNNEST(arr) AS t(c)"
+        )
+        assert "lateral explode(arr)" in out.lower(), out
+        spark.sql(
+            "create or replace temp view src as "
+            "select 1 as id, array('x','y') as arr"
+        )
+        rows = sorted((r.id, r.c) for r in spark.sql(out).collect())
+        assert rows == [(1, "x"), (1, "y")]
+
+    def test_mysql_date_format_codes(self):
+        from etl_pipelines_spark.compat.transpile import transpile
+
+        out = transpile(
+            "SELECT date_format(ts, '%Y-%m-%d %H:%i:%s') FROM t"
+        )
+        assert "'yyyy-MM-dd HH:mm:ss'" in out, out
+
+    def test_deferred_on_parenthesizes_and_preserves_values(self, spark):
+        from etl_pipelines_spark.compat.transpile import transpile
+
+        spark.sql(
+            "create or replace temp view ta as select 1 x union all select 2 x"
+        )
+        spark.sql("create or replace temp view tb as select 1 x")
+        spark.sql("create or replace temp view tc as select 1 x")
+        deferred = (
+            "select a.x, b.x bx, c.x cx from ta a "
+            "left join tb b left join tc c on b.x=c.x on a.x=b.x"
+        )
+        explicit = (
+            "select a.x, b.x bx, c.x cx from ta a "
+            "left join (tb b left join tc c on b.x=c.x) on a.x=b.x"
+        )
+        got = sorted(map(str, spark.sql(transpile(deferred)).collect()))
+        want = sorted(map(str, spark.sql(explicit).collect()))
+        assert got == want
+
+    def test_normal_joins_untouched_by_deferred_on_pass(self):
+        from etl_pipelines_spark.compat.transpile import transpile
+
+        sql = (
+            "SELECT * FROM a JOIN b ON a.x=b.x LEFT JOIN c ON b.y=c.y "
+            "WHERE a.z > 1"
+        )
+        out = transpile(sql)
+        assert "(" not in out.replace("(a.", "(").replace("(1", "("), out
