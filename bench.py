@@ -120,6 +120,13 @@ def main() -> None:
     )
     reps_override = os.environ.get("SPARK_GRAFT_BENCH_REPS")
     skip_rebuild = os.environ.get("SPARK_GRAFT_SKIP_REBUILD") == "1"
+    # seq: run the 31-model DAG WITHOUT parallel-group interleaving.
+    # Parallel-mode per-model wall times overlap (threads share the
+    # 32 cores), which inflates per-model SLOPES when sf10 schedules
+    # differently than sf1 — the r8 master_historical ×13 phantom.
+    # Sequential mode gives each model the whole machine: its wall
+    # time is attributable, so slopes localize honestly.
+    rebuild_seq = os.environ.get("SPARK_GRAFT_REBUILD_MODE") == "seq"
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("etl_pipelines_spark-bench")
@@ -223,7 +230,9 @@ def main() -> None:
                 source_dir=sf_dir,
                 run_date=dt.date(1998, 8, 2),
             )
-            pipe = build_warehouse_pipeline(parallel_within_group=True)
+            pipe = build_warehouse_pipeline(
+                parallel_within_group=not rebuild_seq
+            )
             t0 = time.perf_counter()
             results = pipe.run(ctx)
             elapsed = time.perf_counter() - t0

@@ -85,6 +85,26 @@ SELECT sku
 FROM stg_amb.products p
 JOIN stg_amb.variants v ON v.vid = p.pid;
 """,
+    # the r9 schema-from-SELECT retype path: 70 synthesizes
+    # stg_w.landing with one consumer-inferred column; 71's INSERT
+    # (no column list) carries three — the arity repair rebuilds the
+    # table to the SELECT's aliases; 72 then reads the new columns
+    "f_retype/70_consumer.sql": """
+CREATE TABLE mart_x.uses_w AS
+SELECT w.wid FROM stg_w.landing w;
+""",
+    "f_retype/71_insert.sql": """
+INSERT INTO stg_w.landing
+SELECT '1' AS wid, '2' AS wval, '3' AS wday
+FROM ods_x.orders_conformed;
+""",
+    # the reader references only wid — no consumer ever names wval/
+    # wday, so the INSERT's arity mismatch is the ONLY schema signal
+    # (matching the real corpus's 317 arity statements)
+    "f_retype/72_reader.sql": """
+CREATE TABLE mart_x.w_report AS
+SELECT wid FROM stg_w.landing;
+""",
 }
 
 
@@ -107,13 +127,19 @@ def test_shadow_analysis_smoke(tmp_path):
     # and the DROP+CTAS consumer of the analyzer-failed creator
     # (phase-3 guard lift). Repaired: stg_raw.orders_landing,
     # stg_dead.landing_q, mart_x.broken.
-    assert cov["statements"] == 17
+    assert cov["statements"] == 20
     assert cov["transpile_failed"] == 1
-    assert cov["analyzed_ok"] == 15
-    assert cov["repaired_tables"] == 5
+    assert cov["analyzed_ok"] == 18
+    assert cov["repaired_tables"] == 6
     # the bare guess on stg_amb.products was retracted when the
     # qualified home (stg_amb.variants) made 62_c ambiguous
     assert cov["ambiguity_drops"] >= 1
+    # 71's arity mismatch rebuilt stg_w.landing to the SELECT schema
+    assert cov["insert_select_schema_rebuilds"] >= 1
+    assert cov["synthesized_tables"]["stg_w.landing"]["via"] == (
+        "insert-select-schema"
+    )
+    assert cov["synthesized_tables"]["stg_w.landing"]["n_cols"] == 3
     assert any(
         "UNRESOLVED_ROUTINE" in k for k in cov["residual_buckets"]
     ), cov["residual_buckets"]

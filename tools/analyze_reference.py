@@ -215,6 +215,11 @@ class Shadow:
         # (key, col) drops already performed -- loop guard
         self.dropped: set[tuple[str, str]] = set()
         self.n_ambiguity_drops = 0
+        # key -> schema rebuilds performed (insert-select-schema)
+        self.rebuild_counts: dict[str, int] = {}
+        # clone target -> LIKE source (CREATE TABLE x (LIKE y) in the
+        # raw corpus; transpiled to an empty CTAS in sweep mode)
+        self.like_map: dict[str, str] = {}
 
     def ensure_db(self, name: str) -> None:
         self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{name}`")
@@ -495,6 +500,34 @@ class Shadow:
                 changed = True
         return changed
 
+    def rebuild_to_schema(self, key: str, cols: list[str]) -> bool:
+        """Replace a synthesized (or synthesis-derived clone) table's
+        schema with the INSERT source query's analyzed output columns
+        — the SELECT aliases ARE the real schema when the creator is
+        source-invalid or an empty LIKE-clone of a repair table. All
+        STRING (non-ANSI implicit casts take the inserted values)."""
+        if not cols or any(
+            not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_ ]*", c) for c in cols
+        ):
+            return False
+        if self.rebuild_counts.get(key, 0) >= 3:
+            return False  # schema ping-pong guard (drifted INSERTs)
+        db, tbl = key.split(".", 1)
+        ddl = ", ".join(f"`{c}` STRING" for c in cols)
+        try:
+            self.spark.sql(f"DROP TABLE IF EXISTS `{db}`.`{tbl}`")
+            self.spark.sql(
+                f"CREATE TABLE `{db}`.`{tbl}` ({ddl}) USING parquet"
+            )
+        except Exception:  # noqa: BLE001
+            return False
+        self.rebuild_counts[key] = self.rebuild_counts.get(key, 0) + 1
+        for c in cols:
+            self.col_prov[(key, c.lower())] = "qualified"
+        prov = self.provenance.setdefault(key, {})
+        prov.update({"via": "insert-select-schema", "n_cols": len(cols)})
+        return True
+
     def pad_for_insert(self, msg: str) -> bool:
         """INSERT arity repair: an INSERT with more data columns than
         a REPAIR-created target has gets pad columns -- the real
@@ -585,6 +618,17 @@ def main() -> None:
         # run). Current-config view resolution makes the shadow
         # session self-consistent.
         .config("spark.sql.legacy.useCurrentConfigsForView", "true")
+        # Redshift's implicit-cast rules are lenient (VARCHAR
+        # coerces on demand; an invalid cast of a TEMPLATE-PARAM
+        # placeholder value is a sweep artifact, not a statement
+        # defect — real runs inject real values). Spark 4's ANSI
+        # default fails those at execution (CAST_INVALID_INPUT) and
+        # rejects string operands in arithmetic at analysis
+        # (DATATYPE_MISMATCH.BINARY_OP_WRONG_TYPE) where Redshift
+        # accepts them; non-ANSI is the dialect-faithful mode for a
+        # RESOLUTION sweep. Name/column/function resolution and
+        # structural type checks are unaffected.
+        .config("spark.sql.ansi.enabled", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("FATAL")
@@ -637,6 +681,35 @@ def main() -> None:
     shadow = Shadow(spark)
     shadow.schema_hints = schema_hints
 
+    # LIKE-clone provenance: CREATE TABLE x (LIKE y) transpiles (in
+    # sweep mode) to an empty CTAS `CREATE TABLE x USING parquet AS
+    # SELECT * FROM y WHERE 1 = 0`, or Spark-native `CREATE TABLE x
+    # LIKE y` for permanent tables. A clone of a SYNTHESIZED table is
+    # itself synthesis-derived: its width is our guess, so an INSERT
+    # arity mismatch there grades the guess and may rebuild it.
+    _LIKE_CTAS_RE = re.compile(
+        r"(?is)\bCREATE\s+TABLE\s+"
+        r"([A-Za-z_][\w]*(?:\s*\.\s*[A-Za-z_][\w]*)?)\s+USING\s+parquet"
+        r"\s+AS\s+SELECT\s+\*\s+FROM\s+"
+        r"([A-Za-z_][\w]*(?:\s*\.\s*[A-Za-z_][\w]*)?)\s+WHERE\s+1\s*=\s*0"
+    )
+    _LIKE_NATIVE_RE = re.compile(
+        r"(?is)\bCREATE\s+TABLE\s+"
+        r"([A-Za-z_][\w]*(?:\s*\.\s*[A-Za-z_][\w]*)?)\s+LIKE\s+"
+        r"([A-Za-z_][\w]*(?:\s*\.\s*[A-Za-z_][\w]*)?)"
+    )
+
+    def _norm_key(name: str) -> str:
+        n = re.sub(r"\s", "", name).lower()
+        return n if "." in n else f"default.{n}"
+
+    for _f, _h, t in stmts:
+        for rx in (_LIKE_CTAS_RE, _LIKE_NATIVE_RE):
+            for m in rx.finditer(t):
+                shadow.like_map[_norm_key(m.group(1))] = _norm_key(
+                    m.group(2)
+                )
+
     _TARGET_RE = re.compile(
         r"(?i)\bCREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?"
         r"(?:TABLE|VIEW)\s+(?:IF\s+NOT\s+EXISTS\s+)?"
@@ -659,6 +732,44 @@ def main() -> None:
         )
         if m:
             shadow.ensure_db(m.group(1))
+
+    _INS_RE = re.compile(
+        r"(?is)^\s*INSERT\s+INTO\s+"
+        r"([A-Za-z_][\w]*(?:\s*\.\s*[A-Za-z_][\w]*)?)"
+        r"\s*(\([^)]*\))?\s*(.*)$",
+    )
+
+    def _retype_insert_target(t: str) -> bool:
+        """INSERT arity repair, schema-from-SELECT: when the target's
+        width is OUR GUESS (a repair table, or an empty LIKE-clone of
+        one), the INSERT's source-query output columns are the real
+        schema — analyze the body and rebuild the target to exactly
+        those names. Skipped when the INSERT carries an explicit
+        column list (the list, not the body, names the columns —
+        add_column handles those)."""
+        m = _INS_RE.match(t)
+        if not m or m.group(2):
+            return False
+        key = _norm_key(m.group(1))
+        body = m.group(3).strip()
+        src = shadow.like_map.get(key)
+        eligible = (
+            key in shadow.repaired_tables
+            or (src is not None and (
+                src in shadow.repaired_tables
+                or src in shadow.rebuild_counts
+            ))
+        )
+        if not eligible or not body:
+            return False
+        if not re.match(r"(?is)^(SELECT|WITH|\()", body):
+            return False
+        try:
+            cols = list(spark.sql(body).schema.names)
+        except Exception:  # noqa: BLE001  (body itself unresolved --
+            # the earlier repair branches own that)
+            return False
+        return shadow.rebuild_to_schema(key, cols)
 
     status: dict[int, str] = {}  # index -> ok | err-code
     pending = list(range(len(stmts)))
@@ -739,6 +850,12 @@ def main() -> None:
                                 or _LATERAL_RE.search(msg)
                             )
                             if m and shadow.add_column(m.group(1), t):
+                                progress = True
+                                continue
+                            if (
+                                "INSERT_COLUMN_ARITY_MISMATCH" in msg
+                                and _retype_insert_target(t)
+                            ):
                                 progress = True
                                 continue
                             if shadow.pad_for_insert(msg):
@@ -849,6 +966,7 @@ def main() -> None:
         "insert_arity_on_synthesized_schema": n_arity_synth,
         "repaired_tables": len(shadow.repaired_tables),
         "ambiguity_drops": shadow.n_ambiguity_drops,
+        "insert_select_schema_rebuilds": len(shadow.rebuild_counts),
         "schema_hints_lifted": len(schema_hints),
         "synthesized_tables": dict(sorted(shadow.provenance.items())),
         "residual_buckets": dict(

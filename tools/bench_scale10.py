@@ -45,12 +45,15 @@ SUBSET = [
 ]
 
 
-def run_bench(sf_dir: str, reps: int) -> dict:
+def run_bench(sf_dir: str, reps: int, rebuild_mode: str = "par") -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR=sf_dir,
-        SPARK_GRAFT_BENCH_QUERIES=",".join(SUBSET),
+        SPARK_GRAFT_BENCH_QUERIES=",".join(
+            SUBSET if rebuild_mode == "par" else SUBSET[:1]
+        ),
         SPARK_GRAFT_BENCH_REPS=str(reps),
+        SPARK_GRAFT_REBUILD_MODE=rebuild_mode,
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -83,6 +86,13 @@ def main() -> None:
         )
     mid = run_bench(SF1_DIR, reps=2)
     big = run_bench(SF10_DIR, reps=2)
+    # sequential-mode rebuild: parallel-group wall times overlap, so
+    # per-model slopes carry co-scheduling phantoms (the r8
+    # master_historical ×13 that read ×2.5 clean); the sequential
+    # pass gives each model the whole machine and makes the slope
+    # attributable. One run per decade, rebuild only.
+    mid_seq = run_bench(SF1_DIR, reps=1, rebuild_mode="seq")
+    big_seq = run_bench(SF10_DIR, reps=1, rebuild_mode="seq")
     slopes = {
         name: {
             "sf1_sec": mid["queries"][name],
@@ -96,17 +106,21 @@ def main() -> None:
     }
     # per-model rebuild slopes (r6 verdict #6: the ×4.5/decade
     # aggregate must localize to a model in one read)
-    m1 = mid.get("wh_rebuild_models", {})
-    m10 = big.get("wh_rebuild_models", {})
-    model_slopes = {
-        name: {
-            "sf1_sec": m1[name],
-            "sf10_sec": m10[name],
-            "ratio": round(m10[name] / max(m1[name], 1e-9), 2),
+    def _model_slopes(a: dict, b: dict) -> dict:
+        m1 = a.get("wh_rebuild_models", {})
+        m10 = b.get("wh_rebuild_models", {})
+        return {
+            name: {
+                "sf1_sec": m1[name],
+                "sf10_sec": m10[name],
+                "ratio": round(m10[name] / max(m1[name], 1e-9), 2),
+            }
+            for name in m1
+            if name in m10
         }
-        for name in m1
-        if name in m10
-    }
+
+    model_slopes = _model_slopes(mid, big)
+    model_slopes_seq = _model_slopes(mid_seq, big_seq)
     doc = {
         "metric": "scale_slope_sf1_to_sf10",
         "data_factor": 10,
@@ -119,6 +133,18 @@ def main() -> None:
                 key=lambda kv: -kv[1]["sf10_sec"],
             )
         ),
+        "rebuild_models_sequential": dict(
+            sorted(
+                model_slopes_seq.items(),
+                key=lambda kv: -kv[1]["sf10_sec"],
+            )
+        ),
+        "rebuild_seq_total_sf1_sec": mid_seq.get("queries", {}).get(
+            "wh_full_rebuild"
+        ) or mid_seq.get("wh_full_rebuild"),
+        "rebuild_seq_total_sf10_sec": big_seq.get("queries", {}).get(
+            "wh_full_rebuild"
+        ) or big_seq.get("wh_full_rebuild"),
         "note": (
             "second decade: ratio <=10 = linear-or-better at 10x "
             "data on fixed local[32]; the pruned bigram LM and the "
