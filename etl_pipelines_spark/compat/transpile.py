@@ -1509,6 +1509,18 @@ def _rw_trino(toks: list[Tok]) -> list[Tok]:
                         Tok("word", "explode"),
                     ]
                     i += 2
+                elif p >= 0 and _word_is(out[p], "JOIN"):
+                    # CROSS JOIN UNNEST(e) AS t(c) (the intercom
+                    # Athena export) -> , LATERAL explode(e) AS t(c)
+                    q = _prev_sig(out, p)
+                    start = q if (q >= 0 and _word_is(out[q], "CROSS")) \
+                        else p
+                    out[start : i + 1] = [
+                        Tok("punct", ","), Tok("ws", " "),
+                        Tok("word", "lateral"), Tok("ws", " "),
+                        Tok("word", "explode"),
+                    ]
+                    i = start + 4
             elif lw == "date_format" and has_call:
                 args, _close = _call_args(out, j)
                 if len(args) == 2:

@@ -938,6 +938,12 @@ def main() -> None:
             pass  # keep the tier name as its own residual bucket
         elif _PLACEHOLDER_RE.search(stmts[i][2]) and (
             "UNRESOLVED" in s or "TABLE_OR_VIEW" in s or "DATATYPE" in s
+            # a template hole can sit where SYNTAX depends on the
+            # injected text (the intercom Athena export writes
+            # `:param;` with per-line semicolons that fragment the
+            # statement) -- the parse failure grades the template,
+            # not the dialect
+            or "PARSE_SYNTAX" in s
         ):
             s = "template-param-limited"
         residual[s] = residual.get(s, 0) + 1
