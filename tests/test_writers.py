@@ -169,6 +169,34 @@ def test_upsert_drops_emptied_timestamp_partition(spark, tmp_table):
     assert not os.path.exists(escaped)
 
 
+def test_upsert_drops_emptied_nested_partition(spark, tmp_table):
+    """Two-level partitioning: the stale-dir resolver must walk one
+    partition level at a time (each level independently escaped)."""
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", "a:1", "only"), (2, "2024-01-02", "a:2", "keep")],
+        ["id", "d", "shard", "v"],
+    )
+    full_refresh(base, tmp_table, partition_by=["d", "shard"])
+    nested = os.path.join(tmp_table, "d=2024-01-01", "shard=a%3A1")
+    assert os.path.exists(nested)
+    upsert(
+        spark,
+        spark.createDataFrame(
+            [(1, "2024-01-05", "a:9", "moved")], ["id", "d", "shard", "v"]
+        ),
+        tmp_table,
+        keys=["id"],
+        partition_by=["d", "shard"],
+    )
+    got = {(r.id, str(r.d), r.shard, r.v)
+           for r in spark.read.parquet(tmp_table).collect()}
+    assert got == {
+        (1, "2024-01-05", "a:9", "moved"),
+        (2, "2024-01-02", "a:2", "keep"),
+    }
+    assert not os.path.exists(nested)
+
+
 def test_upsert_null_partition_fails_before_write(spark, tmp_table):
     """ADVICE r8 (low): the NULL-partition guard must fire BEFORE the
     dynamic overwrite commits, leaving the table untouched."""
