@@ -211,6 +211,16 @@ def upsert(
                     "to leave deleted keys' rows on disk"
                 )
             shutil.rmtree(sub)
+            # nested partitioning: a dropped leaf can orphan empty
+            # parent level dirs — prune them up to the table root
+            parent = os.path.dirname(sub)
+            while (
+                os.path.abspath(parent) != os.path.abspath(path)
+                and os.path.isdir(parent)
+                and not os.listdir(parent)
+            ):
+                os.rmdir(parent)
+                parent = os.path.dirname(parent)
     else:
         kept = existing.join(new_rows.select(*keys).distinct(), keys, "left_anti")
         out = kept.unionByName(new_rows)
