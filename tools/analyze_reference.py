@@ -618,17 +618,15 @@ def main() -> None:
         # run). Current-config view resolution makes the shadow
         # session self-consistent.
         .config("spark.sql.legacy.useCurrentConfigsForView", "true")
-        # Redshift's implicit-cast rules are lenient (VARCHAR
-        # coerces on demand; an invalid cast of a TEMPLATE-PARAM
-        # placeholder value is a sweep artifact, not a statement
-        # defect — real runs inject real values). Spark 4's ANSI
-        # default fails those at execution (CAST_INVALID_INPUT) and
-        # rejects string operands in arithmetic at analysis
-        # (DATATYPE_MISMATCH.BINARY_OP_WRONG_TYPE) where Redshift
-        # accepts them; non-ANSI is the dialect-faithful mode for a
-        # RESOLUTION sweep. Name/column/function resolution and
-        # structural type checks are unaffected.
-        .config("spark.sql.ansi.enabled", "false")
+        # NOTE (r9, measured-rejected): ansi.enabled=false looked
+        # dialect-faithful for Redshift's lenient implicit casts, but
+        # spark.sql.ansi.doubleQuotedIdentifiers ONLY applies under
+        # ANSI mode — with ANSI off, every `"quoted"` identifier in
+        # the corpus reverts to a string literal and the sweep
+        # collapses (PARSE 155 → 619, analyzed-ok 2929 → 2667 in the
+        # full-corpus probe). ANSI stays ON; the CAST_INVALID_INPUT
+        # bucket it costs (~34, template-param placeholder values) is
+        # accepted as template-limited noise.
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("FATAL")
