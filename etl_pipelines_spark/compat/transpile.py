@@ -1510,17 +1510,32 @@ def _rw_trino(toks: list[Tok]) -> list[Tok]:
                     ]
                     i += 2
                 elif p >= 0 and _word_is(out[p], "JOIN"):
-                    # CROSS JOIN UNNEST(e) AS t(c) (the intercom
-                    # Athena export) -> , LATERAL explode(e) AS t(c)
                     q = _prev_sig(out, p)
-                    start = q if (q >= 0 and _word_is(out[q], "CROSS")) \
-                        else p
-                    out[start : i + 1] = [
-                        Tok("punct", ","), Tok("ws", " "),
-                        Tok("word", "lateral"), Tok("ws", " "),
-                        Tok("word", "explode"),
-                    ]
-                    i = start + 4
+                    if q >= 0 and _word_is(out[q], "CROSS"):
+                        # CROSS JOIN UNNEST(e) AS t(c) (the intercom
+                        # Athena export) -> , LATERAL explode(e) AS t(c)
+                        out[q : i + 1] = [
+                            Tok("punct", ","), Tok("ws", " "),
+                            Tok("word", "lateral"), Tok("ws", " "),
+                            Tok("word", "explode"),
+                        ]
+                        i = q + 4
+                    else:
+                        # LEFT/INNER/bare JOIN UNNEST(e) AS t(c) ON
+                        # TRUE (the standard Trino left-unnest idiom,
+                        # ADVICE r9) -> same join against LATERAL
+                        # explode — Spark's lateral TVF join accepts
+                        # LEFT/INNER/bare JOIN ... ON TRUE directly
+                        # with matching outer/inner semantics
+                        # (probed: empty/null arrays keep the row
+                        # with NULL under LEFT, drop it under INNER),
+                        # so the join keyword, alias, and ON clause
+                        # pass through untouched.
+                        out[i : i + 1] = [
+                            Tok("word", "lateral"), Tok("ws", " "),
+                            Tok("word", "explode"),
+                        ]
+                        i += 2
             elif lw == "date_format" and has_call:
                 args, _close = _call_args(out, j)
                 if len(args) == 2:
@@ -1579,11 +1594,15 @@ def _rw_trino(toks: list[Tok]) -> list[Tok]:
             return toks
         c, o, p, i, close, q, tstr = hit
         expr = _render(out[o + 1 : p]).strip()
-        toks = (
-            out[:c]
-            + tokenize(f"from_json({expr}, '{tstr}')")
-            + out[q + 1 :]
-        )
+        if "<" in tstr:
+            repl = f"from_json({expr}, '{tstr}')"
+        else:
+            # A JSON-valued MAP collapses to plain 'string' at the
+            # TOP level too (CAST(x AS MAP(VARCHAR, JSON))), and
+            # from_json rejects scalar schemas — emit a plain cast
+            # instead (ADVICE r9).
+            repl = f"cast({expr} AS {tstr})"
+        toks = out[:c] + tokenize(repl) + out[q + 1 :]
 
 
 def _rw_at_time_zone(toks: list[Tok]) -> list[Tok]:

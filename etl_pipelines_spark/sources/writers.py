@@ -16,6 +16,7 @@ table rewrites only the trailing window's partitions.
 
 from __future__ import annotations
 
+import datetime
 import os
 import shutil
 import uuid
@@ -28,10 +29,19 @@ from pyspark.sql import functions as F
 def _expected_partition_str(v) -> str:
     """The string form Spark uses for a partition VALUE (before path
     escaping): booleans lower-case ('true', not Python's 'True');
-    dates/timestamps/numbers via str(), which matches Spark's cast-to
-    -string for the types parquet partitioning admits."""
+    timestamps with TRAILING FRACTIONAL ZEROS TRIMMED — Spark writes
+    'ts=2024-01-01 06:30:00.5' where str(datetime) gives
+    '...06:30:00.500000', so a raw str() comparison misses exactly
+    the sub-second partition values (ADVICE r9); dates/numbers via
+    str(), which matches Spark's cast-to-string for the remaining
+    types parquet partitioning admits."""
     if isinstance(v, bool):
         return str(v).lower()
+    if isinstance(v, datetime.datetime):
+        s = str(v)
+        if "." in s:
+            s = s.rstrip("0").rstrip(".")
+        return s
     return str(v)
 
 
@@ -186,9 +196,14 @@ def upsert(
             for r in out.select(*partition_by).distinct().collect()
         }
         stale = sorted(touched_vals - survivor_vals, key=str)
-        # Validate BEFORE the write: raising after out.write has
-        # committed would leave the table half-merged (new rows
-        # written, stale NULL-partition rows retained).
+        # Validate AND resolve the stale directories BEFORE the
+        # write (ADVICE r9): raising after out.write has committed
+        # would leave the table half-merged (new rows written, stale
+        # partition retained) — a failed upsert must be a clean
+        # no-op. A stale partition receives no rows in the dynamic
+        # overwrite, so its directory is untouched by the write and
+        # the pre-write resolution stays valid afterwards.
+        stale_dirs = []
         for vals in stale:
             if any(v is None for v in vals):
                 raise NotImplementedError(
@@ -196,9 +211,6 @@ def upsert(
                     f"({partition_by}={vals}); handle "
                     "__HIVE_DEFAULT_PARTITION__ explicitly"
                 )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        out.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
-        for vals in stale:
             sub = _resolve_partition_dir(path, partition_by, vals)
             if sub is None:
                 # The partition held only replaced keys, so it MUST
@@ -210,6 +222,10 @@ def upsert(
                     f"{tuple(vals)} not found under {path}; refusing "
                     "to leave deleted keys' rows on disk"
                 )
+            stale_dirs.append(sub)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        out.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+        for sub in stale_dirs:
             shutil.rmtree(sub)
             # nested partitioning: a dropped leaf can orphan empty
             # parent level dirs — prune them up to the table root

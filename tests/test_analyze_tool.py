@@ -105,6 +105,31 @@ FROM ods_x.orders_conformed;
 CREATE TABLE mart_x.w_report AS
 SELECT wid FROM stg_w.landing;
 """,
+    # the r10 pad-not-shrink path (VERDICT r9 #1): 80 infers
+    # {pid, legacy_col} onto stg_p.landing; 81's no-column-list
+    # INSERT supplies {pid, pval, pday} — legacy_col is NOT in the
+    # INSERT schema, so a schema-from-SELECT rebuild would discard a
+    # column a consumer reads (the r9 UNRESOLVED_COLUMN 173→944
+    # regression). The repair must PAD (add pval/pday) and leave the
+    # INSERT to the graded arity tier; 82 then reads BOTH a padded
+    # column and the consumer-inferred survivor
+    "g_pad/80_consumer.sql": """
+CREATE TABLE mart_x.uses_p AS
+SELECT p.pid, p.legacy_col FROM stg_p.landing p;
+""",
+    # four columns so the width cannot coincide with the three
+    # consumer-inferred ones ({legacy_col, pid} from 80 + bare pval
+    # from 82) — a 3-wide INSERT would slot in positionally and mask
+    # the repair path entirely
+    "g_pad/81_insert.sql": """
+INSERT INTO stg_p.landing
+SELECT '1' AS pid, '2' AS pval, '3' AS pday, '4' AS pwk
+FROM ods_x.orders_conformed;
+""",
+    "g_pad/82_reader.sql": """
+CREATE TABLE mart_x.p_report AS
+SELECT pval, legacy_col FROM stg_p.landing;
+""",
 }
 
 
@@ -127,10 +152,10 @@ def test_shadow_analysis_smoke(tmp_path):
     # and the DROP+CTAS consumer of the analyzer-failed creator
     # (phase-3 guard lift). Repaired: stg_raw.orders_landing,
     # stg_dead.landing_q, mart_x.broken.
-    assert cov["statements"] == 20
+    assert cov["statements"] == 23
     assert cov["transpile_failed"] == 1
-    assert cov["analyzed_ok"] == 18
-    assert cov["repaired_tables"] == 6
+    assert cov["analyzed_ok"] == 20
+    assert cov["repaired_tables"] == 7
     # the bare guess on stg_amb.products was retracted when the
     # qualified home (stg_amb.variants) made 62_c ambiguous
     assert cov["ambiguity_drops"] >= 1
@@ -143,6 +168,17 @@ def test_shadow_analysis_smoke(tmp_path):
     assert any(
         "UNRESOLVED_ROUTINE" in k for k in cov["residual_buckets"]
     ), cov["residual_buckets"]
+    # r10 pad-not-shrink: stg_p.landing kept legacy_col (consumer-
+    # inferred, absent from the INSERT schema), gained the INSERT
+    # aliases as a PAD, and the INSERT itself landed in the graded
+    # arity tier instead of analyzed-ok
+    assert cov["synthesized_tables"]["stg_p.landing"]["via"] == (
+        "consumer-inference"
+    )
+    assert cov["synthesized_tables"]["stg_p.landing"]["via_pad"] == (
+        "insert-select-pad"
+    )
+    assert cov["insert_arity_on_synthesized_schema"] >= 1
     synth = cov["synthesized_tables"]
     assert synth["stg_dead.landing_q"]["via"] == "insert-column-list"
     assert synth["stg_dead.landing_q"]["n_cols"] >= 3

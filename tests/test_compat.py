@@ -675,8 +675,18 @@ class TestTrinoDialect:
             "ARRAY(MAP(VARCHAR, JSON))) FROM t"
         )
         # a JSON-valued map collapses to the raw-JSON string element
-        assert "from_json(get_json_object(p, '$.items'), "
+        assert "from_json(get_json_object(p, '$.items'), " in out, out
         assert "'array<string>'" in out, out
+
+    def test_cast_top_level_json_map_becomes_plain_cast(self):
+        """ADVICE r9: a TOP-LEVEL JSON-valued map renders as scalar
+        'string', and from_json rejects scalar schemas — emit
+        cast(x AS string), not from_json(x, 'string')."""
+        from etl_pipelines_spark.compat.transpile import transpile
+
+        out = transpile("SELECT cast(x as MAP(VARCHAR, JSON)) FROM t")
+        assert "from_json" not in out, out
+        assert "cast(x AS string)" in out, out
 
     def test_cast_as_json_becomes_string(self):
         from etl_pipelines_spark.compat.transpile import transpile
@@ -694,6 +704,41 @@ class TestTrinoDialect:
         spark.sql(
             "create or replace temp view src as "
             "select 1 as id, array('x','y') as arr"
+        )
+        rows = sorted((r.id, r.c) for r in spark.sql(out).collect())
+        assert rows == [(1, "x"), (1, "y")]
+
+    def test_left_join_unnest_on_true_keeps_outer_semantics(self, spark):
+        """ADVICE r9: 'LEFT JOIN UNNEST(e) AS t(c) ON TRUE' (the
+        standard Trino left-unnest idiom) must rewrite to Spark's
+        lateral TVF join with the LEFT keyword and ON clause kept —
+        empty arrays keep their row with a NULL element."""
+        from etl_pipelines_spark.compat.transpile import transpile
+
+        out = transpile(
+            "SELECT id, c FROM src2 LEFT JOIN UNNEST(arr) AS t(c) ON TRUE"
+        )
+        assert "left join lateral explode(arr)" in out.lower(), out
+        assert "on true" in out.lower(), out
+        spark.sql(
+            "create or replace temp view src2 as select * from values "
+            "(1, array('x','y')), (2, array()) as t(id, arr)"
+        )
+        rows = sorted(
+            (r.id, r.c) for r in spark.sql(out).collect()
+        )
+        assert rows == [(1, "x"), (1, "y"), (2, None)]
+
+    def test_inner_join_unnest_on_true(self, spark):
+        from etl_pipelines_spark.compat.transpile import transpile
+
+        out = transpile(
+            "SELECT id, c FROM src2 INNER JOIN UNNEST(arr) AS t(c) ON TRUE"
+        )
+        assert "inner join lateral explode(arr)" in out.lower(), out
+        spark.sql(
+            "create or replace temp view src2 as select * from values "
+            "(1, array('x','y')), (2, array()) as t(id, arr)"
         )
         rows = sorted((r.id, r.c) for r in spark.sql(out).collect())
         assert rows == [(1, "x"), (1, "y")]

@@ -169,6 +169,75 @@ def test_upsert_drops_emptied_timestamp_partition(spark, tmp_table):
     assert not os.path.exists(escaped)
 
 
+def test_upsert_drops_emptied_fractional_second_partition(spark, tmp_table):
+    """ADVICE r9 (medium): Spark TRIMS trailing fractional-second
+    zeros in timestamp partition paths ('ts=2024-01-01
+    06%3A30%3A00.5') while str(datetime) gives '...06:30:00.500000';
+    without normalization the stale dir fails to resolve and the
+    upsert raises AFTER the overwrite committed, leaving the table
+    half-merged."""
+    import datetime as dt
+
+    base = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 6, 30, 0, 500000), "only"),
+         (2, dt.datetime(2024, 1, 2, 6, 30), "keep")],
+        ["id", "ts", "v"],
+    )
+    full_refresh(base, tmp_table, partition_by=["ts"])
+    escaped = os.path.join(tmp_table, "ts=2024-01-01 06%3A30%3A00.5")
+    assert os.path.exists(escaped), sorted(os.listdir(tmp_table))
+    upsert(
+        spark,
+        spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 5, 6, 30), "moved")], ["id", "ts", "v"]
+        ),
+        tmp_table,
+        keys=["id"],
+        partition_by=["ts"],
+    )
+    got = {(r.id, str(r.ts), r.v) for r in spark.read.parquet(tmp_table).collect()}
+    assert got == {
+        (1, "2024-01-05 06:30:00", "moved"),
+        (2, "2024-01-02 06:30:00", "keep"),
+    }
+    assert not os.path.exists(escaped)
+
+
+def test_upsert_unresolvable_stale_partition_fails_before_write(
+    spark, tmp_table, monkeypatch
+):
+    """ADVICE r9: a stale-partition resolution failure must abort
+    BEFORE the dynamic overwrite commits — the failed upsert is a
+    clean no-op, not a half-merge with new rows written and the
+    stale partition retained."""
+    import pytest
+
+    from etl_pipelines_spark.sources import writers
+
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", "only"), (2, "2024-01-02", "keep")],
+        ["id", "d", "v"],
+    )
+    full_refresh(base, tmp_table, partition_by=["d"])
+    monkeypatch.setattr(
+        writers, "_resolve_partition_dir", lambda *a, **k: None
+    )
+    with pytest.raises(RuntimeError, match="stale partition"):
+        upsert(
+            spark,
+            spark.createDataFrame(
+                [(1, "2024-01-05", "moved")], ["id", "d", "v"]
+            ),
+            tmp_table,
+            keys=["id"],
+            partition_by=["d"],
+        )
+    # table untouched: no 2024-01-05 partition, old row still there
+    got = {(r.id, str(r.d), r.v) for r in spark.read.parquet(tmp_table).collect()}
+    assert got == {(1, "2024-01-01", "only"), (2, "2024-01-02", "keep")}
+    assert not os.path.exists(os.path.join(tmp_table, "d=2024-01-05"))
+
+
 def test_upsert_drops_emptied_nested_partition(spark, tmp_table):
     """Two-level partitioning: the stale-dir resolver must walk one
     partition level at a time (each level independently escaped)."""
