@@ -1970,6 +1970,223 @@ _PASSES = (
 )
 
 
+def lateral_alias_candidates(sql: str) -> list[str]:
+    """Select-list alias names defined anywhere in the statement, in
+    definition order (dedup'd) — the candidate set for the UNNAMED
+    lateral-alias error (LATERAL_COLUMN_ALIAS_IN_GROUP_BY does not
+    name the alias; the caller tries inlining one candidate at a
+    time and re-analyzes). Only explicit ``AS alias`` definitions
+    are enumerated: implicit aliases are also legal def sites for
+    the named path, but as blind candidates they over-trigger. Words
+    that are not really select-item aliases (e.g. the type in
+    ``CAST(x AS int)``) slip through here but are harmless: the
+    inliner requires a definition at a select-item tail, finds none,
+    and returns None."""
+    toks = tokenize(sql)
+    out: list[str] = []
+    for i, t in enumerate(toks):
+        if not _word_is(t, "AS"):
+            continue
+        n = _next_sig(toks, i)
+        if n < len(toks) and toks[n].kind == "word":
+            name = toks[n].text.lower()
+            if name not in out:
+                out.append(name)
+    return out
+
+
+def inline_lateral_alias(
+    sql: str, alias: str, list_only: bool = False
+) -> str | None:
+    """Redshift-style lateral column alias inlining, ERROR-DRIVEN
+    (VERDICT r9 #6): Spark resolves a select-list alias referenced
+    later in the same list but rejects the reference inside window
+    expressions, GROUP BY, and aggregate arguments
+    (``UNSUPPORTED_FEATURE.LATERAL_COLUMN_ALIAS_IN_*`` — 69
+    statements in the reference corpus, e.g.
+    Datawarehouse-ETL/0_ods_core/00_inventory_reservations.sql:28
+    ``row_number() over (... order by updated_at desc)`` where
+    ``updated_at`` is the previous select item's alias). Redshift
+    treats the lateral alias as macro expansion of the aliased
+    expression, so inlining the expression at each bare use site is
+    the faithful mechanical rewrite.
+
+    Call this only with the alias NAMED BY SPARK'S ERROR: Spark
+    raises only after resolving the reference laterally, so a real
+    input column of the same name (which binds first in both
+    engines) can never be shadowed by this rewrite. Returns the
+    rewritten SQL, or None when no definition+use pair was found
+    (loud-stop: the caller keeps the original error).
+
+    ``list_only=True`` restricts use-site replacement to the select
+    list itself (not GROUP BY/HAVING/window clauses after FROM) —
+    the conservative mode for the UNNAMED
+    LATERAL_COLUMN_ALIAS_IN_GROUP_BY error, whose root cause is an
+    intra-list lateral chain (``x+1 AS s, s*2 AS r ... GROUP BY r``:
+    the GROUP BY alias itself is supported, its lateral EXPANSION is
+    not)."""
+    toks = tokenize(sql)
+    low = alias.lower()
+
+    def is_alias_tok(t: Tok) -> bool:
+        return (t.kind == "word" and t.text.lower() == low) or (
+            t.kind == "qid" and t.text[1:-1].lower() == low
+        )
+
+    # token paren depths
+    depths: list[int] = []
+    d = 0
+    for t in toks:
+        if t.kind == "punct" and t.text == "(":
+            depths.append(d)
+            d += 1
+        elif t.kind == "punct" and t.text == ")":
+            d -= 1
+            depths.append(d)
+        else:
+            depths.append(d)
+
+    # SELECT blocks: (sel_idx, from_idx|None, end_idx, depth).
+    # A block ends at the ')' that closes its depth, at a same-depth
+    # sibling SELECT (UNION arm — lateral aliases do not cross set
+    # operators), or at end of statement.
+    blocks: list[tuple[int, int | None, int, int]] = []
+    stack: list[list] = []  # [sel_idx, depth, from_idx|None]
+    for i, t in enumerate(toks):
+        if t.kind == "punct" and t.text == ")":
+            while stack and stack[-1][1] > depths[i]:
+                s = stack.pop()
+                blocks.append((s[0], s[2], i, s[1]))
+        elif _word_is(t, "SELECT"):
+            while stack and stack[-1][1] == depths[i]:
+                s = stack.pop()
+                blocks.append((s[0], s[2], i, s[1]))
+            stack.append([i, depths[i], None])
+        elif _word_is(t, "FROM") and stack and stack[-1][1] == depths[i] \
+                and stack[-1][2] is None:
+            stack[-1][2] = i
+    while stack:
+        s = stack.pop()
+        blocks.append((s[0], s[2], len(toks), s[1]))
+
+    # replacements: use-token index -> expression token span
+    repl: dict[int, list[Tok]] = {}
+    for sel, frm, end, bd in blocks:
+        if frm is None:
+            continue
+        # select-list items, split at commas at the block's depth
+        items: list[tuple[int, int]] = []
+        start = sel + 1
+        for k in range(sel + 1, frm):
+            tk = toks[k]
+            if tk.kind == "punct" and tk.text == "," and depths[k] == bd:
+                items.append((start, k))
+                start = k + 1
+        items.append((start, frm))
+
+        def_span = None
+        expr_toks: list[Tok] | None = None
+        alias_positions: set[int] = set()  # (implicit) alias tokens
+        for lo, hi in items:
+            sig = [k for k in range(lo, hi) if _is_sig(toks[k])]
+            if len(sig) < 2:
+                continue
+            last = sig[-1]
+            prev = sig[-2]
+            if not is_alias_tok(toks[last]):
+                # still record foreign alias positions? only same
+                # name matters, and is_alias_tok filters that
+                continue
+            if _word_is(toks[prev], "AS"):
+                alias_positions.add(last)
+                if def_span is None:
+                    def_span = (lo, hi)
+                    expr_toks = [
+                        toks[k] for k in range(lo, prev)
+                    ]
+            elif toks[prev].kind in ("word", "num", "str", "qid") or (
+                toks[prev].kind == "punct" and toks[prev].text == ")"
+            ):
+                # implicit alias: `expr alias` with no AS
+                alias_positions.add(last)
+                if def_span is None:
+                    def_span = (lo, hi)
+                    expr_toks = [toks[k] for k in range(lo, last)]
+        if def_span is None or expr_toks is None:
+            continue
+        # drop leading DISTINCT/ALL and surrounding ws/comments
+        while expr_toks and (
+            not _is_sig(expr_toks[0])
+            or _word_is(expr_toks[0], "DISTINCT", "ALL")
+        ):
+            expr_toks.pop(0)
+        while expr_toks and not _is_sig(expr_toks[-1]):
+            expr_toks.pop()
+        if not expr_toks:
+            continue
+
+        # use sites: bare references in the block, outside the
+        # defining item, outside nested sub-SELECT scopes, not
+        # qualified, not a call, not an alias position
+        scan_end = frm if list_only else end
+        k = sel + 1
+        while k < scan_end:
+            t = toks[k]
+            if t.kind == "punct" and t.text == "(":
+                n = _next_sig(toks, k)
+                if n < scan_end and _word_is(toks[n], "SELECT"):
+                    # skip the whole nested subquery: its own scope
+                    dd = 0
+                    while k < scan_end:
+                        if toks[k].kind == "punct" and toks[k].text == "(":
+                            dd += 1
+                        elif toks[k].kind == "punct" and toks[k].text == ")":
+                            dd -= 1
+                            if dd == 0:
+                                break
+                        k += 1
+                    k += 1
+                    continue
+            if (
+                is_alias_tok(t)
+                and not (def_span[0] <= k < def_span[1])
+                and k not in alias_positions
+                and k not in repl
+            ):
+                p = _prev_sig(toks, k)
+                n = _next_sig(toks, k)
+                prev_t = toks[p] if p >= 0 else None
+                next_t = toks[n] if n < len(toks) else None
+                qualified = (
+                    (prev_t is not None and prev_t.kind == "punct"
+                     and prev_t.text == ".")
+                    or (next_t is not None and next_t.kind == "punct"
+                        and next_t.text == ".")
+                )
+                is_call = (
+                    next_t is not None and next_t.kind == "punct"
+                    and next_t.text == "("
+                )
+                is_def_kw = prev_t is not None and _word_is(
+                    prev_t, "AS", "FROM", "JOIN", "INTO", "TABLE", "VIEW"
+                )
+                if not qualified and not is_call and not is_def_kw:
+                    repl[k] = expr_toks
+            k += 1
+
+    if not repl:
+        return None
+    out: list[Tok] = []
+    for k, t in enumerate(toks):
+        if k in repl:
+            out.append(Tok("punct", "("))
+            out.extend(repl[k])
+            out.append(Tok("punct", ")"))
+        else:
+            out.append(t)
+    return _render(out)
+
+
 def transpile(sql: str, temp_tables: str = "view") -> str:
     """Rewrite one Redshift-dialect statement (or script) to Spark
     SQL. Raises TranspileError on constructs that cannot be rewritten

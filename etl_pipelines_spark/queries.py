@@ -8049,69 +8049,66 @@ def compat_redshift_script(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _DRIVER_WINDOW = [
-    # --- round-9 window: oldest evidence first. m_date_spine (r5 —
-    # held from the r8 rotation, now the single oldest oracle-checked
-    # row), then the 47 r6-aged rows (newest driver evidence
-    # CORRECTNESS_r06.json), then the queries that are NEW or whose
-    # implementation changed this round and need a fresh hash proof:
-    # pay_retry_fanout (new — the reference-semantics fan-out witness
-    # for pay_retry_payments, ADVICE r8) and dd_embedding_neardup
-    # (r7-aged watch item — verify-stage instrumentation keeps
-    # touching its plan). Union coverage across r1-r9 stays total
-    # (test-pinned, tests/test_registry_window.py).
-    "m_date_spine",
-    # r6-aged cohort (47):
-    "q1_pricing_summary",
-    "master_customer",
-    "dd_exact_dup_groups",
-    "dd_exact_dedup_survivors",
-    "dd_simhash_md5",
-    "ann_brute_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "emb_pq_encode",
-    "ann_pq_adc",
-    "txt_bpe_encode",
-    "txt_langid",
-    "txt_hash_split",
-    "txt_stratified_sample",
-    "corpus_curation",
-    "txt_repetition",
-    "txt_chunk_plan",
-    "txt_contamination",
-    "ml_churn_score",
-    "ml_price_score",
-    "ml_mlp_score",
-    "wh_daily_kpi",
-    "sessions_union_stitch",
-    "gc_account_balance",
-    "wh_track_events",
-    "sust_seasonality",
-    "mkt_affiliate_payout",
-    "scd2_history",
-    "mm_ppm_decode",
-    "mm_wav_decode",
-    "mm_video_frames",
-    "mm_mp3_meta",
-    "a_rollup_multigrain",
-    "txt_pii_redact",
-    "dd_line_dedup",
-    "txt_ngram_decontam",
-    "txt_unigram_logprob",
-    "txt_source_mix",
-    "w_time_range_rolling",
-    "txt_gopher_filter",
-    "mm_patch_plan",
-    "mon_volume_anomaly",
-    "tx_merge_readback",
-    "mon_hll_distinct",
-    "mon_cms_heavyhitters",
-    "j_bloom_prefilter",
-    # new / changed this round (skew_salted_rollup — r6-green,
-    # physical-rewrite-only query — defers to r10 to fund the slot):
-    "pay_retry_fanout",
-    "braze_order_attribution",
-    "dd_embedding_neardup",
+    # --- round-10 window: pure freshness rotation (VERDICT r9 #5),
+    # oldest evidence first. skew_salted_rollup leads (r6-green, the
+    # single oldest hash-green row — deferred from the r9 window as
+    # promised there), then the 49 rows whose newest driver evidence
+    # is CORRECTNESS_r07.json (q3/q5 and the a_*/f_*/j_*/p_*/u_*/w_*
+    # operator singles plus the r7 LLM-data cohort). No query
+    # implementation changed this round. Union coverage across
+    # r1-r10 stays total (test-pinned,
+    # tests/test_registry_window.py).
+    "skew_salted_rollup",
+    # r7-aged cohort (49):
+    "a_count_distinct",
+    "a_having_segments",
+    "a_listagg_ordered",
+    "a_median_percentiles",
+    "a_unpivot_measures",
+    "compat_redshift_script",
+    "dd_minhash_lsh",
+    "dd_neardup_components",
+    "dd_neardup_survivors",
+    "dd_semantic_dedup",
+    "dm_rfm_segmentation",
+    "emb_bitext_mine",
+    "f_datetime_kitchen_sink",
+    "f_json_extract",
+    "f_string_kitchen_sink",
+    "j_anti_not_in",
+    "j_asof_attribution",
+    "j_dedup_right",
+    "j_dod_delta",
+    "j_exists_corr",
+    "j_full_outer_calendar",
+    "j_range_bands",
+    "mm_audio_segments",
+    "mm_gif_decode",
+    "mm_jpeg_decode",
+    "mm_mjpeg_frames",
+    "mm_mp4_meta",
+    "mm_png_decode",
+    "mon_table_stats",
+    "mon_value_quantiles",
+    "p_case_nested",
+    "p_regex",
+    "q3_top_revenue_orders",
+    "q5_regional_revenue",
+    "txt_bigram_logprob",
+    "txt_collocations",
+    "txt_pack_plan",
+    "txt_quality_buckets",
+    "txt_tfidf_topterms",
+    "txt_vocab_topk",
+    "u_union_all_pad",
+    "w_agg_over_partition",
+    "w_dense_rank_days",
+    "w_first_last_ignorenulls",
+    "w_lag_lead_gap",
+    "w_percent_rank_spend",
+    "w_rolling_7d",
+    "w_rownum_latest_event",
+    "w_running_balance",
 ]
 
 

@@ -49,6 +49,8 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 from etl_pipelines_spark.compat import transpile  # noqa: E402
 from etl_pipelines_spark.compat.transpile import (  # noqa: E402
     TranspileError,
+    inline_lateral_alias,
+    lateral_alias_candidates,
     install,
     split_statements,
     tokenize,
@@ -73,6 +75,15 @@ _UNRESOLVED_RE = re.compile(
 # a column-repair signal, not a rewrite defect
 _LATERAL_RE = re.compile(
     r"LATERAL_COLUMN_ALIAS_IN_WINDOW[^`]*`([^`]+(?:`\.`[^`]+)*)`"
+)
+# the alias name Spark resolved laterally, for the inline fallback
+# (r10, VERDICT r9 #6): fires on all three _IN_WINDOW / _IN_GROUP_BY
+# / _IN_AGGREGATE_FUNC variants when the column repair above cannot
+# (the relation is a CTE, a subquery, or a corpus-built table — the
+# alias is genuinely a computed lateral reference there, and Redshift
+# documents it as macro expansion of the aliased expression)
+_LATALIAS_NAME_RE = re.compile(
+    r"(?i)lateral column alias[^`]*`([^`]+)`"
 )
 _ARITY_RE = re.compile(
     r"TOO_MANY_DATA_COLUMNS[^`]*`([^`]+(?:`\.`[^`]+)*)`.*?"
@@ -794,6 +805,7 @@ def main() -> None:
         return shadow.rebuild_to_schema(key, cols)
 
     status: dict[int, str] = {}  # index -> ok | err-code
+    last_msg: dict[int, str] = {}  # index -> head of the last raw error
     pending = list(range(len(stmts)))
 
     # Phase 1: fixed-point convergence without repair (pure
@@ -809,6 +821,7 @@ def main() -> None:
                 progress = True
             except Exception as e:  # noqa: BLE001
                 status[i] = _err_code(e)
+                last_msg[i] = str(e)[:300]
                 still.append(i)
         pending = still
         if not progress or not pending:
@@ -845,6 +858,7 @@ def main() -> None:
                     except Exception as e:  # noqa: BLE001
                         msg = str(e)
                         status[i] = _err_code(e)
+                        last_msg[i] = msg[:300]
                         try:
                             m = _MISSING_RE.search(msg)
                             if m:
@@ -874,6 +888,34 @@ def main() -> None:
                             if m and shadow.add_column(m.group(1), t):
                                 progress = True
                                 continue
+                            if "LATERAL_COLUMN_ALIAS" in msg:
+                                m2 = _LATALIAS_NAME_RE.search(msg)
+                                if m2:
+                                    nt = inline_lateral_alias(
+                                        t, m2.group(1)
+                                    )
+                                else:
+                                    # _IN_GROUP_BY does not name the
+                                    # alias: walk the defined-alias
+                                    # candidates one retry at a time
+                                    # (an already-inlined alias has
+                                    # no uses left and returns None,
+                                    # so each retry advances to the
+                                    # next candidate), list-scoped
+                                    # to the intra-list chain that
+                                    # causes this variant
+                                    nt = None
+                                    for _a in lateral_alias_candidates(t):
+                                        nt = inline_lateral_alias(
+                                            t, _a, list_only=True
+                                        )
+                                        if nt:
+                                            break
+                                if nt and nt != t:
+                                    stmts[i] = (f, head, nt)
+                                    t = nt
+                                    progress = True
+                                    continue
                             if (
                                 "INSERT_COLUMN_ARITY_MISMATCH" in msg
                                 and _retype_insert_target(t)
@@ -974,7 +1016,8 @@ def main() -> None:
             "insert-arity-on-synthesized-schema",
         ):
             samples.append({"file": stmts[i][0], "head": stmts[i][1],
-                            "err": status[i][:160]})
+                            "err": status[i][:160],
+                            "msg": last_msg.get(i, "")[:300]})
 
     # Per-top-level-directory PARSE residual: lets a directory-scoped
     # re-run be compared 1:1 against the full-corpus sweep (the r7
