@@ -8054,12 +8054,16 @@ _DRIVER_WINDOW = [
     # single oldest hash-green row — deferred from the r9 window as
     # promised there), then the 49 rows whose newest driver evidence
     # is CORRECTNESS_r07.json (q3/q5 and the a_*/f_*/j_*/p_*/u_*/w_*
-    # operator singles plus the r7 LLM-data cohort). No query
-    # implementation changed this round. Union coverage across
-    # r1-r10 stays total (test-pinned,
+    # operator singles plus the r7 LLM-data cohort minus
+    # mm_audio_segments, deferred to r11 to fund the slot for the
+    # one query whose implementation changed this round and needs a
+    # fresh hash proof: dd_embedding_neardup (signature fold
+    # restructured to a broadcast multiply-add — bit-identical by
+    # construction, re-proven by the driver anyway). Union coverage
+    # across r1-r10 stays total (test-pinned,
     # tests/test_registry_window.py).
     "skew_salted_rollup",
-    # r7-aged cohort (49):
+    # r7-aged cohort (48 of 49):
     "a_count_distinct",
     "a_having_segments",
     "a_listagg_ordered",
@@ -8082,7 +8086,6 @@ _DRIVER_WINDOW = [
     "j_exists_corr",
     "j_full_outer_calendar",
     "j_range_bands",
-    "mm_audio_segments",
     "mm_gif_decode",
     "mm_jpeg_decode",
     "mm_mjpeg_frames",
@@ -8109,6 +8112,8 @@ _DRIVER_WINDOW = [
     "w_rolling_7d",
     "w_rownum_latest_event",
     "w_running_balance",
+    # changed this round:
+    "dd_embedding_neardup",
 ]
 
 

@@ -811,24 +811,37 @@ def lsh_neardup_pairs(
 
     def gen_sigs(batches):
         T = bc.value
+        n_t, n_b, n_d = T.shape
+        # planes flattened to (T*p, dim): the fold below accumulates
+        # every (row, plane) cell over i ASCENDING in one broadcast
+        # multiply-add per step — each cell receives exactly the same
+        # IEEE operation sequence as the former per-plane scalar
+        # loop, so signatures stay bit-identical to the SQL oracle's
+        # left-to-right fold, at 64 python-level steps instead of
+        # tables*planes*dim (r10: this loop was the dominant cost of
+        # the registered dd_embedding_neardup path, which computes
+        # all p_max=14 adaptive bits regardless of the active mask).
+        P2 = T.reshape(n_t * n_b, n_d)
         for pdf in batches:
             if pdf.empty:
                 continue
             M = np.array(list(pdf[vec_col]), dtype=np.float64)
+            acc = np.zeros((len(pdf), n_t * n_b), dtype=np.float64)
+            for i in range(n_d):  # fold order = oracle
+                acc += M[:, i : i + 1] * P2[None, :, i][0]
+            bits = (acc >= 0).astype(np.int64)
+            shifts = np.tile(np.arange(n_b, dtype=np.int64), n_t)
+            packed = (bits << shifts[None, :]).reshape(
+                len(pdf), n_t, n_b
+            ).sum(axis=2)  # OR of disjoint bit positions == sum
             outs = []
-            for t in range(T.shape[0]):
-                sigv = np.zeros(len(pdf), dtype=np.int64)
-                for b in range(T.shape[1]):
-                    acc = np.zeros(len(pdf), dtype=np.float64)
-                    for i in range(T.shape[2]):  # fold order = oracle
-                        acc += M[:, i] * T[t, b, i]
-                    sigv |= (acc >= 0).astype(np.int64) << b
+            for t in range(n_t):
                 outs.append(
                     pd.DataFrame(
                         {
                             id_col: pdf[id_col].to_numpy(),
                             "__table": np.full(len(pdf), t, dtype=np.int32),
-                            "__sig": sigv,
+                            "__sig": packed[:, t],
                         }
                     )
                 )
