@@ -5782,10 +5782,21 @@ def mkt_affiliate_payout_core(
             .distinct()
         )
         fed = feed.join(o, "o_orderkey")
+    # part is NOT force-broadcast (r10, the BENCH_SF10 seq ×6.94
+    # outlier): it grows with the corpus (2M rows at sf10, billions
+    # at 100 TB), so the category attach projects part down to
+    # (p_partkey, category) and lets AQE pick broadcast-vs-shuffle
+    # from the projected size — broadcast at small SFs, shuffle at
+    # scale. qual_src stays an explicit broadcast: it is key-only
+    # and bounded by the supplier population.
+    pcat = p.select(
+        "p_partkey",
+        RF.split_part(F.col("p_type"), " ", 1).alias("category"),
+    )
     lines = (
         fed
         .join(li, li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .join(pcat, pcat.p_partkey == li.l_partkey)
         .join(
             F.broadcast(qual_src.withColumn("__q", F.lit(1))),
             "l_suppkey",
@@ -5800,7 +5811,7 @@ def mkt_affiliate_payout_core(
                 ),
                 F.lit("direct"),
             ).alias("campaign"),
-            RF.split_part(F.col("p_type"), " ", 1).alias("category"),
+            "category",
             "l_quantity",
             _d(F.col("l_extendedprice")).alias("price"),
             F.coalesce(F.col("__q"), F.lit(0)).alias("from_qualified_source"),
