@@ -1995,37 +1995,18 @@ def lateral_alias_candidates(sql: str) -> list[str]:
     return out
 
 
-def inline_lateral_alias(
-    sql: str, alias: str, list_only: bool = False
-) -> str | None:
-    """Redshift-style lateral column alias inlining, ERROR-DRIVEN
-    (VERDICT r9 #6): Spark resolves a select-list alias referenced
-    later in the same list but rejects the reference inside window
-    expressions, GROUP BY, and aggregate arguments
-    (``UNSUPPORTED_FEATURE.LATERAL_COLUMN_ALIAS_IN_*`` — 69
-    statements in the reference corpus, e.g.
-    Datawarehouse-ETL/0_ods_core/00_inventory_reservations.sql:28
-    ``row_number() over (... order by updated_at desc)`` where
-    ``updated_at`` is the previous select item's alias). Redshift
-    treats the lateral alias as macro expansion of the aliased
-    expression, so inlining the expression at each bare use site is
-    the faithful mechanical rewrite.
-
-    Call this only with the alias NAMED BY SPARK'S ERROR: Spark
-    raises only after resolving the reference laterally, so a real
-    input column of the same name (which binds first in both
-    engines) can never be shadowed by this rewrite. Returns the
-    rewritten SQL, or None when no definition+use pair was found
-    (loud-stop: the caller keeps the original error).
-
-    ``list_only=True`` restricts use-site replacement to the select
-    list itself (not GROUP BY/HAVING/window clauses after FROM) —
-    the conservative mode for the UNNAMED
-    LATERAL_COLUMN_ALIAS_IN_GROUP_BY error, whose root cause is an
-    intra-list lateral chain (``x+1 AS s, s*2 AS r ... GROUP BY r``:
-    the GROUP BY alias itself is supported, its lateral EXPANSION is
-    not)."""
-    toks = tokenize(sql)
+def _lateral_block_repls(
+    toks: list, alias: str, list_only: bool = False
+) -> list[dict[int, list]]:
+    """Core of the lateral-alias inliner: for each SELECT block that
+    defines ``alias`` in its select list and references it bare
+    elsewhere, a {use-token-index -> definition-expression tokens}
+    replacement map. One map per block, so callers can apply the
+    rewrite ONE SCOPE AT A TIME — Spark's LATERAL_COLUMN_ALIAS error
+    only proves the alias shadows no real column in the scope that
+    raised; a different block's FROM may legitimately supply a real
+    column of the same name (r10 ADVICE), so a statement-wide rewrite
+    there would change semantics."""
     low = alias.lower()
 
     def is_alias_tok(t: Tok) -> bool:
@@ -2069,9 +2050,13 @@ def inline_lateral_alias(
         s = stack.pop()
         blocks.append((s[0], s[2], len(toks), s[1]))
 
-    # replacements: use-token index -> expression token span
-    repl: dict[int, list[Tok]] = {}
+    # replacements: use-token index -> expression token span, one map
+    # per block (plus that block's definition-alias token index);
+    # `claimed` dedups across nested/sibling block scans
+    block_repls: list[tuple[dict[int, list[Tok]], int]] = []
+    claimed: set[int] = set()
     for sel, frm, end, bd in blocks:
+        repl: dict[int, list[Tok]] = {}
         if frm is None:
             continue
         # select-list items, split at commas at the block's depth
@@ -2085,6 +2070,7 @@ def inline_lateral_alias(
         items.append((start, frm))
 
         def_span = None
+        def_tok = -1  # token index of the defining alias name
         expr_toks: list[Tok] | None = None
         alias_positions: set[int] = set()  # (implicit) alias tokens
         for lo, hi in items:
@@ -2101,6 +2087,7 @@ def inline_lateral_alias(
                 alias_positions.add(last)
                 if def_span is None:
                     def_span = (lo, hi)
+                    def_tok = last
                     expr_toks = [
                         toks[k] for k in range(lo, prev)
                     ]
@@ -2111,6 +2098,7 @@ def inline_lateral_alias(
                 alias_positions.add(last)
                 if def_span is None:
                     def_span = (lo, hi)
+                    def_tok = last
                     expr_toks = [toks[k] for k in range(lo, last)]
         if def_span is None or expr_toks is None:
             continue
@@ -2151,7 +2139,7 @@ def inline_lateral_alias(
                 is_alias_tok(t)
                 and not (def_span[0] <= k < def_span[1])
                 and k not in alias_positions
-                and k not in repl
+                and k not in claimed
             ):
                 p = _prev_sig(toks, k)
                 n = _next_sig(toks, k)
@@ -2172,10 +2160,14 @@ def inline_lateral_alias(
                 )
                 if not qualified and not is_call and not is_def_kw:
                     repl[k] = expr_toks
+                    claimed.add(k)
             k += 1
+        if repl:
+            block_repls.append((repl, def_tok))
+    return block_repls
 
-    if not repl:
-        return None
+
+def _apply_repl(toks: list, repl: dict[int, list]) -> str:
     out: list[Tok] = []
     for k, t in enumerate(toks):
         if k in repl:
@@ -2185,6 +2177,87 @@ def inline_lateral_alias(
         else:
             out.append(t)
     return _render(out)
+
+
+def inline_lateral_alias(
+    sql: str, alias: str, list_only: bool = False
+) -> str | None:
+    """Redshift-style lateral column alias inlining, ERROR-DRIVEN
+    (VERDICT r9 #6): Spark resolves a select-list alias referenced
+    later in the same list but rejects the reference inside window
+    expressions, GROUP BY, and aggregate arguments
+    (``UNSUPPORTED_FEATURE.LATERAL_COLUMN_ALIAS_IN_*`` — 69
+    statements in the reference corpus, e.g.
+    Datawarehouse-ETL/0_ods_core/00_inventory_reservations.sql:28
+    ``row_number() over (... order by updated_at desc)`` where
+    ``updated_at`` is the previous select item's alias). Redshift
+    treats the lateral alias as macro expansion of the aliased
+    expression, so inlining the expression at each bare use site is
+    the faithful mechanical rewrite.
+
+    This statement-wide form rewrites EVERY block that defines and
+    uses the alias; Spark's error only proves alias-shadows-nothing
+    in the scope that raised (r10 ADVICE), so analysis-sweep callers
+    should prefer inline_lateral_alias_scoped + a re-analyze gate.
+    Returns the rewritten SQL, or None when no definition+use pair
+    was found (loud-stop: the caller keeps the original error).
+
+    ``list_only=True`` restricts use-site replacement to the select
+    list itself (not GROUP BY/HAVING/window clauses after FROM) —
+    the conservative mode for the UNNAMED
+    LATERAL_COLUMN_ALIAS_IN_GROUP_BY error, whose root cause is an
+    intra-list lateral chain (``x+1 AS s, s*2 AS r ... GROUP BY r``:
+    the GROUP BY alias itself is supported, its lateral EXPANSION is
+    not)."""
+    toks = tokenize(sql)
+    repls = _lateral_block_repls(toks, alias, list_only)
+    if not repls:
+        return None
+    merged: dict[int, list] = {}
+    for r, _d in repls:
+        merged.update(r)
+    return _apply_repl(toks, merged)
+
+
+def inline_lateral_alias_scoped(
+    sql: str, alias: str, list_only: bool = False
+) -> list[str]:
+    """Per-block variants of inline_lateral_alias (r10 ADVICE #2):
+    one rewritten statement per SELECT block that defines+uses the
+    alias, each touching ONLY that block. The caller re-analyzes each
+    variant and commits the first whose LATERAL_COLUMN_ALIAS error
+    disappears — a variant rewriting the wrong scope (where the bare
+    name binds to a real FROM column and raised nothing) leaves the
+    error in place and is discarded, so the wrong-scope semantic
+    corruption the statement-wide form risked cannot be committed."""
+    toks = tokenize(sql)
+    return [
+        _apply_repl(toks, r)
+        for r, _d in _lateral_block_repls(toks, alias, list_only)
+    ]
+
+
+def rename_lateral_def(
+    sql: str, alias: str, new_name: str, list_only: bool = False
+) -> list[str]:
+    """Offender-probe variants (r10 ADVICE #1's bind check): for each
+    SELECT block that defines+uses ``alias``, the statement with that
+    block's DEFINITION renamed to ``new_name`` and every use left
+    alone. Analyzing a variant discriminates how the bare uses bind:
+    a TRUE lateral offender's uses lose their definition and the
+    error becomes UNRESOLVED_COLUMN on ``alias``; uses that bind to a
+    real FROM column are unaffected and the original error persists —
+    such a candidate must not be inlined (the rewrite would change
+    semantics in both Redshift and Spark, where the real column wins)."""
+    toks = tokenize(sql)
+    out: list[str] = []
+    for _r, def_tok in _lateral_block_repls(toks, alias, list_only):
+        if def_tok < 0:
+            continue
+        nt = list(toks)
+        nt[def_tok] = Tok("word", new_name)
+        out.append(_render(nt))
+    return out
 
 
 def transpile(sql: str, temp_tables: str = "view") -> str:

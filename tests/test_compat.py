@@ -835,6 +835,82 @@ class TestTrinoDialect:
         got = sorted(tuple(r) for r in spark.sql(out).collect())
         assert got == [(6, 12, 2), (8, 16, 1)]
 
+    def test_resolve_lateral_skips_real_column_candidate(self, spark):
+        """r10 ADVICE #1: the unnamed candidate walk must NOT commit
+        a rewrite for an alias whose bare uses bind to a real column
+        (`x*9` stays `x*9`, binding to column x in both Redshift and
+        Spark) — only the true offending chain (s -> r) inlines, and
+        the probe gate verifies the rewrite removed the error."""
+        import sys
+
+        sys.path.insert(0, "tools")
+        from analyze_reference import _resolve_lateral
+
+        spark.createDataFrame([(10, 5)], "x int, a int") \
+            .createOrReplaceTempView("lat_adv1")
+        sql = (
+            "SELECT x+1 AS x, x*9 AS z, a+1 AS s, s*2 AS r, "
+            "count(*) AS n FROM lat_adv1 GROUP BY x+1, x*9, a+1, r"
+        )
+        import pytest
+
+        with pytest.raises(Exception, match="LATERAL_COLUMN_ALIAS"):
+            spark.sql(sql).collect()
+        nt = _resolve_lateral(spark, "", sql, "LATERAL_COLUMN_ALIAS_IN_GROUP_BY")
+        assert nt is not None
+        assert "(x+1)*9" not in nt.replace(" ", ""), nt
+        assert "(a+1)*2" in nt.replace(" ", ""), nt
+        row = spark.sql(nt).collect()[0]
+        # real-column binding preserved: z = 10*9, r = (5+1)*2
+        assert (row.z, row.r) == (90, 12)
+
+    def test_resolve_lateral_scoped_to_erroring_block(self, spark):
+        """r10 ADVICE #2: a window error on the OUTER block's alias
+        must not rewrite an inner subquery's same-named bare use that
+        legitimately binds to the inner FROM's real column."""
+        import sys
+
+        sys.path.insert(0, "tools")
+        from analyze_reference import _resolve_lateral
+
+        spark.createDataFrame([(1, 100)], "c int, u int") \
+            .createOrReplaceTempView("lat_adv2")
+        sql = (
+            "SELECT c2 * 2 AS u, row_number() OVER (ORDER BY u) AS rn "
+            "FROM (SELECT u + 1 AS v, c AS c2 FROM lat_adv2) s"
+        )
+        msg = (
+            "[UNSUPPORTED_FEATURE.LATERAL_COLUMN_ALIAS_IN_WINDOW] "
+            "lateral column alias `u` in window expression"
+        )
+        nt = _resolve_lateral(spark, "", sql, msg)
+        assert nt is not None
+        assert "(u)+1" not in nt.replace(" ", ""), nt
+        assert "u + 1 AS v" in nt, nt
+        row = spark.sql(nt).collect()[0]
+        assert row.u == 2
+
+    def test_inline_lateral_alias_scoped_per_block(self):
+        """inline_lateral_alias_scoped returns one variant per block,
+        each touching only its own block; the merged statement-wide
+        form equals the old inline_lateral_alias behavior."""
+        from etl_pipelines_spark.compat.transpile import (
+            inline_lateral_alias,
+            inline_lateral_alias_scoped,
+        )
+
+        sql = (
+            "SELECT a AS u, u + 1 AS w FROM "
+            "(SELECT b AS u, u * 2 AS v FROM t) s"
+        )
+        variants = inline_lateral_alias_scoped(sql, "u")
+        assert len(variants) == 2, variants
+        # each variant rewrites exactly one block
+        assert sum("(a) + 1" in v for v in variants) == 1
+        assert sum("(b) * 2" in v for v in variants) == 1
+        merged = inline_lateral_alias(sql, "u")
+        assert "(a) + 1" in merged and "(b) * 2" in merged
+
     def test_inline_lateral_alias_no_use_returns_none(self):
         from etl_pipelines_spark.compat.transpile import (
             inline_lateral_alias,

@@ -46,11 +46,14 @@ import tempfile
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
+import time  # noqa: E402
+
 from etl_pipelines_spark.compat import transpile  # noqa: E402
 from etl_pipelines_spark.compat.transpile import (  # noqa: E402
     TranspileError,
-    inline_lateral_alias,
+    inline_lateral_alias_scoped,
     lateral_alias_candidates,
+    rename_lateral_def,
     install,
     split_statements,
     tokenize,
@@ -631,6 +634,98 @@ def _attempt(spark, head: str, sql: str):
         spark.sql(sql)._jdf.queryExecution().analyzed()
 
 
+def _resolve_lateral(
+    spark, head: str, t: str, msg: str, max_probes: int = 24
+) -> str | None:
+    """Probe-gated lateral-alias inlining (r10 ADVICE #1/#2). Each
+    candidate (alias, SELECT block) rewrite is SINGLE-SCOPE
+    (inline_lateral_alias_scoped) and only becomes part of the result
+    when re-analysis verifies it:
+
+    - a rewrite whose statement escapes the LATERAL_COLUMN_ALIAS tier
+      (analyzes clean or moves to a different error) is returned;
+    - named errors (_IN_WINDOW / _IN_AGGREGATE_FUNC) accept a step
+      whose NEW error names a DIFFERENT alias — a multi-offender
+      statement resolves one verified offender at a time;
+    - the unnamed _IN_GROUP_BY walk first CONFIRMS each candidate via
+      a rename-the-definition probe (rename_lateral_def): a true
+      offender's bare uses become UNRESOLVED_COLUMN when the
+      definition disappears, while uses that bind to a real FROM
+      column leave the error untouched — such candidates are skipped
+      (the r10 defect: inlining them changes semantics, since the
+      real column wins in both Redshift and Spark).
+
+    Any chain that never escapes the tier is discarded wholesale —
+    the statement keeps its original text and error instead of
+    accumulating unverified mutations."""
+    probes = 0
+
+    def _probe(sql: str) -> str | None:
+        nonlocal probes
+        probes += 1
+        try:
+            _attempt(spark, head, sql)
+            return None
+        except Exception as e:  # noqa: BLE001
+            return str(e)
+
+    def _bare_unresolved(err: str, alias: str) -> bool:
+        e = err.lower()
+        a = alias.lower()
+        return (
+            "UNRESOLVED_COLUMN" in err
+            and f"`{a}`" in e
+            and f"`.`{a}`" not in e
+        )
+
+    cur, cur_msg = t, msg
+    for _step in range(6):
+        m2 = _LATALIAS_NAME_RE.search(cur_msg)
+        if m2:
+            aliases, list_only = [m2.group(1)], False
+        else:
+            aliases, list_only = lateral_alias_candidates(cur), True
+        stepped = False
+        for a in aliases:
+            if probes >= max_probes:
+                return None
+            if not m2:
+                confirmed = False
+                for ps in rename_lateral_def(
+                    cur, a, "__lat_probe__", list_only=True
+                ):
+                    e = _probe(ps)
+                    if e and _bare_unresolved(e, a):
+                        confirmed = True
+                        break
+                    if probes >= max_probes:
+                        return None
+                if not confirmed:
+                    continue
+            for nt in inline_lateral_alias_scoped(
+                cur, a, list_only=list_only
+            ):
+                if nt == cur or probes >= max_probes:
+                    continue
+                e = _probe(nt)
+                if e is None or "LATERAL_COLUMN_ALIAS" not in e:
+                    return nt  # escaped the lateral tier
+                nm = _LATALIAS_NAME_RE.search(e)
+                named_progress = (
+                    m2 and nm
+                    and nm.group(1).lower() != m2.group(1).lower()
+                )
+                if named_progress or not m2:
+                    cur, cur_msg = nt, e
+                    stepped = True
+                    break
+            if stepped:
+                break
+        if not stepped:
+            return None
+    return None
+
+
 def main() -> None:
     ref = pathlib.Path(sys.argv[1] if len(sys.argv) > 1 else "/root/reference")
     out_path = sys.argv[2] if len(sys.argv) > 2 else "ANALYZE_COVERAGE.json"
@@ -806,7 +901,27 @@ def main() -> None:
 
     status: dict[int, str] = {}  # index -> ok | err-code
     last_msg: dict[int, str] = {}  # index -> head of the last raw error
+    # index -> pre-rewrite corpus text (r10 ADVICE #3: residuals are
+    # reported against the ORIGINAL statement, not a mutated one)
+    orig_text: dict[int, str] = {}
     pending = list(range(len(stmts)))
+    t0 = time.monotonic()
+    ckpt_path = pathlib.Path(str(out_path) + ".progress")
+
+    def _checkpoint(phase: str) -> None:
+        n_ok_now = sum(1 for s in status.values() if s == "ok")
+        line = json.dumps({
+            "phase": phase,
+            "elapsed_s": round(time.monotonic() - t0, 1),
+            "analyzed_ok": n_ok_now,
+            "pending": len(pending),
+            "repaired_tables": len(shadow.repaired_tables),
+        })
+        print(line, file=sys.stderr, flush=True)
+        try:
+            ckpt_path.write_text(line + "\n")
+        except OSError:
+            pass
 
     # Phase 1: fixed-point convergence without repair (pure
     # dependency ordering)
@@ -824,6 +939,7 @@ def main() -> None:
                 last_msg[i] = str(e)[:300]
                 still.append(i)
         pending = still
+        _checkpoint(f"phase1-r{_round}")
         if not progress or not pending:
             break
 
@@ -889,33 +1005,18 @@ def main() -> None:
                                 progress = True
                                 continue
                             if "LATERAL_COLUMN_ALIAS" in msg:
-                                m2 = _LATALIAS_NAME_RE.search(msg)
-                                if m2:
-                                    nt = inline_lateral_alias(
-                                        t, m2.group(1)
-                                    )
-                                else:
-                                    # _IN_GROUP_BY does not name the
-                                    # alias: walk the defined-alias
-                                    # candidates one retry at a time
-                                    # (an already-inlined alias has
-                                    # no uses left and returns None,
-                                    # so each retry advances to the
-                                    # next candidate), list-scoped
-                                    # to the intra-list chain that
-                                    # causes this variant
-                                    nt = None
-                                    for _a in lateral_alias_candidates(t):
-                                        nt = inline_lateral_alias(
-                                            t, _a, list_only=True
-                                        )
-                                        if nt:
-                                            break
+                                nt = _resolve_lateral(
+                                    spark, head, t, msg
+                                )
                                 if nt and nt != t:
+                                    orig_text.setdefault(i, stmts[i][2])
                                     stmts[i] = (f, head, nt)
                                     t = nt
                                     progress = True
                                     continue
+                                break  # no verified rewrite: the
+                                # statement keeps its lateral error
+                                # instead of burning the retry cap
                             if (
                                 "INSERT_COLUMN_ARITY_MISMATCH" in msg
                                 and _retype_insert_target(t)
@@ -936,6 +1037,9 @@ def main() -> None:
                             # statement keeps its recorded error)
                             pass
                         break
+            _checkpoint(
+                ("p2" if guard_creators else "p3") + f"-r{_round}"
+            )
             if not progress or not pending:
                 break
 
@@ -948,6 +1052,22 @@ def main() -> None:
     # stranding their whole downstream cone in
     # TABLE_OR_VIEW_NOT_FOUND (r7 VERDICT "Next round" #4).
     repair_sweep(guard_creators=False)
+
+    # r10 ADVICE #3: a lateral-rewritten statement that still ends
+    # residual is re-probed as its ORIGINAL corpus text, so recorded
+    # errors grade the corpus, not our mutation. (A committed rewrite
+    # is probe-verified to have escaped the lateral tier, so this
+    # only fires when a LATER error kept the statement residual.)
+    for i in list(orig_text):
+        if status.get(i) == "ok":
+            continue
+        f, head, _t = stmts[i]
+        try:
+            _attempt(spark, head, orig_text[i])
+            status[i] = "ok"  # catalog converged since the rewrite
+        except Exception as e:  # noqa: BLE001
+            status[i] = _err_code(e)
+            last_msg[i] = str(e)[:300]
 
     n_ok = sum(1 for s in status.values() if s == "ok")
     # INSERT-arity-on-synthesized-schema tier: when the INSERT target
@@ -1017,7 +1137,9 @@ def main() -> None:
         ):
             samples.append({"file": stmts[i][0], "head": stmts[i][1],
                             "err": status[i][:160],
-                            "msg": last_msg.get(i, "")[:300]})
+                            "msg": last_msg.get(i, "")[:300],
+                            **({"lateral_rewritten": True}
+                               if i in orig_text else {})})
 
     # Per-top-level-directory PARSE residual: lets a directory-scoped
     # re-run be compared 1:1 against the full-corpus sweep (the r7
