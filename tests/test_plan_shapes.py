@@ -406,3 +406,100 @@ class TestPlanShapes:
             r"\(\d+\) BroadcastExchange\nInput \[\d+\]: \[[^\]]*med#",
             plan,
         ), plan
+
+    # ---- round-11 broadcast-hint policy lock ---------------------------
+
+    # Queries whose builder does EAGER work (training loops, writes,
+    # script execution, streaming runs) — their plans are locked by
+    # their own dedicated tests; rebuilding them here would turn a
+    # plan inspection into a full run.
+    _HINT_SWEEP_SKIP = {
+        "tx_merge_readback",        # executes MERGE + readback
+        "compat_redshift_script",   # executes a multi-statement script
+        "txt_bpe_encode",           # BPE training loop at build time
+        "s_event_dedup_incremental",  # streaming AvailableNow run
+        "s_page_view_end",
+        "s_sessionize_gap",
+        "ml_churn_score", "ml_mlp_score", "ml_price_score",
+    }
+
+    def test_no_forced_broadcast_on_corpus_growing_tables(
+        self, spark, sf_dir
+    ):
+        """r10 VERDICT #1 policy lock: an explicit F.broadcast hint
+        (ResolvedHint in the analyzed plan) may only cover sides that
+        are PROVABLY bounded at 100 TB — nation/region, date spines,
+        or aggregates (group-grain frames). A hint whose subtree
+        reaches a base-table scan of a table that scales with sf
+        (orders, lineitem, customer, part, supplier, events,
+        documents, embeddings) with no Aggregate/Deduplicate on the
+        path is a guaranteed broadcast OOM at scale regardless of
+        local timing — the defect class fixed in mkt_affiliate_payout
+        (r10) and q3/q5/spv_price_outliers/top_products (r11)."""
+        from etl_pipelines_spark.queries import REGISTRY
+
+        growing = {
+            "c_custkey": "customer", "o_orderkey": "orders",
+            "l_orderkey": "lineitem", "p_partkey": "part",
+            "s_suppkey": "supplier", "event_id": "events",
+            "doc_id": "documents", "emb_id": "embeddings",
+        }
+
+        def indent(s: str) -> int:
+            i = 0
+            while i < len(s) and s[i] in " :+-":
+                i += 1
+            return i
+
+        def violations(plan: str) -> list[str]:
+            lines = plan.splitlines()
+            out = []
+            for i, ln in enumerate(lines):
+                if "ResolvedHint" not in ln or "broadcast" not in ln:
+                    continue
+                hl = indent(ln)
+                sub = []
+                for j in range(i + 1, len(lines)):
+                    if indent(lines[j]) <= hl:
+                        break
+                    sub.append(lines[j])
+                for j2, ln2 in enumerate(sub):
+                    m = re.search(r"Relation \[([A-Za-z_]+)", ln2)
+                    if not m or m.group(1) not in growing:
+                        continue
+                    # ancestor chain between hint and leaf: preceding
+                    # subtree lines at strictly decreasing indent
+                    leaf_l = indent(ln2)
+                    bounded = False
+                    cur = leaf_l
+                    for k in range(j2 - 1, -1, -1):
+                        il = indent(sub[k])
+                        if il < cur:
+                            cur = il
+                            if re.search(
+                                r"\b(Aggregate|Deduplicate|"
+                                r"GlobalLimit)\b", sub[k]
+                            ):
+                                bounded = True
+                                break
+                    if not bounded:
+                        out.append(growing[m.group(1)])
+            return out
+
+        bad: dict[str, list[str]] = {}
+        for name in sorted(REGISTRY):
+            if name in self._HINT_SWEEP_SKIP:
+                continue
+            try:
+                df = REGISTRY[name].spark(spark, sf_dir)
+            except Exception:  # builder needs resources this
+                # fixture doesn't stage (covered by its own test)
+                continue
+            plan = df._jdf.queryExecution().analyzed().treeString()
+            v = violations(plan)
+            if v:
+                bad[name] = v
+        assert not bad, (
+            "forced broadcast hints on corpus-growing tables: "
+            f"{bad}"
+        )
