@@ -8089,71 +8089,78 @@ def compat_redshift_script(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _DRIVER_WINDOW = [
-    # --- round-10 window: pure freshness rotation (VERDICT r9 #5),
-    # oldest evidence first. skew_salted_rollup leads (r6-green, the
-    # single oldest hash-green row — deferred from the r9 window as
-    # promised there), then the 49 rows whose newest driver evidence
-    # is CORRECTNESS_r07.json (q3/q5 and the a_*/f_*/j_*/p_*/u_*/w_*
-    # operator singles plus the r7 LLM-data cohort minus
-    # mm_audio_segments, deferred to r11 to fund the slot for the
-    # one query whose implementation changed this round and needs a
-    # fresh hash proof: dd_embedding_neardup (signature fold
-    # restructured to a broadcast multiply-add — bit-identical by
-    # construction, re-proven by the driver anyway). Union coverage
-    # across r1-r10 stays total (test-pinned,
-    # tests/test_registry_window.py).
-    "skew_salted_rollup",
-    # r7-aged cohort (48 of 49):
-    "a_count_distinct",
-    "a_having_segments",
-    "a_listagg_ordered",
-    "a_median_percentiles",
-    "a_unpivot_measures",
-    "compat_redshift_script",
-    "dd_minhash_lsh",
-    "dd_neardup_components",
-    "dd_neardup_survivors",
-    "dd_semantic_dedup",
-    "dm_rfm_segmentation",
-    "emb_bitext_mine",
-    "f_datetime_kitchen_sink",
-    "f_json_extract",
-    "f_string_kitchen_sink",
-    "j_anti_not_in",
-    "j_asof_attribution",
-    "j_dedup_right",
-    "j_dod_delta",
-    "j_exists_corr",
-    "j_full_outer_calendar",
-    "j_range_bands",
-    "mm_gif_decode",
-    "mm_jpeg_decode",
-    "mm_mjpeg_frames",
-    "mm_mp4_meta",
-    "mm_png_decode",
-    "mon_table_stats",
-    "mon_value_quantiles",
-    "p_case_nested",
-    "p_regex",
+    # --- round-11 window (VERDICT r10 #5): mm_audio_segments leads —
+    # deferred from both r10 (funded the dd_embedding_neardup re-proof
+    # slot, see the r10 comment retained in git history) and the r9
+    # rotation before it, now the oldest-aged non-twin row (r7).
+    # dd_simhash follows (r5, the rows-only xxhash64 twin of
+    # oracle-green dd_simhash_md5 — BY DESIGN it has no DuckDB oracle;
+    # the driver row refreshes its rows-only evidence). Then the four
+    # queries the r11 broadcast-policy sweep touched whose newest
+    # evidence predates the change (q3/q5 hints dropped on
+    # orders/customer/supplier; dd_neardup_survivors hints dropped on
+    # the pair-graph key sets; mkt_affiliate_payout lost the qual_src
+    # hint), then 44 of the 49 r8-aged rows — including every other
+    # broadcast-sweep query (spv_price_outliers, top_products,
+    # master_subscription, luxco_multigrain_union, ops_allocation,
+    # ops_shipment_funnel, pay_retry_payments). Five r8-green rows are
+    # deferred to the r12 window to fit the changed-query re-proofs:
+    # mm_binary_meta, mm_frame_plan, mm_resize_dims, txt_fingerprint,
+    # txt_weighted_sample (all r8-green in CORRECTNESS_r08.json, none
+    # touched since). Union coverage across r1-r11 stays total
+    # (test-pinned, tests/test_registry_window.py).
+    "mm_audio_segments",
+    "dd_simhash",
+    # changed by the r11 broadcast-policy sweep:
     "q3_top_revenue_orders",
     "q5_regional_revenue",
-    "txt_bigram_logprob",
-    "txt_collocations",
-    "txt_pack_plan",
-    "txt_quality_buckets",
-    "txt_tfidf_topterms",
-    "txt_vocab_topk",
-    "u_union_all_pad",
-    "w_agg_over_partition",
-    "w_dense_rank_days",
-    "w_first_last_ignorenulls",
-    "w_lag_lead_gap",
-    "w_percent_rank_spend",
-    "w_rolling_7d",
-    "w_rownum_latest_event",
-    "w_running_balance",
-    # changed this round:
-    "dd_embedding_neardup",
+    "dd_neardup_survivors",
+    "mkt_affiliate_payout",
+    # r8-aged cohort (44 of 49):
+    "a_bool_or",
+    "a_dedup_then_agg",
+    "a_greatest_least",
+    "a_listagg",
+    "a_pivot_status",
+    "dd_ngram_jaccard",
+    "f_math",
+    "f_null_conditional",
+    "fin_collection_curves",
+    "gc_wallet_expansion",
+    "j_cross_spine",
+    "j_right_parts",
+    "j_semi_in",
+    "luxco_multigrain_union",
+    "m_explode_split",
+    "m_posexplode",
+    "m_scalar_subquery",
+    "master_subscription",
+    "mon_duplicate_keys",
+    "mon_freshness",
+    "mon_missing_dates",
+    "mon_value_drift",
+    "ops_allocation",
+    "ops_shipment_funnel",
+    "p_distinct",
+    "p_filter_predicates",
+    "p_like_ilike",
+    "pay_retry_payments",
+    "s_event_dedup_incremental",
+    "s_page_view_end",
+    "s_sessionize_gap",
+    "spv_price_outliers",
+    "top_products",
+    "txt_bigram_logprob_pruned",
+    "txt_quality",
+    "u_except",
+    "u_intersect",
+    "u_union_distinct",
+    "w_median_window",
+    "w_nth_value",
+    "w_percentile_window",
+    "w_rank_top_orders",
+    "wh_page_views",
+    "wh_sessions_mart",
 ]
 
 
