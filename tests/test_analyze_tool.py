@@ -130,6 +130,21 @@ FROM ods_x.orders_conformed;
 CREATE TABLE mart_x.p_report AS
 SELECT pval, legacy_col FROM stg_p.landing;
 """,
+    # the r11 typed-shim tier (VERDICT r10 #6): consumer inference
+    # types every synthesized column STRING, so the corpus's real
+    # arithmetic (committed + extra) and boolean filter (is_active)
+    # trip ANSI's DATATYPE_MISMATCH — the real warehouse, with real
+    # types, never would. The repair must retype exactly the columns
+    # the error names (to DOUBLE / BOOLEAN) and the statement then
+    # analyzes clean
+    "h_dtype/90_metrics.sql": """
+DROP TABLE IF EXISTS mart_x.rev_calc;
+CREATE TABLE mart_x.rev_calc AS
+SELECT q.committed_value + q.extra_value AS total_value,
+       q.started_at
+FROM stg_t.metrics q
+WHERE q.is_active;
+""",
 }
 
 
@@ -152,10 +167,13 @@ def test_shadow_analysis_smoke(tmp_path):
     # and the DROP+CTAS consumer of the analyzer-failed creator
     # (phase-3 guard lift). Repaired: stg_raw.orders_landing,
     # stg_dead.landing_q, mart_x.broken.
-    assert cov["statements"] == 23
+    assert cov["statements"] == 25
     assert cov["transpile_failed"] == 1
-    assert cov["analyzed_ok"] == 20
-    assert cov["repaired_tables"] == 7
+    assert cov["analyzed_ok"] == 22
+    assert cov["repaired_tables"] == 8
+    # r11 typed-shim: committed_value/extra_value retyped DOUBLE,
+    # is_active retyped BOOLEAN, on the SYNTHESIZED stg_t.metrics
+    assert cov["datatype_retypes"] == 3
     # the bare guess on stg_amb.products was retracted when the
     # qualified home (stg_amb.variants) made 62_c ambiguous
     assert cov["ambiguity_drops"] >= 1

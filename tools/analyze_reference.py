@@ -228,6 +228,9 @@ class Shadow:
         self.col_prov: dict[tuple[str, str], str] = {}
         # (key, col) drops already performed -- loop guard
         self.dropped: set[tuple[str, str]] = set()
+        # (key, col) -> committed retype (typed-shim tier, r11)
+        self.retyped: dict[tuple[str, str], str] = {}
+        self.n_retypes = 0
         self.n_ambiguity_drops = 0
         # key -> schema rebuilds performed (insert-select-schema)
         self.rebuild_counts: dict[str, int] = {}
@@ -565,6 +568,113 @@ class Shadow:
         prov = self.provenance.setdefault(key, {})
         prov.update({"via": "insert-select-schema", "n_cols": len(cols)})
         return True
+
+    _TYPE_MAP = {
+        "NUMERIC": "DOUBLE", "DOUBLE": "DOUBLE", "FLOAT": "DOUBLE",
+        "DECIMAL": "DOUBLE", "INT": "BIGINT", "INTEGER": "BIGINT",
+        "BIGINT": "BIGINT", "SMALLINT": "BIGINT", "TINYINT": "BIGINT",
+        "TIMESTAMP": "TIMESTAMP", "TIMESTAMP_NTZ": "TIMESTAMP_NTZ",
+        "DATE": "DATE", "BOOLEAN": "BOOLEAN",
+    }
+
+    def retype_column(self, key: str, col: str, newtype: str) -> bool:
+        """Rebuild a repair table with one column's type changed
+        (empty v1 parquet tables cannot ALTER COLUMN TYPE; a
+        drop-and-recreate preserving every other column's type is
+        equivalent). First retype wins per (table, column) — a column
+        the corpus uses under conflicting types keeps its first
+        evidence and the conflicting statement grades residual."""
+        if (key, col) in self.retyped:
+            return False
+        db, tbl = key.split(".", 1)
+        try:
+            rows = [
+                (r.col_name, r.data_type)
+                for r in self.spark.sql(
+                    f"DESCRIBE TABLE `{db}`.`{tbl}`"
+                ).collect()
+                if r.col_name and not r.col_name.startswith("#")
+            ]
+        except Exception:  # noqa: BLE001
+            return False
+        if not any(
+            c.lower() == col and t.upper().startswith("STRING")
+            for c, t in rows
+        ):
+            return False  # only STRING guesses are retypeable
+        ddl = ", ".join(
+            f"`{c}` {newtype if c.lower() == col else t}"
+            for c, t in rows
+        )
+        try:
+            self.spark.sql(f"DROP TABLE IF EXISTS `{db}`.`{tbl}`")
+            self.spark.sql(
+                f"CREATE TABLE `{db}`.`{tbl}` ({ddl}) USING parquet"
+            )
+        except Exception:  # noqa: BLE001
+            return False
+        self.retyped[(key, col)] = newtype
+        self.n_retypes += 1
+        return True
+
+    def fix_datatype(self, msg: str, stmt_text: str) -> bool:
+        """Typed-shim tier (r10 VERDICT #6): DATATYPE_MISMATCH on a
+        synthesized table is usually OUR artifact — the shadow
+        catalog types every repaired column STRING, so the corpus's
+        real arithmetic/timestamp usage trips ANSI type checks that
+        the real warehouse (with real types) never would. The error
+        names the exact expression and the required type; retype the
+        repair-table STRING columns appearing in that expression to
+        the required type. Fires ONLY on columns of synthesized
+        tables — corpus-built schemas are ground truth and a type
+        error there grades the dialect, not the synthesis."""
+        # the offending operand if the message narrows to one,
+        # else the full named expression
+        m = re.search(r'however "(.+?)" has the type "STRING"', msg)
+        if not m:
+            m = re.search(
+                r'Cannot resolve "(.+?)" due to data type mismatch', msg,
+                re.S,
+            )
+        if not m and "FILTER_NOT_BOOLEAN" in msg:
+            m = re.search(r'Filter expression "(.+?)" of type', msg)
+        if not m:
+            return False
+        expr = m.group(1)
+        # required type
+        target = None
+        if "FILTER_NOT_BOOLEAN" in msg:
+            target = "BOOLEAN"
+        else:
+            t = re.search(
+                r'requires the (?:input type )?\(?"([A-Z_][A-Z_ ]*)"', msg
+            )
+            if t:
+                target = self._TYPE_MAP.get(t.group(1).split()[0])
+            if target is None:
+                # DIFF_TYPES shapes: first concrete non-STRING type
+                for t2 in re.findall(r'"([A-Z_]+)(?:\(\d+[^"]*)?"', msg):
+                    mapped = self._TYPE_MAP.get(t2)
+                    if mapped and t2 != "STRING":
+                        target = mapped
+                        break
+        if target is None:
+            return False
+        tokens = {
+            w for w in re.findall(r"[a-z_][a-z0-9_]*", expr.lower())
+        }
+        if not tokens:
+            return False
+        changed = False
+        for key in self._tables_in_text(stmt_text.lower()):
+            try:
+                cols = self._existing_cols(*key.split(".", 1))
+            except Exception:  # noqa: BLE001
+                continue
+            for tok in sorted(tokens & cols):
+                if self.retype_column(key, tok, target):
+                    changed = True
+        return changed
 
     def pad_for_insert(self, msg: str) -> bool:
         """INSERT arity repair: an INSERT with more data columns than
@@ -1004,6 +1114,12 @@ def main() -> None:
                             if m and shadow.add_column(m.group(1), t):
                                 progress = True
                                 continue
+                            if (
+                                "DATATYPE_MISMATCH" in msg
+                                and shadow.fix_datatype(msg, t)
+                            ):
+                                progress = True
+                                continue
                             if "LATERAL_COLUMN_ALIAS" in msg:
                                 nt = _resolve_lateral(
                                     spark, head, t, msg
@@ -1122,6 +1238,10 @@ def main() -> None:
             pass  # keep the tier name as its own residual bucket
         elif _PLACEHOLDER_RE.search(stmts[i][2]) and (
             "UNRESOLVED" in s or "TABLE_OR_VIEW" in s or "DATATYPE" in s
+            # ANSI constant-folds casts of the placeholder DEFAULT
+            # value at analysis time ('2024-01-01' as int) — grades
+            # the template hole, not the dialect
+            or "CAST_INVALID_INPUT" in s
             # a template hole can sit where SYNTAX depends on the
             # injected text (the intercom Athena export writes
             # `:param;` with per-line semicolons that fragment the
@@ -1158,6 +1278,7 @@ def main() -> None:
         "rowlevel_v1_table_format": n_rowlevel_v1,
         "insert_arity_on_synthesized_schema": n_arity_synth,
         "repaired_tables": len(shadow.repaired_tables),
+        "datatype_retypes": shadow.n_retypes,
         "ambiguity_drops": shadow.n_ambiguity_drops,
         "insert_select_schema_rebuilds": len(shadow.rebuild_counts),
         "schema_hints_lifted": len(schema_hints),
