@@ -620,6 +620,84 @@ def _rw_ignore_nulls(toks: list[Tok]) -> list[Tok]:
     return out
 
 
+_ORDER_REQUIRED_WINFNS = (
+    "ROW_NUMBER", "RANK", "DENSE_RANK", "NTILE", "LAG", "LEAD",
+    "PERCENT_RANK", "CUME_DIST",
+)
+
+
+def _rw_orderless_window(toks: list[Tok]) -> list[Tok]:
+    """Redshift's sequence window functions take an OPTIONAL ORDER BY
+    (``ROW_NUMBER() OVER ()`` numbers rows in arbitrary order —
+    docs: "ORDER BY ... optional"); Spark hard-requires the clause
+    ("Window function row_number() requires window to be ordered",
+    12 reference statements, e.g. finance dedup marts). Append
+    ``ORDER BY 1`` — a CONSTANT sort key in a window spec (window
+    ORDER BY has no positional resolution), so the order stays
+    engine-arbitrary, which is exactly the Redshift contract the
+    statement was written against. Fires only on a parenthesized
+    window spec directly after an order-requiring function call;
+    named window refs (OVER w) pass through."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if not (t.kind == "word" and t.text.upper() in
+                _ORDER_REQUIRED_WINFNS):
+            i += 1
+            continue
+        j = _next_sig(out, i)
+        if not (j < len(out) and out[j].kind == "punct"
+                and out[j].text == "("):
+            i += 1
+            continue
+        # matching close of the call's argument list
+        d = 0
+        k = j
+        while k < len(out):
+            if out[k].kind == "punct" and out[k].text == "(":
+                d += 1
+            elif out[k].kind == "punct" and out[k].text == ")":
+                d -= 1
+                if d == 0:
+                    break
+            k += 1
+        m = _next_sig(out, k)
+        if not (m < len(out) and _word_is(out[m], "OVER")):
+            i += 1
+            continue
+        w = _next_sig(out, m)
+        if not (w < len(out) and out[w].kind == "punct"
+                and out[w].text == "("):
+            i += 1
+            continue
+        # scan the window spec at its own depth for ORDER BY
+        d = 0
+        has_order = False
+        e = w
+        while e < len(out):
+            te = out[e]
+            if te.kind == "punct" and te.text == "(":
+                d += 1
+            elif te.kind == "punct" and te.text == ")":
+                d -= 1
+                if d == 0:
+                    break
+            elif d == 1 and _word_is(te, "ORDER"):
+                n = _next_sig(out, e)
+                if n < len(out) and _word_is(out[n], "BY"):
+                    has_order = True
+            e += 1
+        if e < len(out) and not has_order:
+            ins = [Tok("word", "ORDER"), Tok("ws", " "),
+                   Tok("word", "BY"), Tok("ws", " "), Tok("num", "1")]
+            if e > w + 1:  # non-empty spec: space after PARTITION BY
+                ins = [Tok("ws", " ")] + ins
+            out[e:e] = ins
+        i += 1
+    return out
+
+
 def _rw_no_schema_binding(toks: list[Tok]) -> list[Tok]:
     """Strip Redshift's late-binding-view clause ``WITH NO SCHEMA
     BINDING`` (trailing on CREATE [EXTERNAL] VIEW; reference uses it
@@ -1960,6 +2038,7 @@ _PASSES = (
     _rw_types,
     _rw_minmax_within_group,
     _rw_ignore_nulls,
+    _rw_orderless_window,
     _rw_tilde,
     _rw_similar_to,
     _rw_quoted_units,

@@ -911,6 +911,35 @@ class TestTrinoDialect:
         merged = inline_lateral_alias(sql, "u")
         assert "(a) + 1" in merged and "(b) * 2" in merged
 
+    def test_orderless_window_gets_constant_order(self, spark):
+        """Redshift allows ROW_NUMBER()/RANK() with no window ORDER
+        BY (arbitrary order); Spark hard-requires the clause. The
+        pass appends ORDER BY 1 — a constant, so the order stays
+        engine-arbitrary exactly like Redshift — and the numbering
+        contract (each partition gets a permutation of 1..n) holds."""
+        from etl_pipelines_spark.compat.transpile import transpile
+
+        out = transpile(
+            "SELECT g, row_number() OVER (PARTITION BY g) AS rn "
+            "FROM owin_t"
+        )
+        assert "PARTITION BY g ORDER BY 1" in out, out
+        # ordered specs and non-sequence window functions untouched
+        assert "ORDER BY 1" not in transpile(
+            "SELECT sum(x) OVER (PARTITION BY g), "
+            "lag(x) OVER (PARTITION BY g ORDER BY ts) FROM t"
+        )
+        spark.sql(
+            "create or replace temp view owin_t as select * from values"
+            " ('a'),('a'),('a'),('b') as v(g)"
+        )
+        rows = spark.sql(out).collect()
+        got = {}
+        for r in rows:
+            got.setdefault(r.g, []).append(r.rn)
+        assert sorted(got["a"]) == [1, 2, 3]
+        assert sorted(got["b"]) == [1]
+
     def test_inline_lateral_alias_no_use_returns_none(self):
         from etl_pipelines_spark.compat.transpile import (
             inline_lateral_alias,
