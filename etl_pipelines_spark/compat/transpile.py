@@ -620,6 +620,121 @@ def _rw_ignore_nulls(toks: list[Tok]) -> list[Tok]:
     return out
 
 
+_TRUNC_UNITS = {
+    "year", "yyyy", "yy", "quarter", "month", "mm", "mon", "week",
+}
+
+
+def _rw_fn_arity(toks: list[Tok]) -> list[Tok]:
+    """Redshift function-arity shims with no direct Spark form:
+
+    - ``NVL(a, b, c, ...)`` — Redshift NVL is variadic; Spark's is
+      strictly 2-arg. 3+-arg calls rename to COALESCE (identical
+      semantics; NVL *is* first-non-null).
+    - ``TRUNC('month', x)`` (unit-first, 9_SPV uses it ~600×) —
+      Spark's trunc is (date, unit): the unit-first call ANALYZES
+      CLEAN and silently returns NULL for every row ('month' parses
+      as the date operand). Swap to ``TRUNC(x, 'month')`` when the
+      first arg is a literal unit Spark's trunc accepts — a silent
+      all-NULL divergence becomes the correct month-start date.
+    - ``REGEXP_SUBSTR(s, pat, 1, 1 [, 'i'])`` — Redshift's
+      position/occurrence/parameters tail; Spark takes (str,
+      regexp) only. position=1 + occurrence=1 literals simply drop
+      (they ARE the 2-arg default), and a literal 'i' parameter
+      folds into the pattern as an inline (?i) flag when the
+      pattern is itself a literal. Non-default positions or
+      occurrences have no mechanical Spark form — loud-stop."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if t.kind != "word":
+            i += 1
+            continue
+        name = t.text.upper()
+        if name not in ("NVL", "TRUNC", "REGEXP_SUBSTR"):
+            i += 1
+            continue
+        j = _next_sig(out, i)
+        if not (j < len(out) and out[j].kind == "punct"
+                and out[j].text == "("):
+            i += 1
+            continue
+        args, close = _call_args(out, j)
+        if name == "NVL" and len(args) > 2:
+            out[i] = Tok("word", "coalesce")
+        elif name == "TRUNC" and len(args) == 2:
+            a0 = _arg_sig(out, args[0])
+            if (
+                len(a0) == 1
+                and out[a0[0]].kind == "str"
+                and _str_value(out[a0[0]]).lower() in _TRUNC_UNITS
+            ):
+                unit = out[a0[0]]
+                rest = [out[k] for k in args[1]]
+                # drop leading/trailing ws of the second arg
+                while rest and not _is_sig(rest[0]):
+                    rest.pop(0)
+                while rest and not _is_sig(rest[-1]):
+                    rest.pop()
+                repl = rest + [Tok("punct", ","), Tok("ws", " "), unit]
+                out[j + 1 : close] = repl
+        elif name == "REGEXP_SUBSTR" and len(args) >= 3:
+            sigs = [_arg_sig(out, a) for a in args]
+
+            def _lit_one(sig: list[int]) -> bool:
+                return (
+                    len(sig) == 1 and out[sig[0]].kind == "num"
+                    and out[sig[0]].text == "1"
+                )
+
+            if not _lit_one(sigs[2]):
+                raise TranspileError(
+                    "REGEXP_SUBSTR position != 1 has no Spark form"
+                )
+            if len(args) >= 4 and not _lit_one(sigs[3]):
+                raise TranspileError(
+                    "REGEXP_SUBSTR occurrence != 1 has no Spark form"
+                )
+            pat_repl = None
+            if len(args) >= 5:
+                psig = sigs[4]
+                if not (
+                    len(psig) == 1 and out[psig[0]].kind == "str"
+                ):
+                    raise TranspileError(
+                        "REGEXP_SUBSTR parameters must be a literal"
+                    )
+                parms = _str_value(out[psig[0]]).lower()
+                if parms not in ("i", "c", ""):
+                    raise TranspileError(
+                        f"REGEXP_SUBSTR parameter {parms!r} has no "
+                        "Spark form"
+                    )
+                if "i" in parms:
+                    pat_sig = sigs[1]
+                    if not (
+                        len(pat_sig) == 1
+                        and out[pat_sig[0]].kind == "str"
+                    ):
+                        raise TranspileError(
+                            "REGEXP_SUBSTR 'i' needs a literal "
+                            "pattern"
+                        )
+                    pat_repl = _str_lit(
+                        "(?i)" + _str_value(out[pat_sig[0]])
+                    )
+            keep = [out[k] for k in args[0]]
+            keep.append(Tok("punct", ","))
+            if pat_repl is not None:
+                keep += [Tok("ws", " "), pat_repl]
+            else:
+                keep += [out[k] for k in args[1]]
+            out[j + 1 : close] = keep
+        i += 1
+    return out
+
+
 _ORDER_REQUIRED_WINFNS = (
     "ROW_NUMBER", "RANK", "DENSE_RANK", "NTILE", "LAG", "LEAD",
     "PERCENT_RANK", "CUME_DIST",
@@ -2039,6 +2154,7 @@ _PASSES = (
     _rw_minmax_within_group,
     _rw_ignore_nulls,
     _rw_orderless_window,
+    _rw_fn_arity,
     _rw_tilde,
     _rw_similar_to,
     _rw_quoted_units,

@@ -940,6 +940,48 @@ class TestTrinoDialect:
         assert sorted(got["a"]) == [1, 2, 3]
         assert sorted(got["b"]) == [1]
 
+    def test_fn_arity_shims(self, spark):
+        """Variadic NVL -> COALESCE; unit-first TRUNC swaps to
+        Spark's (date, unit) order — the unit-first call analyzes
+        clean in Spark and silently returns NULL for every row, the
+        worst failure mode; REGEXP_SUBSTR's position/occurrence/
+        parameters tail drops when it spells the 2-arg default, with
+        a literal 'i' folding into the pattern as an inline flag."""
+        import pytest
+
+        from etl_pipelines_spark.compat.transpile import (
+            TranspileError,
+            transpile,
+        )
+
+        spark.sql(
+            "create or replace temp view arity_t as select "
+            "date'2024-03-15' d, 'DE1234567890123456 x' s, "
+            "cast(null as string) a, 'B' b, 'C' c"
+        )
+        out = transpile(
+            "SELECT trunc('month', d) m, nvl(a, b, c) n, "
+            "regexp_substr(s, 'de[0-9]{16}', 1, 1, 'i') r "
+            "FROM arity_t"
+        )
+        assert "coalesce(a, b, c)" in out, out
+        assert "trunc(d, 'month')" in out, out
+        assert "'(?i)de[0-9]{16}'" in out, out
+        row = spark.sql(out).collect()[0]
+        assert str(row.m) == "2024-03-01"  # unit-first form gives NULL
+        assert row.n == "B"
+        assert row.r == "DE1234567890123456"
+        # 2-arg forms and non-unit TRUNC pass through untouched
+        assert "nvl(a, b)" in transpile("SELECT nvl(a, b) FROM t")
+        assert "trunc(d, 'month')" in transpile(
+            "SELECT trunc(d, 'month') FROM t"
+        )
+        # non-default position/occurrence: loud-stop, never silent
+        with pytest.raises(TranspileError):
+            transpile("SELECT regexp_substr(s, 'x', 2) FROM t")
+        with pytest.raises(TranspileError):
+            transpile("SELECT regexp_substr(s, 'x', 1, 3) FROM t")
+
     def test_inline_lateral_alias_no_use_returns_none(self):
         from etl_pipelines_spark.compat.transpile import (
             inline_lateral_alias,
