@@ -735,6 +735,85 @@ def _rw_fn_arity(toks: list[Tok]) -> list[Tok]:
     return out
 
 
+def _rw_listagg_distinct_order(toks: list[Tok]) -> list[Tok]:
+    """``LISTAGG(DISTINCT x, sep) WITHIN GROUP (ORDER BY y)`` with
+    y ≠ x: ordering DEDUPED values by a different column is
+    ill-defined (after dedup there is no one y per x) — modern
+    Redshift itself requires the ORDER BY of a DISTINCT LISTAGG to
+    be the listagg expression, and Spark rejects the mismatch
+    (INVALID_WITHIN_GROUP_EXPRESSION.MISMATCH_WITH_DISTINCT_INPUT,
+    8 reference statements from older-Redshift-era finance marts).
+    Rewrite the ORDER BY list to the DISTINCT input expression —
+    the one deterministic order both engines accept."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if not (t.kind == "word" and t.text.upper() == "LISTAGG"):
+            i += 1
+            continue
+        j = _next_sig(out, i)
+        if not (j < len(out) and out[j].kind == "punct"
+                and out[j].text == "("):
+            i += 1
+            continue
+        args, close = _call_args(out, j)
+        a0 = _arg_sig(out, args[0])
+        if not (a0 and _word_is(out[a0[0]], "DISTINCT")):
+            i += 1
+            continue
+        expr_idx = [k for k in args[0] if k > a0[0]]
+        while expr_idx and not _is_sig(out[expr_idx[0]]):
+            expr_idx.pop(0)
+        while expr_idx and not _is_sig(out[expr_idx[-1]]):
+            expr_idx.pop()
+        if not expr_idx:
+            i += 1
+            continue
+        # WITHIN GROUP ( ORDER BY ... )
+        w = _next_sig(out, close)
+        g = _next_sig(out, w) if w < len(out) else len(out)
+        p = _next_sig(out, g) if g < len(out) else len(out)
+        if not (
+            p < len(out)
+            and _word_is(out[w], "WITHIN") and _word_is(out[g], "GROUP")
+            and out[p].kind == "punct" and out[p].text == "("
+        ):
+            i += 1
+            continue
+        o = _next_sig(out, p)
+        b = _next_sig(out, o) if o < len(out) else len(out)
+        if not (b < len(out) and _word_is(out[o], "ORDER")
+                and _word_is(out[b], "BY")):
+            i += 1
+            continue
+        d = 0
+        e = p
+        while e < len(out):
+            te = out[e]
+            if te.kind == "punct" and te.text == "(":
+                d += 1
+            elif te.kind == "punct" and te.text == ")":
+                d -= 1
+                if d == 0:
+                    break
+            e += 1
+        if e >= len(out):
+            i += 1
+            continue
+        def _norm(idx: list[int]) -> str:
+            return "".join(
+                out[k].text.lower() for k in idx if _is_sig(out[k])
+            )
+        order_idx = list(range(b + 1, e))
+        if _norm(order_idx) != _norm(expr_idx):
+            out[b + 1 : e] = (
+                [Tok("ws", " ")] + [out[k] for k in expr_idx]
+            )
+        i += 1
+    return out
+
+
 _ORDER_REQUIRED_WINFNS = (
     "ROW_NUMBER", "RANK", "DENSE_RANK", "NTILE", "LAG", "LEAD",
     "PERCENT_RANK", "CUME_DIST",
@@ -2155,6 +2234,7 @@ _PASSES = (
     _rw_ignore_nulls,
     _rw_orderless_window,
     _rw_fn_arity,
+    _rw_listagg_distinct_order,
     _rw_tilde,
     _rw_similar_to,
     _rw_quoted_units,

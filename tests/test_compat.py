@@ -982,6 +982,33 @@ class TestTrinoDialect:
         with pytest.raises(TranspileError):
             transpile("SELECT regexp_substr(s, 'x', 1, 3) FROM t")
 
+    def test_listagg_distinct_order_mismatch(self, spark):
+        """LISTAGG(DISTINCT x) WITHIN GROUP (ORDER BY y): ordering
+        deduped values by a different column is ill-defined — modern
+        Redshift requires the order to be the listagg expression and
+        Spark rejects the mismatch. The rewrite orders by the
+        DISTINCT input; matching orders and non-DISTINCT calls pass
+        through untouched."""
+        from etl_pipelines_spark.compat.transpile import transpile
+
+        out = transpile(
+            "SELECT LISTAGG(DISTINCT bank_reference, ',') "
+            "WITHIN GROUP (ORDER BY order_id) AS l FROM lga_t"
+        )
+        assert "ORDER BY bank_reference)" in out, out
+        assert "ORDER BY y)" in transpile(
+            "SELECT LISTAGG(x, ',') WITHIN GROUP (ORDER BY y) FROM t"
+        )
+        assert "ORDER BY a.src)" in transpile(
+            "SELECT LISTAGG(DISTINCT a.src, '/') "
+            "WITHIN GROUP (ORDER BY a.src) FROM t"
+        )
+        spark.sql(
+            "create or replace temp view lga_t as select * from values"
+            " ('b',2),('a',1),('a',3) as v(bank_reference, order_id)"
+        )
+        assert spark.sql(out).collect()[0].l == "a,b"
+
     def test_inline_lateral_alias_no_use_returns_none(self):
         from etl_pipelines_spark.compat.transpile import (
             inline_lateral_alias,
