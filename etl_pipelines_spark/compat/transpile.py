@@ -1877,11 +1877,31 @@ def _rw_trino(toks: list[Tok]) -> list[Tok]:
         toks = out[:c] + tokenize(repl) + out[q + 1 :]
 
 
+# Redshift accepts DST-abbreviation zone names as FIXED offsets
+# (docs: "time zone abbreviations represent a fixed offset from
+# UTC"); Spark's zone parser rejects them (INVALID_TIMEZONE). Map to
+# the literal offset Redshift uses — NOT to a region zone, whose
+# offset would float with DST.
+_TZ_ABBREV_OFFSETS = {
+    "CEST": "+02:00", "MEST": "+02:00", "MESZ": "+02:00",
+    "EEST": "+03:00", "BST": "+01:00", "WEST": "+01:00",
+    "EDT": "-04:00", "CDT": "-05:00", "MDT": "-06:00",
+    "PDT": "-07:00", "AEST": "+10:00",
+}
+
+
+def _norm_zone_lit(zone: str) -> str:
+    inner = zone[1:-1].strip().upper()
+    off = _TZ_ABBREV_OFFSETS.get(inner)
+    return f"'{off}'" if off else zone
+
+
 def _rw_at_time_zone(toks: list[Tok]) -> list[Tok]:
     """``expr AT TIME ZONE 'tz'`` -> ``from_utc_timestamp(expr,
     'tz')`` -- Redshift interprets a naive timestamp as UTC and
     renders it in the target zone (mediamarkt_price_data.sql:
-    ``current_timestamp AT TIME ZONE 'CEST'``)."""
+    ``current_timestamp AT TIME ZONE 'CEST'``). DST abbreviations
+    Spark rejects normalize to their fixed offsets."""
     while True:
         out = list(toks)
         hit = None
@@ -1907,7 +1927,7 @@ def _rw_at_time_zone(toks: list[Tok]) -> list[Tok]:
             raise TranspileError("AT TIME ZONE without an operand")
         start = _operand_start(out, p)
         expr = _render(out[start : p + 1]).strip()
-        zone = out[m].text
+        zone = _norm_zone_lit(out[m].text)
         toks = (
             out[:start]
             + tokenize(f"from_utc_timestamp({expr}, {zone})")

@@ -117,7 +117,9 @@ class TestTextRewrites:
             "UPDATE t SET valid_to = current_timestamp "
             "AT TIME ZONE 'CEST'"
         )
-        assert "from_utc_timestamp(current_timestamp, 'CEST')" in out
+        # 'CEST' normalizes to its fixed offset (r11): Spark's zone
+        # parser rejects DST abbreviations Redshift accepts
+        assert "from_utc_timestamp(current_timestamp, '+02:00')" in out
 
     def test_postgres_like_ops(self):
         assert "LIKE" in transpile("SELECT a ~~ 'x%' FROM t")
@@ -1008,6 +1010,25 @@ class TestTrinoDialect:
             " ('b',2),('a',1),('a',3) as v(bank_reference, order_id)"
         )
         assert spark.sql(out).collect()[0].l == "a,b"
+
+    def test_at_time_zone_dst_abbreviation(self, spark):
+        """Redshift treats DST abbreviations (CEST, PDT, ...) as
+        fixed UTC offsets; Spark's zone parser rejects them. The
+        rewrite maps to the literal offset — not a region zone,
+        whose offset would float with DST."""
+        from etl_pipelines_spark.compat.transpile import transpile
+
+        out = transpile("SELECT ts AT TIME ZONE 'CEST' AS v FROM tz_t")
+        assert "'+02:00'" in out, out
+        assert "Europe/Berlin" in transpile(
+            "SELECT ts AT TIME ZONE 'Europe/Berlin' FROM t"
+        )
+        spark.sql(
+            "create or replace temp view tz_t as "
+            "select timestamp'2024-01-01 00:00:00' ts"
+        )
+        row = spark.sql(out).collect()[0]
+        assert str(row.v) == "2024-01-01 02:00:00"
 
     def test_inline_lateral_alias_no_use_returns_none(self):
         from etl_pipelines_spark.compat.transpile import (
