@@ -88,6 +88,14 @@ _LATERAL_RE = re.compile(
 _LATALIAS_NAME_RE = re.compile(
     r"(?i)lateral column alias[^`]*`([^`]+)`"
 )
+# [UNRESOLVED_USING_COLUMN_FOR_JOIN] USING column `x` cannot be
+# resolved on the left/right side of the join. The <side>-side
+# columns: [...]
+_USING_RE = re.compile(
+    r"UNRESOLVED_USING_COLUMN_FOR_JOIN[^`]*`([^`]+)`.*?"
+    r"on the (left|right) side",
+    re.S,
+)
 _ARITY_RE = re.compile(
     r"TOO_MANY_DATA_COLUMNS[^`]*`([^`]+(?:`\.`[^`]+)*)`.*?"
     r"table columns: (.*?)\.\s*data columns: (.*?)\.",
@@ -394,6 +402,26 @@ class Shadow:
             if self._alter_add(db, tbl, [col], prov=prov):
                 changed = True
         return changed
+
+    def add_using_column(self, msg: str, stmt_text: str) -> bool:
+        """UNRESOLVED_USING_COLUMN_FOR_JOIN repair: the source is
+        valid Redshift, so the named USING column exists on BOTH
+        sides there — when the erroring side is a repair table, add
+        it. The error says which side is missing the column; FROM
+        order picks the repair table (first in text for the left
+        side, last for the right)."""
+        m = _USING_RE.search(msg)
+        if not m:
+            return False
+        col, side = m.group(1), m.group(2)
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_ ]*", col):
+            return False
+        in_text = self._tables_in_text(stmt_text.lower())
+        if not in_text:
+            return False
+        key = in_text[0] if side == "left" else in_text[-1]
+        db, tbl = key.split(".", 1)
+        return self._alter_add(db, tbl, [col], prov="qualified")
 
     def _rebuild_without(self, key: str, col: str) -> bool:
         """Recreate a repair table minus one column (v1 parquet has
@@ -1117,6 +1145,12 @@ def main() -> None:
                             if (
                                 "DATATYPE_MISMATCH" in msg
                                 and shadow.fix_datatype(msg, t)
+                            ):
+                                progress = True
+                                continue
+                            if (
+                                "UNRESOLVED_USING_COLUMN" in msg
+                                and shadow.add_using_column(msg, t)
                             ):
                                 progress = True
                                 continue
