@@ -1061,12 +1061,28 @@ def main() -> None:
         except OSError:
             pass
 
+    # Terminal error classes no catalog repair can change: retrying
+    # them every round is pure waste (134 PARSE + 381 v1-boundary
+    # statements × ~150 ms × up to 60 rounds was a dominant cost of
+    # the r10 sweep's >5.7 h runtime).
+    def _terminal(s: str) -> bool:
+        return (
+            s.startswith("PARSE_SYNTAX_ERROR")
+            or s.startswith("UNSUPPORTED_SUBQUERY")
+            or "not supported temporarily" in s
+            or s == "_LEGACY_ERROR_TEMP_2096"
+            or s.startswith("UNSUPPORTED_FEATURE.TABLE_OPERATION")
+        )
+
     # Phase 1: fixed-point convergence without repair (pure
     # dependency ordering)
     for _round in range(8):
         progress = False
         still: list[int] = []
         for i in pending:
+            if _terminal(status.get(i, "")):
+                still.append(i)
+                continue
             f, head, t = stmts[i]
             try:
                 _attempt(spark, head, t)
@@ -1088,8 +1104,19 @@ def main() -> None:
     # next round (otherwise a wrongly-ordered file pair would turn a
     # corpus-built table into a placeholder).
     def repair_sweep(guard_creators: bool) -> None:
+        # Convergence contract (r11): a round costs O(pending)
+        # analyses whether or not anything lands, and `progress`
+        # alone is satisfiable by repairs that never turn a statement
+        # green (add_column on a hopeless statement "changed" the
+        # catalog) — the r10 failure mode where phase 2 ran all 30
+        # rounds at ~7 min each. Stop after 2 consecutive rounds with
+        # ZERO newly-ok statements: any repair chain that needs more
+        # than 2 silent rounds to pay off is traded for a bounded
+        # runtime.
+        stalled = 0
         for _round in range(30):
             progress = False
+            newly_ok = 0
             creatable = (
                 {
                     _create_target(stmts[i][2])
@@ -1101,6 +1128,8 @@ def main() -> None:
                 else set()
             )
             for i in list(pending):
+                if _terminal(status.get(i, "")):
+                    continue  # no repair can change this class
                 f, head, t = stmts[i]
                 for _try in range(12):
                     try:
@@ -1108,6 +1137,7 @@ def main() -> None:
                         status[i] = "ok"
                         pending.remove(i)
                         progress = True
+                        newly_ok += 1
                         break
                     except Exception as e:  # noqa: BLE001
                         msg = str(e)
@@ -1188,10 +1218,17 @@ def main() -> None:
                             pass
                         break
             _checkpoint(
-                ("p2" if guard_creators else "p3") + f"-r{_round}"
+                ("p2" if guard_creators else "p3")
+                + f"-r{_round}-ok{newly_ok}"
             )
             if not progress or not pending:
                 break
+            if newly_ok == 0:
+                stalled += 1
+                if stalled >= 2:
+                    break
+            else:
+                stalled = 0
 
     repair_sweep(guard_creators=True)
     # Phase 3: every CREATE still pending is TERMINAL (phase 2 ran to
