@@ -102,6 +102,23 @@ def tokenize(sql: str) -> list[Tok]:
                 j = n
             toks.append(Tok("qid", sql[i:j]))
             i = j
+        elif c == "`":
+            # backtick identifier (our own emitted form — see
+            # _rw_qid_backtick): lex as qid so transpiled text
+            # round-trips through tokenize()
+            j = i + 1
+            while j < n:
+                if sql[j] == "`":
+                    if j + 1 < n and sql[j + 1] == "`":  # `` escape
+                        j += 2
+                        continue
+                    j += 1
+                    break
+                j += 1
+            else:
+                j = n
+            toks.append(Tok("qid", sql[i:j]))
+            i = j
         else:
             for op in _OPS:
                 if sql.startswith(op, i):
@@ -2226,6 +2243,31 @@ def _rw_jinja(toks: list[Tok]) -> list[Tok]:
     return out
 
 
+def _rw_qid_backtick(toks: list[Tok]) -> list[Tok]:
+    """Double-quoted identifiers -> backtick identifiers, LAST pass.
+    In Redshift a double-quoted token is ALWAYS an identifier (string
+    literals are single-quoted), so the mapping is lossless — and it
+    frees the consuming session from `spark.sql.ansi.
+    doubleQuotedIdentifiers`, which only applies under ANSI mode.
+    That coupling forced the analysis sweep to run ANSI-on (r9,
+    measured), which made Spark reject the string-typed arithmetic /
+    comparisons Redshift's implicit-cast matrix allows — the entire
+    DATATYPE_MISMATCH residual tier of the r11 full-corpus artifact.
+    With identifiers backticked the sweep runs non-ANSI and inherits
+    Spark's lenient implicit casts, which are far closer to
+    Redshift's."""
+    out = []
+    for t in toks:
+        if t.kind == "qid" and t.text[:1] == '"':
+            inner = t.text[1:-1].replace('""', '"')
+            out.append(
+                Tok("qid", "`" + inner.replace("`", "``") + "`")
+            )
+        else:
+            out.append(t)
+    return out
+
+
 _PASSES = (
     _rw_words,
     _rw_jinja,
@@ -2262,6 +2304,7 @@ _PASSES = (
     _rw_to_date,
     _rw_json,
     _rw_qualify,
+    _rw_qid_backtick,
 )
 
 

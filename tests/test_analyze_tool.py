@@ -131,12 +131,12 @@ CREATE TABLE mart_x.p_report AS
 SELECT pval, legacy_col FROM stg_p.landing;
 """,
     # the r11 typed-shim tier (VERDICT r10 #6): consumer inference
-    # types every synthesized column STRING, so the corpus's real
-    # arithmetic (committed + extra) and boolean filter (is_active)
-    # trip ANSI's DATATYPE_MISMATCH — the real warehouse, with real
-    # types, never would. The repair must retype exactly the columns
-    # the error names (to DOUBLE / BOOLEAN) and the statement then
-    # analyzes clean
+    # types every synthesized column STRING. Under the sweep's
+    # non-ANSI session the string arithmetic (committed + extra)
+    # implicit-casts like Redshift would, but a STRING in boolean
+    # position (WHERE is_active) still trips FILTER_NOT_BOOLEAN —
+    # the repair must retype exactly that column to BOOLEAN and the
+    # statement then analyzes clean
     "h_dtype/90_metrics.sql": """
 DROP TABLE IF EXISTS mart_x.rev_calc;
 CREATE TABLE mart_x.rev_calc AS
@@ -171,9 +171,10 @@ def test_shadow_analysis_smoke(tmp_path):
     assert cov["transpile_failed"] == 1
     assert cov["analyzed_ok"] == 22
     assert cov["repaired_tables"] == 8
-    # r11 typed-shim: committed_value/extra_value retyped DOUBLE,
-    # is_active retyped BOOLEAN, on the SYNTHESIZED stg_t.metrics
-    assert cov["datatype_retypes"] == 3
+    # r11 typed-shim: is_active retyped BOOLEAN on the SYNTHESIZED
+    # stg_t.metrics (the string arithmetic needs no retype under the
+    # non-ANSI sweep session — Redshift-like implicit casts)
+    assert cov["datatype_retypes"] == 1
     # the bare guess on stg_amb.products was retracted when the
     # qualified home (stg_amb.variants) made 62_c ambiguous
     assert cov["ambiguity_drops"] >= 1

@@ -239,6 +239,16 @@ class Shadow:
         # (key, col) -> committed retype (typed-shim tier, r11)
         self.retyped: dict[tuple[str, str], str] = {}
         self.n_retypes = 0
+        # (col, candidate-tables) -> next candidate index for the
+        # BARE-column placement rotation (r11): the first-in-FROM
+        # guess is verified by the caller's retry loop — when the
+        # same bare column comes back unresolved, the guess is
+        # retracted and the NEXT table in scope tried, instead of
+        # sticking with a wrong first guess forever (the r9→r10
+        # UNRESOLVED_COLUMN ~917 bucket is dominated by wrong
+        # single guesses that the ambiguity repair never got
+        # evidence to correct).
+        self.bare_state: dict[tuple, int] = {}
         self.n_ambiguity_drops = 0
         # key -> schema rebuilds performed (insert-select-schema)
         self.rebuild_counts: dict[str, int] = {}
@@ -391,7 +401,20 @@ class Shadow:
         if not targets:
             in_text = self._tables_in_text(low)
             if in_text:
-                targets = [in_text[0]]
+                k = (col.lower(), tuple(in_text))
+                n = self.bare_state.get(k, 0)
+                if n >= len(in_text):
+                    return False  # every in-scope table tried
+                if n > 0 and self.col_prov.get(
+                    (in_text[n - 1], col.lower())
+                ) == "bare":
+                    # previous guess did not resolve the statement
+                    # (the caller re-analyzed and the same column is
+                    # still unresolved) — retract it before trying
+                    # the next table
+                    self._rebuild_without(in_text[n - 1], col.lower())
+                self.bare_state[k] = n + 1
+                targets = [in_text[n]]
                 prov = "bare"
         changed = False
         for key in targets:
@@ -886,15 +909,20 @@ def main() -> None:
         # run). Current-config view resolution makes the shadow
         # session self-consistent.
         .config("spark.sql.legacy.useCurrentConfigsForView", "true")
-        # NOTE (r9, measured-rejected): ansi.enabled=false looked
-        # dialect-faithful for Redshift's lenient implicit casts, but
-        # spark.sql.ansi.doubleQuotedIdentifiers ONLY applies under
-        # ANSI mode — with ANSI off, every `"quoted"` identifier in
-        # the corpus reverts to a string literal and the sweep
-        # collapses (PARSE 155 → 619, analyzed-ok 2929 → 2667 in the
-        # full-corpus probe). ANSI stays ON; the CAST_INVALID_INPUT
-        # bucket it costs (~34, template-param placeholder values) is
-        # accepted as template-limited noise.
+        # NOTE (r11, supersedes the r9 measured rejection): ANSI is
+        # now OFF. The r9 objection was that ansi.
+        # doubleQuotedIdentifiers only applies under ANSI mode, so
+        # non-ANSI turned every `"quoted"` identifier into a string
+        # literal (PARSE 155 → 619). The transpiler now emits
+        # BACKTICK identifiers (_rw_qid_backtick), which parse under
+        # any conf — and non-ANSI gives Spark's lenient implicit-cast
+        # matrix (string arithmetic, string-vs-numeric comparisons,
+        # NULL-on-bad-cast), which is what Redshift's all-implicit
+        # casting actually does against the shadow catalog's
+        # STRING-typed repair columns. The r11 ANSI-on artifact
+        # graded that leniency gap as a ~190-statement
+        # DATATYPE_MISMATCH residual tier.
+        .config("spark.sql.ansi.enabled", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("FATAL")
