@@ -640,6 +640,25 @@ def _rw_ignore_nulls(toks: list[Tok]) -> list[Tok]:
 _TRUNC_UNITS = {
     "year", "yyyy", "yy", "quarter", "month", "mm", "mon", "week",
 }
+# Dateparts below trunc()'s month/week floor (r11 ADVICE #2): Spark's
+# trunc can't express them but date_trunc (unit-first, like the
+# Redshift call being shimmed) can — map Redshift abbreviations to
+# the canonical Spark date_trunc unit. 'm' is excluded as ambiguous
+# between month and minute across dialects.
+_DATE_TRUNC_CANON = {
+    "day": "day", "dd": "day", "d": "day", "days": "day",
+    "hour": "hour", "h": "hour", "hr": "hour", "hrs": "hour",
+    "hours": "hour",
+    "minute": "minute", "min": "minute", "mins": "minute",
+    "minutes": "minute",
+    "second": "second", "sec": "second", "secs": "second",
+    "seconds": "second", "s": "second",
+    "millisecond": "millisecond", "ms": "millisecond",
+    "msec": "millisecond", "milliseconds": "millisecond",
+    "microsecond": "microsecond", "us": "microsecond",
+    "usec": "microsecond", "microseconds": "microsecond",
+    "w": "week", "wk": "week", "weeks": "week",
+}
 
 
 def _rw_fn_arity(toks: list[Tok]) -> list[Tok]:
@@ -682,20 +701,36 @@ def _rw_fn_arity(toks: list[Tok]) -> list[Tok]:
             out[i] = Tok("word", "coalesce")
         elif name == "TRUNC" and len(args) == 2:
             a0 = _arg_sig(out, args[0])
-            if (
-                len(a0) == 1
-                and out[a0[0]].kind == "str"
-                and _str_value(out[a0[0]]).lower() in _TRUNC_UNITS
-            ):
-                unit = out[a0[0]]
-                rest = [out[k] for k in args[1]]
-                # drop leading/trailing ws of the second arg
-                while rest and not _is_sig(rest[0]):
-                    rest.pop(0)
-                while rest and not _is_sig(rest[-1]):
-                    rest.pop()
-                repl = rest + [Tok("punct", ","), Tok("ws", " "), unit]
-                out[j + 1 : close] = repl
+            if len(a0) == 1 and out[a0[0]].kind == "str":
+                lit = _str_value(out[a0[0]]).lower()
+                if lit in _TRUNC_UNITS:
+                    unit = out[a0[0]]
+                    rest = [out[k] for k in args[1]]
+                    # drop leading/trailing ws of the second arg
+                    while rest and not _is_sig(rest[0]):
+                        rest.pop(0)
+                    while rest and not _is_sig(rest[-1]):
+                        rest.pop()
+                    repl = rest + [
+                        Tok("punct", ","), Tok("ws", " "), unit,
+                    ]
+                    out[j + 1 : close] = repl
+                elif lit in _DATE_TRUNC_CANON:
+                    # below trunc()'s floor: rename the call to
+                    # date_trunc, which is unit-first already —
+                    # canonicalize the unit literal in place
+                    out[i] = Tok("word", "date_trunc")
+                    out[a0[0]] = _str_lit(_DATE_TRUNC_CANON[lit])
+                else:
+                    # r11 ADVICE #2: any other literal-string first
+                    # arg would analyze clean in Spark ('x' parses
+                    # as the date operand) and return NULL for every
+                    # row — the silent divergence this shim exists
+                    # to prevent. Loud-stop instead.
+                    raise TranspileError(
+                        f"TRUNC({lit!r}, ...) unit-first with an "
+                        "unrecognized datepart has no Spark form"
+                    )
         elif name == "REGEXP_SUBSTR" and len(args) >= 3:
             sigs = [_arg_sig(out, a) for a in args]
 
@@ -823,10 +858,47 @@ def _rw_listagg_distinct_order(toks: list[Tok]) -> list[Tok]:
                 out[k].text.lower() for k in idx if _is_sig(out[k])
             )
         order_idx = list(range(b + 1, e))
-        if _norm(order_idx) != _norm(expr_idx):
-            out[b + 1 : e] = (
-                [Tok("ws", " ")] + [out[k] for k in expr_idx]
-            )
+        # r11 ADVICE #1: trailing ASC/DESC/NULLS FIRST|LAST are
+        # direction modifiers, not part of the order EXPRESSION —
+        # `ORDER BY x DESC` for input x is accepted by Spark as-is
+        # and must not be rewritten (the old _norm mismatch silently
+        # reversed it). Strip them before comparing; preserve them
+        # when only the expression itself mismatches.
+        order_sig = [k for k in order_idx if _is_sig(out[k])]
+        mod_start = len(order_sig)
+        if mod_start >= 2 and _word_is(
+            out[order_sig[mod_start - 2]], "NULLS"
+        ) and (
+            _word_is(out[order_sig[mod_start - 1]], "FIRST")
+            or _word_is(out[order_sig[mod_start - 1]], "LAST")
+        ):
+            mod_start -= 2
+        if mod_start >= 1 and (
+            _word_is(out[order_sig[mod_start - 1]], "ASC")
+            or _word_is(out[order_sig[mod_start - 1]], "DESC")
+        ):
+            mod_start -= 1
+        core_idx = order_sig[:mod_start]
+        mod_idx = order_sig[mod_start:]
+        if _norm(core_idx) != _norm(expr_idx):
+            # modifiers carry over only for a single-key ORDER BY —
+            # grafting the last key's DESC onto a rewritten
+            # multi-key list would invent a direction
+            depth = 0
+            multi_key = False
+            for k in core_idx:
+                tk = out[k]
+                if tk.kind == "punct" and tk.text == "(":
+                    depth += 1
+                elif tk.kind == "punct" and tk.text == ")":
+                    depth -= 1
+                elif tk.kind == "punct" and tk.text == "," and depth == 0:
+                    multi_key = True
+            repl = [Tok("ws", " ")] + [out[k] for k in expr_idx]
+            if not multi_key:
+                for k in mod_idx:
+                    repl += [Tok("ws", " "), out[k]]
+            out[b + 1 : e] = repl
         i += 1
     return out
 

@@ -8089,78 +8089,74 @@ def compat_redshift_script(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _DRIVER_WINDOW = [
-    # --- round-11 window (VERDICT r10 #5): mm_audio_segments leads —
-    # deferred from both r10 (funded the dd_embedding_neardup re-proof
-    # slot, see the r10 comment retained in git history) and the r9
-    # rotation before it, now the oldest-aged non-twin row (r7).
-    # dd_simhash follows (r5, the rows-only xxhash64 twin of
-    # oracle-green dd_simhash_md5 — BY DESIGN it has no DuckDB oracle;
-    # the driver row refreshes its rows-only evidence). Then the four
-    # queries the r11 broadcast-policy sweep touched whose newest
-    # evidence predates the change (q3/q5 hints dropped on
-    # orders/customer/supplier; dd_neardup_survivors hints dropped on
-    # the pair-graph key sets; mkt_affiliate_payout lost the qual_src
-    # hint), then 44 of the 49 r8-aged rows — including every other
-    # broadcast-sweep query (spv_price_outliers, top_products,
-    # master_subscription, luxco_multigrain_union, ops_allocation,
-    # ops_shipment_funnel, pay_retry_payments). Five r8-green rows are
-    # deferred to the r12 window to fit the changed-query re-proofs:
-    # mm_binary_meta, mm_frame_plan, mm_resize_dims, txt_fingerprint,
-    # txt_weighted_sample (all r8-green in CORRECTNESS_r08.json, none
-    # touched since). Union coverage across r1-r11 stays total
-    # (test-pinned, tests/test_registry_window.py).
-    "mm_audio_segments",
-    "dd_simhash",
-    # changed by the r11 broadcast-policy sweep:
-    "q3_top_revenue_orders",
-    "q5_regional_revenue",
-    "dd_neardup_survivors",
-    "mkt_affiliate_payout",
-    # r8-aged cohort (44 of 49):
-    "a_bool_or",
-    "a_dedup_then_agg",
-    "a_greatest_least",
-    "a_listagg",
-    "a_pivot_status",
-    "dd_ngram_jaccard",
-    "f_math",
-    "f_null_conditional",
-    "fin_collection_curves",
-    "gc_wallet_expansion",
-    "j_cross_spine",
-    "j_right_parts",
-    "j_semi_in",
-    "luxco_multigrain_union",
-    "m_explode_split",
-    "m_posexplode",
-    "m_scalar_subquery",
-    "master_subscription",
-    "mon_duplicate_keys",
-    "mon_freshness",
-    "mon_missing_dates",
-    "mon_value_drift",
-    "ops_allocation",
-    "ops_shipment_funnel",
-    "p_distinct",
-    "p_filter_predicates",
-    "p_like_ilike",
-    "pay_retry_payments",
-    "s_event_dedup_incremental",
-    "s_page_view_end",
-    "s_sessionize_gap",
-    "spv_price_outliers",
-    "top_products",
-    "txt_bigram_logprob_pruned",
-    "txt_quality",
-    "u_except",
-    "u_intersect",
-    "u_union_distinct",
-    "w_median_window",
-    "w_nth_value",
-    "w_percentile_window",
-    "w_rank_top_orders",
-    "wh_page_views",
-    "wh_sessions_mart",
+    # --- round-12 window (VERDICT r11 #5): the five r8-aged rows
+    # lead — mm_binary_meta, mm_frame_plan, mm_resize_dims,
+    # txt_fingerprint, txt_weighted_sample were deferred from the
+    # r11 window (the rotation comment promised them for r12; they
+    # are the oldest evidence in the registry). compat_redshift_script
+    # follows because the transpiler changed this round (r11 ADVICE
+    # #1/#2: LISTAGG DISTINCT direction-modifier preservation,
+    # unit-first TRUNC date_trunc rewrite + loud-stop) — its window
+    # row re-proves the dialect layer end-to-end post-change. Then
+    # 44 of the 48 r9-aged rows. Four r9-green composites are
+    # deferred to the r13 window to fit (none touched since r9, all
+    # green in CORRECTNESS_r09.json): m_date_spine, wh_daily_kpi,
+    # tx_merge_readback, sessions_union_stitch — after this window
+    # no registry row's newest evidence predates r9. Union coverage
+    # across r1-r12 stays total (test-pinned,
+    # tests/test_registry_window.py).
+    "mm_binary_meta",
+    "mm_frame_plan",
+    "mm_resize_dims",
+    "txt_fingerprint",
+    "txt_weighted_sample",
+    # transpiler changed this round (r11 ADVICE #1/#2):
+    "compat_redshift_script",
+    # r9-aged cohort (44 of 48):
+    "a_rollup_multigrain",
+    "ann_brute_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "ann_pq_adc",
+    "braze_order_attribution",
+    "corpus_curation",
+    "dd_exact_dedup_survivors",
+    "dd_exact_dup_groups",
+    "dd_line_dedup",
+    "dd_simhash_md5",
+    "emb_pq_encode",
+    "gc_account_balance",
+    "j_bloom_prefilter",
+    "master_customer",
+    "ml_churn_score",
+    "ml_mlp_score",
+    "ml_price_score",
+    "mm_mp3_meta",
+    "mm_patch_plan",
+    "mm_ppm_decode",
+    "mm_video_frames",
+    "mm_wav_decode",
+    "mon_cms_heavyhitters",
+    "mon_hll_distinct",
+    "mon_volume_anomaly",
+    "pay_retry_fanout",
+    "q1_pricing_summary",
+    "scd2_history",
+    "sust_seasonality",
+    "txt_bpe_encode",
+    "txt_chunk_plan",
+    "txt_contamination",
+    "txt_gopher_filter",
+    "txt_hash_split",
+    "txt_langid",
+    "txt_ngram_decontam",
+    "txt_pii_redact",
+    "txt_repetition",
+    "txt_source_mix",
+    "txt_stratified_sample",
+    "txt_unigram_logprob",
+    "w_time_range_rolling",
+    "wh_track_events",
 ]
 
 

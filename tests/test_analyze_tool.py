@@ -137,6 +137,20 @@ SELECT pval, legacy_col FROM stg_p.landing;
     # position (WHERE is_active) still trips FILTER_NOT_BOOLEAN —
     # the repair must retype exactly that column to BOOLEAN and the
     # statement then analyzes clean
+    # the r12 USING-localization path (r11 ADVICE #3): the USING
+    # join's right operand is stg_u.b_t, but stg_u.c_t is textually
+    # LAST — the old first/last-in-text heuristic would bolt uid
+    # onto c_t (unrelated to the USING join) and strand the
+    # statement; the localized repair resolves the join's actual
+    # sides and rotates candidates with retraction
+    "i_using/95_using.sql": """
+DROP TABLE IF EXISTS mart_x.using_join;
+CREATE TABLE mart_x.using_join AS
+SELECT a.aid
+FROM stg_u.a_t a
+JOIN stg_u.b_t USING (uid)
+LEFT JOIN stg_u.c_t c ON c.cid = a.aid;
+""",
     "h_dtype/90_metrics.sql": """
 DROP TABLE IF EXISTS mart_x.rev_calc;
 CREATE TABLE mart_x.rev_calc AS
@@ -167,10 +181,16 @@ def test_shadow_analysis_smoke(tmp_path):
     # and the DROP+CTAS consumer of the analyzer-failed creator
     # (phase-3 guard lift). Repaired: stg_raw.orders_landing,
     # stg_dead.landing_q, mart_x.broken.
-    assert cov["statements"] == 25
+    assert cov["statements"] == 27
     assert cov["transpile_failed"] == 1
-    assert cov["analyzed_ok"] == 22
-    assert cov["repaired_tables"] == 8
+    assert cov["analyzed_ok"] == 24
+    assert cov["repaired_tables"] == 11
+    # r12 USING localization: the i_using statement analyzing OK is
+    # itself the proof — the old heuristic bolted uid onto the
+    # textually-last c_t and left b_t (the join's actual right side)
+    # without it, so the CTAS stayed red (analyzed_ok would read 23)
+    for t in ("stg_u.a_t", "stg_u.b_t", "stg_u.c_t"):
+        assert t in cov["synthesized_tables"], t
     # r11 typed-shim: is_active retyped BOOLEAN on the SYNTHESIZED
     # stg_t.metrics (the string arithmetic needs no retype under the
     # non-ANSI sweep session — Redshift-like implicit casts)

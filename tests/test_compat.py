@@ -1011,6 +1011,65 @@ class TestTrinoDialect:
         )
         assert spark.sql(out).collect()[0].l == "a,b"
 
+    def test_listagg_distinct_order_direction_preserved(self, spark):
+        """r11 ADVICE #1: ORDER BY x DESC on a DISTINCT LISTAGG of x
+        is accepted by Spark as-is — a trailing direction keyword is
+        not an expression mismatch and must not be rewritten (the
+        old _norm comparison silently reversed the order). When the
+        expression DOES mismatch, the direction carries over."""
+        from etl_pipelines_spark.compat.transpile import transpile
+
+        out = transpile(
+            "SELECT LISTAGG(DISTINCT x, ',') "
+            "WITHIN GROUP (ORDER BY x DESC) AS l FROM lgd_t"
+        )
+        assert "ORDER BY x DESC)" in out, out
+        spark.sql(
+            "create or replace temp view lgd_t as select * from values"
+            " ('b'),('a'),('c'),('a') as v(x)"
+        )
+        assert spark.sql(out).collect()[0].l == "c,b,a"
+        # NULLS LAST is likewise a modifier, not a mismatch
+        assert "ORDER BY x NULLS LAST)" in transpile(
+            "SELECT LISTAGG(DISTINCT x, ',') "
+            "WITHIN GROUP (ORDER BY x NULLS LAST) FROM t"
+        )
+        # expression mismatch: rewrite to the input, direction kept
+        out2 = transpile(
+            "SELECT LISTAGG(DISTINCT x, ',') "
+            "WITHIN GROUP (ORDER BY y DESC) AS l FROM lgd_t"
+        )
+        assert "ORDER BY x DESC)" in out2, out2
+
+    def test_trunc_unit_first_below_month(self, spark):
+        """r11 ADVICE #2: unit-first TRUNC with a datepart below
+        trunc()'s month/week floor rewrites to date_trunc (which is
+        unit-first natively); an unrecognizable literal unit
+        loud-stops instead of becoming Spark's silent all-NULL."""
+        from etl_pipelines_spark.compat.transpile import (
+            TranspileError,
+            transpile,
+        )
+
+        out = transpile("SELECT trunc('day', ts) v FROM tdt_t")
+        assert "date_trunc('day', ts)" in out, out
+        spark.sql(
+            "create or replace temp view tdt_t as "
+            "select timestamp'2024-03-15 13:45:12' ts"
+        )
+        assert str(spark.sql(out).collect()[0].v) == "2024-03-15 00:00:00"
+        # Redshift abbreviations canonicalize
+        assert "date_trunc('day', ts)" in transpile(
+            "SELECT trunc('dd', ts) FROM t"
+        )
+        assert "date_trunc('hour', ts)" in transpile(
+            "SELECT trunc('h', ts) FROM t"
+        )
+        # numeric TRUNC untouched; unrecognized unit loud-stops
+        assert "trunc(1.567, 2)" in transpile("SELECT trunc(1.567, 2)")
+        with pytest.raises(TranspileError):
+            transpile("SELECT trunc('fortnight', ts) FROM t")
+
     def test_at_time_zone_dst_abbreviation(self, spark):
         """Redshift treats DST abbreviations (CEST, PDT, ...) as
         fixed UTC offsets; Spark's zone parser rejects them. The

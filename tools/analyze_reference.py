@@ -118,8 +118,24 @@ def _stmt_head(stmt: str) -> str:
 
 
 def _err_code(e: Exception) -> str:
-    m = re.match(r"\[([A-Z_.0-9]+)\]", str(e).strip())
-    return m.group(1) if m else str(e).strip().splitlines()[0][:60]
+    s = str(e).strip()
+    # r12: a dead JVM gateway is an ENVIRONMENT failure, not a
+    # statement error — the r11 sweep churned 1,798 pending
+    # statements (and 11k+ phantom "ambiguity drops") against a
+    # dead gateway for the rest of the run. Abort immediately; the
+    # per-checkpoint partial artifact is the landable state.
+    if (
+        "Connection refused" in s
+        or "Answer from Java side is empty" in s
+        or "Py4JNetworkError" in type(e).__name__
+    ):
+        raise SystemExit(
+            "analyzer sweep: Spark JVM gateway died "
+            f"({s.splitlines()[0][:120]}); aborting — land the "
+            ".partial.json checkpoint and relaunch"
+        )
+    m = re.match(r"\[([A-Z_.0-9]+)\]", s)
+    return m.group(1) if m else s.splitlines()[0][:60]
 
 
 def _inferred_columns(stmt_text: str, db: str, tbl: str) -> list[str]:
@@ -430,21 +446,64 @@ class Shadow:
         """UNRESOLVED_USING_COLUMN_FOR_JOIN repair: the source is
         valid Redshift, so the named USING column exists on BOTH
         sides there — when the erroring side is a repair table, add
-        it. The error says which side is missing the column; FROM
-        order picks the repair table (first in text for the left
-        side, last for the right)."""
+        it. r11 ADVICE #3: the old first/last-in-text heuristic
+        could repair a table unrelated to the USING join in a
+        multi-join statement, with no retraction. Now the USING
+        clause naming the column is LOCATED in the statement: its
+        JOIN's right operand is the right-side candidate, and every
+        relation textually before that JOIN is a left-side
+        candidate; candidates are tried one per analysis round with
+        bare-guess rotation (a guess that does not resolve the
+        statement is retracted before the next is tried)."""
         m = _USING_RE.search(msg)
         if not m:
             return False
         col, side = m.group(1), m.group(2)
         if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_ ]*", col):
             return False
-        in_text = self._tables_in_text(stmt_text.lower())
-        if not in_text:
-            return False
-        key = in_text[0] if side == "left" else in_text[-1]
-        db, tbl = key.split(".", 1)
-        return self._alter_add(db, tbl, [col], prov="qualified")
+        low = stmt_text.lower()
+        cands: list[str] = []
+        # `JOIN <rel> [AS alias] USING (...)` — the gap between the
+        # relation and USING may not contain parens or another JOIN
+        # (else the match would cross into a neighboring join).
+        for jm in re.finditer(
+            r"\bjoin\s+([a-z_][\w]*(?:\s*\.\s*[a-z_][\w]*)?)"
+            r"(?:(?!\bjoin\b)[^()])*?\busing\s*\(([^)]*)\)",
+            low,
+        ):
+            using_cols = {
+                c.strip().strip('`"') for c in jm.group(2).split(",")
+            }
+            if col.lower() not in using_cols:
+                continue
+            rel = re.sub(r"\s", "", jm.group(1))
+            rkey = rel if "." in rel else f"default.{rel}"
+            if side == "right":
+                if rkey in self.repaired_tables and rkey not in cands:
+                    cands.append(rkey)
+            else:
+                for k in self._tables_in_text(low[: jm.start()]):
+                    if k != rkey and k not in cands:
+                        cands.append(k)
+        if not cands:
+            # no locatable USING clause (e.g. it sits inside a view
+            # this statement reads): fall back to FROM-order, but as
+            # the last rotation candidate, not a blind commit
+            in_text = self._tables_in_text(low)
+            if not in_text:
+                return False
+            cands = [in_text[0] if side == "left" else in_text[-1]]
+        state_key = (f"using:{col.lower()}:{side}", tuple(cands))
+        n = self.bare_state.get(state_key, 0)
+        if n >= len(cands):
+            return False  # every candidate tried and retracted
+        if n > 0 and self.col_prov.get(
+            (cands[n - 1], col.lower())
+        ) == "bare":
+            self._rebuild_without(cands[n - 1], col.lower())
+        self.bare_state[state_key] = n + 1
+        db, tbl = cands[n].split(".", 1)
+        return self._alter_add(db, tbl, [col], prov="bare")
 
     def _rebuild_without(self, key: str, col: str) -> bool:
         """Recreate a repair table minus one column (v1 parquet has
@@ -768,10 +827,41 @@ _EXISTS_RE = re.compile(
 )
 
 
+_REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
+_BENCH_SENTINEL = _REPO_ROOT / "BENCH_RUNNING"
+
+
+def _bench_gate() -> None:
+    """Mechanical bench/sweep mutual exclusion (VERDICT r11 #2,
+    third contaminated bench): when the driver's bench writes the
+    BENCH_RUNNING sentinel, the sweep finishes its current
+    statement, writes a pause-ack, and sleeps until the sentinel
+    clears. bench.py refuses to measure while an analyzer is alive
+    without a fresh ack."""
+    if not _BENCH_SENTINEL.exists():
+        return
+    ack = pathlib.Path(str(_BENCH_SENTINEL) + ".ack")
+    try:
+        ack.write_text("paused")
+    except OSError:
+        pass
+    print(
+        json.dumps({"phase": "paused-for-bench"}),
+        file=sys.stderr, flush=True,
+    )
+    while _BENCH_SENTINEL.exists():
+        time.sleep(5)
+    try:
+        ack.unlink()
+    except OSError:
+        pass
+
+
 def _attempt(spark, head: str, sql: str):
     """Execute DDL-ish statements, analyze everything else. A CREATE
     whose target exists (files legitimately re-create shared tables)
     drops and retries so the NEW definition is the one validated."""
+    _bench_gate()
     if head in _EXEC_HEADS:
         if head == "DROP":
             sql = re.sub(
@@ -896,6 +986,12 @@ def main() -> None:
     wh = tempfile.mkdtemp(prefix="shadow_wh_")
     spark = (
         SparkSession.builder.master("local[2]")
+        # r12: the r11 full sweep's JVM gateway died at ~2.1 h with
+        # 1,322 synthesized tables resident — the default 1 GiB
+        # driver heap is the prime suspect ("[Errno 111] Connection
+        # refused" for the 1,798 then-pending statements). The
+        # sweep IS the driver in local mode; give it real headroom.
+        .config("spark.driver.memory", "16g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", wh)
         .config("spark.sql.ansi.doubleQuotedIdentifiers", "true")
@@ -935,6 +1031,9 @@ def main() -> None:
     # statement inventory, file order (0_ods_core sorts first -- the
     # reference's own layer order)
     stmts: list[tuple[str, str, str]] = []  # (file, head, transpiled)
+    raws: list[str] = []  # original corpus text, index-parallel —
+    # PARSE residuals are adjudicated on THIS (source-invalid
+    # detectors must never see our rewrites)
     n_transpile_fail = 0
     fail_buckets: dict[str, int] = {}
     param_names: set[str] = set()
@@ -967,6 +1066,7 @@ def main() -> None:
                 continue
             param_names.update(re.findall(r"__param_\w+__", t))
             stmts.append((str(path.relative_to(ref)), head, t))
+            raws.append(stmt)
     for name in sorted(param_names):
         spark.sql(
             f"DECLARE OR REPLACE VARIABLE {name} STRING DEFAULT '1'"
@@ -1084,6 +1184,34 @@ def main() -> None:
             "repaired_tables": len(shadow.repaired_tables),
         })
         print(line, file=sys.stderr, flush=True)
+        # Crash-safe landing (r11 lesson: the final artifact only
+        # existed because the dead-gateway loop happened to run to
+        # completion): every checkpoint also lands a full partial
+        # artifact atomically, so ANY death leaves a committable
+        # state with per-bucket residuals instead of a counts-only
+        # progress line.
+        try:
+            res: dict[str, int] = {}
+            for _i, _s in status.items():
+                if _s != "ok":
+                    res[_s] = res.get(_s, 0) + 1
+            doc = {
+                "partial": phase,
+                "statements": len(stmts) + n_transpile_fail,
+                "transpile_failed": n_transpile_fail,
+                "analyzed_ok": n_ok_now,
+                "repaired_tables": len(shadow.repaired_tables),
+                "datatype_retypes": shadow.n_retypes,
+                "ambiguity_drops": shadow.n_ambiguity_drops,
+                "residual_buckets": dict(
+                    sorted(res.items(), key=lambda kv: -kv[1])[:40]
+                ),
+            }
+            tmp = pathlib.Path(str(out_path) + ".partial.tmp")
+            tmp.write_text(json.dumps(doc, indent=1))
+            tmp.replace(str(out_path) + ".partial.json")
+        except OSError:
+            pass
         try:
             ckpt_path.write_text(line + "\n")
         except OSError:
@@ -1325,6 +1453,13 @@ def main() -> None:
     n_rowlevel_v1 = 0
     residual: dict[str, int] = {}
     samples: list[dict] = []
+    # PARSE re-adjudication (VERDICT r11 #4): under backtick
+    # emission, a PARSE residual is either provably broken SOURCE
+    # (the r7 lexical detectors, run on the ORIGINAL corpus text) or
+    # a genuine transpiler gap — zero of the latter is the bar.
+    from transpile_reference import adjudicate  # noqa: E402
+
+    parse_adjudication: dict[str, int] = {}
     for i, s in status.items():
         if s == "ok":
             continue
@@ -1351,10 +1486,22 @@ def main() -> None:
             or "PARSE_SYNTAX" in s
         ):
             s = "template-param-limited"
+        elif s.startswith("PARSE_SYNTAX_ERROR"):
+            tier, detail = adjudicate(raws[i], last_msg.get(i, ""))
+            parse_adjudication[f"{tier}: {detail}"] = (
+                parse_adjudication.get(f"{tier}: {detail}", 0) + 1
+            )
+            if tier == "source_invalid":
+                s = "parse-source-invalid"
+            elif tier == "template_limited":
+                s = "template-param-limited"
+            # dialect_gap keeps PARSE_SYNTAX_ERROR — a transpiler
+            # regression to burn, surfaced in residual_samples
         residual[s] = residual.get(s, 0) + 1
         if len(samples) < 60 and s not in (
             "rowlevel-v1-table-format", "template-param-limited",
             "insert-arity-on-synthesized-schema",
+            "parse-source-invalid",
         ):
             samples.append({"file": stmts[i][0], "head": stmts[i][1],
                             "err": status[i][:160],
@@ -1383,6 +1530,9 @@ def main() -> None:
         "ambiguity_drops": shadow.n_ambiguity_drops,
         "insert_select_schema_rebuilds": len(shadow.rebuild_counts),
         "schema_hints_lifted": len(schema_hints),
+        "parse_adjudication": dict(
+            sorted(parse_adjudication.items(), key=lambda kv: -kv[1])
+        ),
         "synthesized_tables": dict(sorted(shadow.provenance.items())),
         "residual_buckets": dict(
             sorted(residual.items(), key=lambda kv: -kv[1])
