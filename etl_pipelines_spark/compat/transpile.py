@@ -438,6 +438,56 @@ def _rw_quoted_units(toks: list[Tok]) -> list[Tok]:
     return out
 
 
+_DD_BOUNDARY_UNITS = {
+    "second", "minute", "hour", "day", "week",
+    "month", "quarter", "year",
+}
+
+
+def _rw_datediff_boundary(toks: list[Tok]) -> list[Tok]:
+    """Redshift DATEDIFF counts unit BOUNDARIES crossed
+    (``datediff('year', '2023-12-31', '2024-01-01') = 1``); Spark's
+    native 3-arg datediff/timestampdiff counts COMPLETE elapsed
+    units — it analyzes clean and silently returns different values
+    for timestamp inputs (and for month/quarter/year/week even on
+    dates). 437 corpus call sites (day 244, month 125, hour 44, …).
+    Rewrite ``DATEDIFF(unit, s, e)`` to the session-registered
+    ``dd_boundary_<unit>(s, e)`` SQL UDFs, whose RETURN expressions
+    mirror the oracle-validated ``functions.datediff`` boundary
+    forms and are Catalyst-inlined. Runs AFTER _rw_quoted_units, so
+    the unit is a bare canonical word; unrecognized units pass
+    through to Spark's native parse."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if not (t.kind == "word" and t.text.upper() == "DATEDIFF"):
+            i += 1
+            continue
+        j = _next_sig(out, i)
+        if not (j < len(out) and out[j].kind == "punct"
+                and out[j].text == "("):
+            i += 1
+            continue
+        args, _close = _call_args(out, j)
+        if len(args) != 3:
+            i += 1
+            continue
+        a0 = _arg_sig(out, args[0])
+        if not (len(a0) == 1 and out[a0[0]].kind == "word"):
+            i += 1
+            continue
+        unit = out[a0[0]].text.lower()
+        if unit not in _DD_BOUNDARY_UNITS:
+            i += 1
+            continue
+        out[i] = Tok("word", f"dd_boundary_{unit}")
+        # drop the unit arg + comma + leading ws of the next arg
+        out[j + 1 : _arg_sig(out, args[1])[0]] = []
+        i += 1
+    return out
+
+
 _TYPE_ALWAYS = {
     # Redshift type names with no other plausible reading -- safe to
     # rewrite anywhere they appear as a bare word.
@@ -688,7 +738,10 @@ def _rw_fn_arity(toks: list[Tok]) -> list[Tok]:
             i += 1
             continue
         name = t.text.upper()
-        if name not in ("NVL", "TRUNC", "REGEXP_SUBSTR"):
+        if name not in (
+            "NVL", "TRUNC", "REGEXP_SUBSTR", "DATE_DIFF", "DATE_ADD",
+            "JSON_ARRAY_LENGTH", "ISNULL",
+        ):
             i += 1
             continue
         j = _next_sig(out, i)
@@ -699,6 +752,37 @@ def _rw_fn_arity(toks: list[Tok]) -> list[Tok]:
         args, close = _call_args(out, j)
         if name == "NVL" and len(args) > 2:
             out[i] = Tok("word", "coalesce")
+        elif name in ("DATE_DIFF", "DATE_ADD") and len(args) == 3:
+            # Spark 4 parses the Redshift 3-arg unit-first forms as
+            # DATEDIFF/DATEADD but NOT under the underscore
+            # spellings (`date_diff` is strictly the 2-arg
+            # (end, start) builtin) — rename; _rw_quoted_units then
+            # unquotes the unit as usual.
+            out[i] = Tok(
+                "word",
+                "datediff" if name == "DATE_DIFF" else "dateadd",
+            )
+        elif name == "JSON_ARRAY_LENGTH" and len(args) == 2:
+            # Redshift's 2nd arg is null_if_invalid; Spark's 1-arg
+            # json_array_length already returns NULL on invalid
+            # JSON, so a literal flag simply drops (TRUE and FALSE
+            # both: Spark cannot error-on-invalid, and the corpus
+            # only ever passes TRUE).
+            a1 = _arg_sig(out, args[1])
+            if len(a1) == 1 and _word_is(out[a1[0]], "TRUE", "FALSE"):
+                end0 = args[0][-1] + 1
+                out[end0:close] = []
+        elif name == "ISNULL" and len(args) == 2:
+            # SQL-Server-style ISNULL(check, replacement) — Spark's
+            # isnull is the 1-arg null test; the 2-arg intent is NVL.
+            out[i] = Tok("word", "nvl")
+        elif name == "TRUNC" and len(args) == 1:
+            # Redshift 1-arg TRUNC(timestamp) truncates to DAY and
+            # returns DATE == Spark's to_date. (Numeric 1-arg TRUNC
+            # exists in Redshift but appears nowhere in the corpus —
+            # every call site is date-typed; a numeric arg would
+            # surface as a loud analysis error, not a silent NULL.)
+            out[i] = Tok("word", "to_date")
         elif name == "TRUNC" and len(args) == 2:
             a0 = _arg_sig(out, args[0])
             if len(a0) == 1 and out[a0[0]].kind == "str":
@@ -2372,6 +2456,7 @@ _PASSES = (
     _rw_tilde,
     _rw_similar_to,
     _rw_quoted_units,
+    _rw_datediff_boundary,
     _rw_to_char,
     _rw_to_date,
     _rw_json,
@@ -2740,6 +2825,41 @@ _SQL_UDFS = (
     "RETURNS STRING RETURN sha1(s)",
     "CREATE OR REPLACE TEMPORARY FUNCTION get_array_length(s STRING) "
     "RETURNS INT RETURN json_array_length(s)",
+    # Redshift boundary-semantics DATEDIFF (_rw_datediff_boundary):
+    # each form truncates to the unit so elapsed == boundaries,
+    # mirroring functions.datediff (oracle-validated in
+    # f_datetime_kitchen_sink / wh_page_views). unix_timestamp keeps
+    # the epoch diff config-robust (no timestamp->long cast).
+    "CREATE OR REPLACE TEMPORARY FUNCTION dd_boundary_day("
+    "s TIMESTAMP, e TIMESTAMP) RETURNS BIGINT "
+    "RETURN CAST(datediff(CAST(e AS DATE), CAST(s AS DATE)) AS BIGINT)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION dd_boundary_second("
+    "s TIMESTAMP, e TIMESTAMP) RETURNS BIGINT "
+    "RETURN unix_timestamp(date_trunc('SECOND', e)) - "
+    "unix_timestamp(date_trunc('SECOND', s))",
+    "CREATE OR REPLACE TEMPORARY FUNCTION dd_boundary_minute("
+    "s TIMESTAMP, e TIMESTAMP) RETURNS BIGINT "
+    "RETURN (unix_timestamp(date_trunc('MINUTE', e)) - "
+    "unix_timestamp(date_trunc('MINUTE', s))) DIV 60",
+    "CREATE OR REPLACE TEMPORARY FUNCTION dd_boundary_hour("
+    "s TIMESTAMP, e TIMESTAMP) RETURNS BIGINT "
+    "RETURN (unix_timestamp(date_trunc('HOUR', e)) - "
+    "unix_timestamp(date_trunc('HOUR', s))) DIV 3600",
+    "CREATE OR REPLACE TEMPORARY FUNCTION dd_boundary_week("
+    "s TIMESTAMP, e TIMESTAMP) RETURNS BIGINT "
+    "RETURN (unix_timestamp(date_trunc('WEEK', e)) - "
+    "unix_timestamp(date_trunc('WEEK', s))) DIV 604800",
+    "CREATE OR REPLACE TEMPORARY FUNCTION dd_boundary_month("
+    "s TIMESTAMP, e TIMESTAMP) RETURNS BIGINT "
+    "RETURN CAST((year(e) - year(s)) * 12 + (month(e) - month(s)) "
+    "AS BIGINT)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION dd_boundary_quarter("
+    "s TIMESTAMP, e TIMESTAMP) RETURNS BIGINT "
+    "RETURN CAST((year(e) - year(s)) * 4 + (quarter(e) - quarter(s)) "
+    "AS BIGINT)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION dd_boundary_year("
+    "s TIMESTAMP, e TIMESTAMP) RETURNS BIGINT "
+    "RETURN CAST(year(e) - year(s) AS BIGINT)",
 )
 
 

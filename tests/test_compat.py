@@ -146,9 +146,10 @@ class TestTextRewrites:
         assert "IS NULL" in out
         out = transpile("SELECT 1 FROM t WHERE a NOTNULL AND b=2")
         assert "IS NOT NULL" in out
-        # SQL-Server-style function call form passes through
-        sql = "SELECT isnull(a, b) FROM t"
-        assert transpile(sql) == sql
+        # SQL-Server-style 2-arg call form rewrites to NVL (r12:
+        # Spark's isnull is strictly the 1-arg null test — the old
+        # pass-through failed analysis with WRONG_NUM_ARGS)
+        assert "nvl(a, b)" in transpile("SELECT isnull(a, b) FROM t")
 
     def test_psql_bind_variables(self):
         out = transpile("DELETE FROM t WHERE year = :year AND m=:m")
@@ -1069,6 +1070,97 @@ class TestTrinoDialect:
         assert "trunc(1.567, 2)" in transpile("SELECT trunc(1.567, 2)")
         with pytest.raises(TranspileError):
             transpile("SELECT trunc('fortnight', ts) FROM t")
+
+    def test_fn_arity_shims_r12(self, spark):
+        """Corpus arity gaps surfaced by the r12 sweep: 1-arg
+        TRUNC(ts) (Redshift: truncate to day, returns DATE),
+        JSON_ARRAY_LENGTH(j, true) (null_if_invalid flag — Spark's
+        1-arg form already NULLs on invalid), SQL-Server-style
+        2-arg ISNULL, and the underscore spellings DATE_DIFF /
+        DATE_ADD which Spark only parses 3-arg as DATEDIFF /
+        DATEADD."""
+        from etl_pipelines_spark.compat.transpile import transpile
+
+        out = transpile(
+            "SELECT trunc(ts) d, json_array_length(j, true) n, "
+            "isnull(a, 'x') v, date_diff('day', ts, ts2) dd, "
+            "date_add('day', 2, ts) da FROM fa_t"
+        )
+        assert "to_date(ts)" in out, out
+        assert "json_array_length(j)" in out, out
+        assert "nvl(a, 'x')" in out, out
+        # date_diff renames to datediff, then the boundary pass owns it
+        assert "dd_boundary_day(ts, ts2)" in out, out
+        assert "dateadd(day, 2, ts)" in out, out
+        spark.sql(
+            "create or replace temp view fa_t as select "
+            "timestamp'2024-03-15 13:45:12' ts, "
+            "timestamp'2024-03-18 01:00:00' ts2, "
+            "'[1,2,3]' j, cast(null as string) a"
+        )
+        from etl_pipelines_spark.compat.transpile import install
+
+        install(spark)
+        row = spark.sql(out).collect()[0]
+        assert str(row.d) == "2024-03-15"
+        assert row.n == 3
+        assert row.v == "x"
+        # Redshift boundary semantics: Mar 15 13:45 -> Mar 18 01:00
+        # crosses THREE midnights (Spark's native elapsed form says 2)
+        assert row.dd == 3
+        assert str(row.da).startswith("2024-03-17")
+        # 1-arg isnull stays the null test; 2-arg forms untouched
+        assert "isnull(a)" in transpile("SELECT isnull(a) FROM t")
+        assert "date_add(d, 1)" in transpile(
+            "SELECT date_add(d, 1) FROM t"
+        )
+        assert "json_array_length(j)" in transpile(
+            "SELECT json_array_length(j) FROM t"
+        )
+
+    def test_datediff_boundary_semantics(self, spark):
+        """Redshift DATEDIFF counts unit boundaries CROSSED; Spark's
+        native 3-arg datediff counts complete elapsed units and
+        analyzes clean — the silent-divergence class. Every unit is
+        pinned to its Redshift truth value across a boundary that
+        the elapsed form would read as 0."""
+        from etl_pipelines_spark.compat.transpile import (
+            install,
+            transpile,
+        )
+
+        install(spark)
+        out = transpile(
+            "SELECT datediff('year', y1, y2) yy, "
+            "datediff('quarter', q1, q2) qq, "
+            "datediff('month', m1, m2) mm, "
+            "datediff('week', w1, w2) ww, "
+            "datediff('day', d1, d2) dd, "
+            "datediff('hour', h1, h2) hh, "
+            "datediff('minute', h1, h2) mi, "
+            "datediff(seconds, s1, s2) ss FROM ddb_t"
+        )
+        for fn in ("year", "quarter", "month", "week", "day", "hour",
+                   "minute", "second"):
+            assert f"dd_boundary_{fn}(" in out, out
+        spark.sql(
+            "create or replace temp view ddb_t as select "
+            "date'2023-12-31' y1, date'2024-01-01' y2, "
+            "date'2024-03-31' q1, date'2024-04-01' q2, "
+            "date'2024-01-31' m1, date'2024-02-01' m2, "
+            "date'2024-03-17' w1, date'2024-03-18' w2, "  # Sun -> Mon
+            "timestamp'2024-03-15 23:59:59' d1, "
+            "timestamp'2024-03-16 00:00:01' d2, "
+            "timestamp'2024-03-15 10:59:58' h1, "
+            "timestamp'2024-03-15 11:00:02' h2, "
+            "timestamp'2024-03-15 10:59:59.900' s1, "
+            "timestamp'2024-03-15 11:00:00.100' s2"
+        )
+        row = spark.sql(out).collect()[0]
+        assert (row.yy, row.qq, row.mm, row.ww) == (1, 1, 1, 1), row
+        assert (row.dd, row.hh, row.mi, row.ss) == (1, 1, 1, 1), row
+        # 2-arg datediff (already boundary-day in Spark) untouched
+        assert "datediff(a, b)" in transpile("SELECT datediff(a, b)")
 
     def test_at_time_zone_dst_abbreviation(self, spark):
         """Redshift treats DST abbreviations (CEST, PDT, ...) as
