@@ -824,14 +824,27 @@ def _rw_fn_arity(toks: list[Tok]) -> list[Tok]:
                     and out[sig[0]].text == "1"
                 )
 
+            def _lit_int(sig: list[int]) -> int | None:
+                if (
+                    len(sig) == 1 and out[sig[0]].kind == "num"
+                    and out[sig[0]].text.isdigit()
+                ):
+                    return int(out[sig[0]].text)
+                return None
+
             if not _lit_one(sigs[2]):
                 raise TranspileError(
                     "REGEXP_SUBSTR position != 1 has no Spark form"
                 )
-            if len(args) >= 4 and not _lit_one(sigs[3]):
-                raise TranspileError(
-                    "REGEXP_SUBSTR occurrence != 1 has no Spark form"
-                )
+            occ = 1
+            if len(args) >= 4:
+                occ_val = _lit_int(sigs[3])
+                if occ_val is None or occ_val < 1:
+                    raise TranspileError(
+                        "REGEXP_SUBSTR occurrence must be a literal "
+                        "positive integer"
+                    )
+                occ = occ_val
             pat_repl = None
             if len(args) >= 5:
                 psig = sigs[4]
@@ -860,13 +873,38 @@ def _rw_fn_arity(toks: list[Tok]) -> list[Tok]:
                     pat_repl = _str_lit(
                         "(?i)" + _str_value(out[pat_sig[0]])
                     )
-            keep = [out[k] for k in args[0]]
-            keep.append(Tok("punct", ","))
-            if pat_repl is not None:
-                keep += [Tok("ws", " "), pat_repl]
+            pat_toks = (
+                [Tok("ws", " "), pat_repl]
+                if pat_repl is not None
+                else [out[k] for k in args[1]]
+            )
+            if occ == 1:
+                keep = [out[k] for k in args[0]]
+                keep.append(Tok("punct", ","))
+                keep += pat_toks
+                out[j + 1 : close] = keep
             else:
-                keep += [out[k] for k in args[1]]
-            out[j + 1 : close] = keep
+                # Nth occurrence (the Gmail tracking-link extracts,
+                # occ 1..5): Spark's regexp_substr has no occurrence
+                # arg, but regexp_extract_all materializes every
+                # match — take the Nth. try_element_at keeps the
+                # out-of-range case NULL under any ANSI setting,
+                # matching the 2-arg path's no-match result.
+                repl = [
+                    Tok("word", "try_element_at"), Tok("punct", "("),
+                    Tok("word", "regexp_extract_all"),
+                    Tok("punct", "("),
+                ]
+                repl += [out[k] for k in args[0]]
+                repl.append(Tok("punct", ","))
+                repl += pat_toks
+                repl += [
+                    Tok("punct", ","), Tok("ws", " "), Tok("num", "0"),
+                    Tok("punct", ")"), Tok("punct", ","),
+                    Tok("ws", " "), Tok("num", str(occ)),
+                    Tok("punct", ")"),
+                ]
+                out[i : close + 1] = repl
         i += 1
     return out
 

@@ -979,11 +979,23 @@ class TestTrinoDialect:
         assert "trunc(d, 'month')" in transpile(
             "SELECT trunc(d, 'month') FROM t"
         )
-        # non-default position/occurrence: loud-stop, never silent
+        # non-default position: loud-stop, never silent
         with pytest.raises(TranspileError):
             transpile("SELECT regexp_substr(s, 'x', 2) FROM t")
+        # Nth occurrence (r12): regexp_extract_all materializes all
+        # matches; try_element_at takes the Nth, NULL when absent
+        out3 = transpile("SELECT regexp_substr(s, 'x[0-9]', 1, 3) v FROM rs_t")
+        assert "try_element_at(regexp_extract_all(s, 'x[0-9]', 0), 3)" in out3, out3
+        spark.sql(
+            "create or replace temp view rs_t as "
+            "select 'x1 y x2 z x3 x4' s"
+        )
+        assert spark.sql(out3).collect()[0].v == "x3"
+        out4 = transpile("SELECT regexp_substr(s, 'x[0-9]', 1, 9) v FROM rs_t")
+        assert spark.sql(out4).collect()[0].v is None
+        # non-literal occurrence still loud-stops
         with pytest.raises(TranspileError):
-            transpile("SELECT regexp_substr(s, 'x', 1, 3) FROM t")
+            transpile("SELECT regexp_substr(s, 'x', 1, n) FROM t")
 
     def test_listagg_distinct_order_mismatch(self, spark):
         """LISTAGG(DISTINCT x) WITHIN GROUP (ORDER BY y): ordering
