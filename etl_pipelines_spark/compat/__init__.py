@@ -19,6 +19,15 @@ text as-is:
 - TO_CHAR/TO_DATE Redshift format codes -> Java datetime codes
 - DATEADD/DATEDIFF/DATE_ADD quoted unit ('month') -> bare unit;
   EXTRACT('epoch' FROM x) unquoted
+- 3-arg DATEDIFF -> dd_boundary_<unit> SQL UDFs (Redshift counts
+  unit BOUNDARIES crossed; Spark's native form counts complete
+  elapsed units — a silent value divergence at 437 corpus sites)
+- arity shims: variadic NVL -> COALESCE; 1-arg TRUNC(ts) ->
+  to_date; unit-first TRUNC -> arg swap / date_trunc;
+  JSON_ARRAY_LENGTH(j, true) flag dropped; 2-arg ISNULL -> NVL;
+  3-arg DATE_DIFF/DATE_ADD -> DATEDIFF/DATEADD spellings;
+  REGEXP_SUBSTR(s, pat, 1, n[, 'i']) -> regexp_substr /
+  try_element_at(regexp_extract_all(...), n)
 - JSON_EXTRACT_PATH_TEXT(j,'a','b') -> get_json_object(j,'$.a.b')
 - REPLICATE/JSON_PARSE/JSON_SERIALIZE -> repeat/parse_json/to_json
 - CHARINDEX/STRPOS/IS_VALID_JSON/ISNUMERIC/TIMEZONE/... ->
