@@ -438,6 +438,25 @@ def _rw_quoted_units(toks: list[Tok]) -> list[Tok]:
     return out
 
 
+def _rw_interval_glued(toks: list[Tok]) -> list[Tok]:
+    """Redshift tolerates a glued interval string (``INTERVAL
+    '1MONTH'``, 12_Mix_reporting et al.); Spark's interval parser
+    requires the space ("Can only use numbers in the interval value
+    part"). Insert it when the literal is exactly digits+unit."""
+    out = list(toks)
+    for i, t in enumerate(out):
+        if not _word_is(t, "INTERVAL"):
+            continue
+        j = _next_sig(out, i)
+        if j < len(out) and out[j].kind == "str":
+            m = re.fullmatch(
+                r"\s*(\d+)([A-Za-z]+)\s*", _str_value(out[j])
+            )
+            if m:
+                out[j] = _str_lit(f"{m.group(1)} {m.group(2)}")
+    return out
+
+
 _DD_BOUNDARY_UNITS = {
     "second", "minute", "hour", "day", "week",
     "month", "quarter", "year",
@@ -2494,6 +2513,7 @@ _PASSES = (
     _rw_tilde,
     _rw_similar_to,
     _rw_quoted_units,
+    _rw_interval_glued,
     _rw_datediff_boundary,
     _rw_to_char,
     _rw_to_date,

@@ -1174,6 +1174,20 @@ class TestTrinoDialect:
         # 2-arg datediff (already boundary-day in Spark) untouched
         assert "datediff(a, b)" in transpile("SELECT datediff(a, b)")
 
+    def test_interval_glued_literal(self, spark):
+        """Redshift tolerates INTERVAL '1MONTH'; Spark requires the
+        space. The literal splits; spaced and bare forms untouched."""
+        from etl_pipelines_spark.compat.transpile import transpile
+
+        out = transpile(
+            "SELECT date'2024-01-31' + INTERVAL '1MONTH' v"
+        )
+        assert "INTERVAL '1 MONTH'" in out, out
+        assert str(spark.sql(out).collect()[0].v) == "2024-02-29"
+        assert "INTERVAL '2 days'" in transpile(
+            "SELECT d + INTERVAL '2 days' FROM t"
+        )
+
     def test_at_time_zone_dst_abbreviation(self, spark):
         """Redshift treats DST abbreviations (CEST, PDT, ...) as
         fixed UTC offsets; Spark's zone parser rejects them. The
