@@ -211,42 +211,77 @@ def table_stats(
     one row per column with n_rows, n_nulls, n_distinct and
     string-rendered min/max, computed in ONE aggregation pass.
 
-    Exactness/scale split: ``approx=False`` uses exact
-    COUNT(DISTINCT) per column — Catalyst compiles multiple
-    distincts into one Expand scan (rows × columns intermediate),
-    which is the ORACLE-comparable form and fine up to mid scale;
-    ``approx=True`` swaps in HLL approx_count_distinct (single
-    pass, fixed sketch state per column) — the 100 TB default,
-    rows-only comparable by nature. min/max casts AFTER aggregation
-    (numeric semantics, string rendering), so profile both legs of
-    a type change before relying on cross-engine hashes for float
-    columns."""
+    Exactness/scale split: ``approx=True`` uses HLL
+    approx_count_distinct per column in ONE aggregation pass (fixed
+    sketch state per column, no row blow-up) — the 100 TB default,
+    rows-only comparable by nature. ``approx=False`` (the
+    ORACLE-comparable exact form) computes each column's profile
+    from its VALUE HISTOGRAM: per column, ``groupBy(col).count()``
+    (map-side combinable — the shuffle carries the column's distinct
+    set, never the corpus) and a second tiny aggregate derives
+    n_rows / n_nulls / n_distinct / min / max from the histogram;
+    the per-column frames union into one result. Until r12 the
+    exact form was a single multi-COUNT(DISTINCT) aggregate, which
+    Catalyst compiles to an Expand scan — a rows × (columns+1)
+    intermediate whose final merge funnels every partially-distinct
+    row through ONE task (measured 0.42-0.70 s single-task stage at
+    sf0.1, OPTIMIZATION_r12.md). The histogram form reads the same
+    column bytes (parquet prunes to one column per scan), hashes
+    6x fewer rows, keeps every stage map-side combinable, and has
+    no single-task merge; measured 1.49 -> 0.28 s at sf0.1.
+    min/max casts AFTER aggregation (numeric semantics, string
+    rendering), so profile both legs of a type change before
+    relying on cross-engine hashes for float columns."""
     cols = columns or df.columns
-    aggs: "list[Column]" = [F.count(F.lit(1)).alias("__n")]
+    if approx:
+        aggs: "list[Column]" = [F.count(F.lit(1)).alias("__n")]
+        for c in cols:
+            aggs += [
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
+                F.approx_count_distinct(c, 0.02)  # 2% rsd: planner-grade
+                .cast("long").alias(f"__nd_{c}"),
+                F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+                F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+            ]
+        one = df.agg(*aggs)
+        rows = F.array(*[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__nulls_{c}").alias("n_nulls"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__min_{c}").alias("min_value"),
+                F.col(f"__max_{c}").alias("max_value"),
+            )
+            for c in cols
+        ])
+        return one.select(F.explode(rows).alias("s")).select("s.*")
+    parts = []
     for c in cols:
-        nd = (
-            F.approx_count_distinct(c, 0.02)  # 2% rsd: planner-grade
-            if approx else F.countDistinct(c)
-        )
-        aggs += [
-            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
-            nd.cast("long").alias(f"__nd_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
-        ]
-    one = df.agg(*aggs)
-    rows = F.array(*[
-        F.struct(
+        hist = df.groupBy(c).agg(F.count(F.lit(1)).alias("__ts_cnt"))
+        # Empty-input parity with the old single-aggregate form (and
+        # the SQL oracle): n_rows = 0, n_nulls = NULL (SUM over zero
+        # rows), n_distinct = 0, min/max = NULL.
+        n = F.count(F.lit(1))
+        parts.append(hist.agg(
             F.lit(c).alias("column_name"),
-            F.col("__n").alias("n_rows"),
-            F.col(f"__nulls_{c}").alias("n_nulls"),
-            F.col(f"__nd_{c}").alias("n_distinct"),
-            F.col(f"__min_{c}").alias("min_value"),
-            F.col(f"__max_{c}").alias("max_value"),
-        )
-        for c in cols
-    ])
-    return one.select(F.explode(rows).alias("s")).select("s.*")
+            F.coalesce(F.sum("__ts_cnt"), F.lit(0).cast("long"))
+            .alias("n_rows"),
+            F.when(
+                n > 0,
+                F.coalesce(
+                    F.sum(F.when(F.col(c).isNull(), F.col("__ts_cnt"))),
+                    F.lit(0),
+                ),
+            ).cast("long").alias("n_nulls"),
+            F.count(F.col(c)).cast("long").alias("n_distinct"),
+            F.min(F.col(c)).cast("string").alias("min_value"),
+            F.max(F.col(c)).cast("string").alias("max_value"),
+        ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 def value_drift_psi(

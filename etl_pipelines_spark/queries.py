@@ -5845,8 +5845,18 @@ def mkt_affiliate_payout_core(
             F.coalesce(F.col("__q"), F.lit(0)).alias("from_qualified_source"),
         )
     )
+    # ONE exchange for rollup + share window (r12): hash-partition the
+    # line feed by o_orderkey BEFORE the groupBy — HashPartitioning on
+    # a SUBSET of the group keys satisfies the aggregate's clustered
+    # distribution, and the order-grain share window then reuses the
+    # same partitioning. Without this the plan re-shuffles the whole
+    # (order, campaign, category) mart a second time just to window by
+    # o_orderkey (measured: Exchange 10 -> 9, plans/r12). Map-side
+    # partial aggregation loses almost nothing here: TPC-H-shaped
+    # orders carry <= 7 lines, so pre-agg reduction is < 25% of rows.
     cat = (
-        lines.groupBy("o_orderkey", "campaign", "category")
+        lines.repartition("o_orderkey")
+        .groupBy("o_orderkey", "campaign", "category")
         .agg(
             F.sum("l_quantity").cast("bigint").alias("total_products_cat"),
             F.sum("price").cast("double").alias("total_price_cat"),

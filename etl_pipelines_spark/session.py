@@ -39,6 +39,19 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE coalescing targets post-shuffle BYTES, but compressed
+    # columnar shuffle rows are 10-30x smaller than the per-row CPU
+    # they carry (decimal sums, string group keys, window sorts), so
+    # the default 1 MiB floor collapses CPU-dense aggregate/window
+    # stages to ONE task whenever a whole shuffle compresses under a
+    # megabyte — exactly the r12 bench profile of the affiliate-payout
+    # mart (two >1 s single-task stages; OPTIMIZATION_r12.md). A 64 KiB
+    # floor is scale-neutral by construction: with parallelismFirst
+    # (default) the coalesce target is max(bytes/parallelism,
+    # minPartitionSize), so at production shuffle sizes the floor
+    # never binds — it only restores parallelism where shuffles are
+    # sub-MiB, i.e. test scale.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),

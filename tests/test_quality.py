@@ -21,6 +21,47 @@ class TestTableStats:
         assert out["s"].n_nulls == 1 and out["s"].n_distinct == 2
         assert (out["s"].min_value, out["s"].max_value) == ("a", "b")
 
+    def test_exact_histogram_form_matches_single_aggregate(self, spark):
+        """r12: the exact path computes per-column profiles from the
+        value histogram instead of one multi-distinct Expand
+        aggregate. Pin value parity against the straightforward
+        single-aggregate spelling, including the empty-input corner
+        (n_rows 0, n_nulls NULL — SUM over zero rows — matching the
+        SQL oracle)."""
+        from etl_pipelines_spark.quality import table_stats
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (2, "b"), (4, "b"), (None, "b")],
+            "k int, s string",
+        )
+        ref = {
+            c: df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col(c).isNull().cast("long")).alias("n_nulls"),
+                F.countDistinct(c).cast("long").alias("n_distinct"),
+                F.min(F.col(c)).cast("string").alias("min_value"),
+                F.max(F.col(c)).cast("string").alias("max_value"),
+            ).collect()[0]
+            for c in df.columns
+        }
+        out = {r.column_name: r for r in table_stats(df).collect()}
+        for c in df.columns:
+            for f in ("n_rows", "n_nulls", "n_distinct",
+                      "min_value", "max_value"):
+                assert getattr(out[c], f) == getattr(ref[c], f), (c, f)
+        # empty input: SUM-over-nothing semantics must survive
+        empty = df.limit(0)
+        eout = {r.column_name: r for r in table_stats(empty).collect()}
+        for c in df.columns:
+            assert eout[c].n_rows == 0
+            assert eout[c].n_nulls is None
+            assert eout[c].n_distinct == 0
+            assert eout[c].min_value is None and eout[c].max_value is None
+        # the exact plan must NOT Expand (that was the r12 rewrite's
+        # point: no rows x columns intermediate)
+        plan = table_stats(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Expand" not in plan
+
     def test_approx_path_single_scan(self, spark):
         from etl_pipelines_spark.quality import table_stats
 
