@@ -6154,7 +6154,9 @@ def mm_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             did, F.pmod(did, 16) + 4, F.pmod(did, 12) + 4
         ).alias("payload"),
     )
-    return decode_ppm_image(media).orderBy("media_id")
+    # r12: cache before the sort (same sampling-double-execution fix
+    # as the other decode queries; see mm_gif_decode).
+    return decode_ppm_image(media).transform(tracked_cache).orderBy("media_id")
 
 
 @q(
@@ -6184,7 +6186,12 @@ def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         did.alias("media_id"),
         synth_wav_payload(did, F.pmod(did, 400) + 100, 8000).alias("payload"),
     )
-    return decode_wav_audio(media).orderBy("media_id")
+    # r12: cache the decoded metadata frame before the output sort —
+    # range-partition SAMPLING otherwise re-executes the whole Python
+    # synth+decode chain a second time (measured: the doubled 32-task
+    # stage pair in OPTIMIZATION_r12.md; gif 1.68 -> 1.07 s). The
+    # cached frame is rows x scalar metadata, never payload bytes.
+    return decode_wav_audio(media).transform(tracked_cache).orderBy("media_id")
 
 
 @q(
@@ -6226,7 +6233,12 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.pmod(did, 12) + 4).cast("int").alias("height"),
         )
     )
-    return decode_png_image(media).orderBy("media_id")
+    # r12: cache the decoded metadata frame before the output sort —
+    # range-partition SAMPLING otherwise re-executes the whole Python
+    # synth+decode chain a second time (measured: the doubled 32-task
+    # stage pair in OPTIMIZATION_r12.md; gif 1.68 -> 1.07 s). The
+    # cached frame is rows x scalar metadata, never payload bytes.
+    return decode_png_image(media).transform(tracked_cache).orderBy("media_id")
 
 
 @q(
@@ -6277,7 +6289,12 @@ def mm_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.pmod(did, 12) + 4).cast("int").alias("height"),
         )
     )
-    return decode_gif_image(media).orderBy("media_id")
+    # r12: cache the decoded metadata frame before the output sort —
+    # range-partition SAMPLING otherwise re-executes the whole Python
+    # synth+decode chain a second time (measured: the doubled 32-task
+    # stage pair in OPTIMIZATION_r12.md; gif 1.68 -> 1.07 s). The
+    # cached frame is rows x scalar metadata, never payload bytes.
+    return decode_gif_image(media).transform(tracked_cache).orderBy("media_id")
 
 
 @q(
@@ -6319,7 +6336,12 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.pmod(did, 12) + 4).cast("int").alias("height"),
         )
     )
-    return decode_jpeg_image(media).orderBy("media_id")
+    # r12: cache the decoded metadata frame before the output sort —
+    # range-partition SAMPLING otherwise re-executes the whole Python
+    # synth+decode chain a second time (measured: the doubled 32-task
+    # stage pair in OPTIMIZATION_r12.md; gif 1.68 -> 1.07 s). The
+    # cached frame is rows x scalar metadata, never payload bytes.
+    return decode_jpeg_image(media).transform(tracked_cache).orderBy("media_id")
 
 
 @q(
@@ -6361,7 +6383,12 @@ def mm_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.pmod(did, 360) + 64).cast("int").alias("height"),
         )
     )
-    return extract_mp4_meta(media).orderBy("media_id")
+    # r12: cache the decoded metadata frame before the output sort —
+    # range-partition SAMPLING otherwise re-executes the whole Python
+    # synth+decode chain a second time (measured: the doubled 32-task
+    # stage pair in OPTIMIZATION_r12.md; gif 1.68 -> 1.07 s). The
+    # cached frame is rows x scalar metadata, never payload bytes.
+    return extract_mp4_meta(media).transform(tracked_cache).orderBy("media_id")
 
 
 @q(
@@ -6416,7 +6443,12 @@ def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             (40 * (F.pmod(did, 3) + 1)).cast("int").alias("delta"),
         )
     )
-    return extract_mp4_frames(media).orderBy("media_id", "frame_idx")
+    # r12: cache the decoded metadata frame before the output sort —
+    # range-partition SAMPLING otherwise re-executes the whole Python
+    # synth+decode chain a second time (measured: the doubled 32-task
+    # stage pair in OPTIMIZATION_r12.md; gif 1.68 -> 1.07 s). The
+    # cached frame is rows x scalar metadata, never payload bytes.
+    return extract_mp4_frames(media).transform(tracked_cache).orderBy("media_id", "frame_idx")
 
 
 @q(
@@ -6478,9 +6510,14 @@ def mm_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return decode_avi_frames(media, sample_every=2).orderBy(
-        "media_id", "frame_idx"
-    )
+    # r12: cache the decoded metadata frame before the output sort —
+    # range-partition SAMPLING otherwise re-executes the whole Python
+    # synth+decode chain a second time (measured: the doubled 32-task
+    # stage pair in OPTIMIZATION_r12.md; gif 1.68 -> 1.07 s). The
+    # cached frame is rows x scalar metadata, never payload bytes.
+    return decode_avi_frames(media, sample_every=2).transform(
+        tracked_cache
+    ).orderBy("media_id", "frame_idx")
 
 
 def _mp3_oracle() -> str:
@@ -6539,7 +6576,12 @@ def mm_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.pmod(did, 120) + 8).cast("int").alias("n_frames"),
         )
     )
-    return extract_mp3_meta(media).orderBy("media_id")
+    # r12: cache the decoded metadata frame before the output sort —
+    # range-partition SAMPLING otherwise re-executes the whole Python
+    # synth+decode chain a second time (measured: the doubled 32-task
+    # stage pair in OPTIMIZATION_r12.md; gif 1.68 -> 1.07 s). The
+    # cached frame is rows x scalar metadata, never payload bytes.
+    return extract_mp3_meta(media).transform(tracked_cache).orderBy("media_id")
 
 
 
