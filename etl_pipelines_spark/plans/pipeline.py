@@ -80,6 +80,31 @@ class Pipeline:
         return deps
 
     def run(self, ctx: RunContext) -> list[ModelResult]:
+        # The 64 KiB AQE coalescing floor (session.py) exists to
+        # restore fan-out for ONE CPU-dense query on an otherwise
+        # idle cluster. A DAG run is the opposite regime: many
+        # models' jobs already fill the machine, and sub-MiB fan-out
+        # only adds task-scheduling overhead (measured r12, paired
+        # A/B on the 31-model rebuild: 64k floor +2-4 s vs 1 MiB at
+        # every alternation). Pin the byte-sized floor for the DAG's
+        # duration and restore the caller's value after — regime-
+        # dependent, not core-count-dependent, so it holds on a real
+        # cluster running hundreds of concurrent models.
+        _FLOOR_KEY = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+        try:
+            prior_floor = ctx.spark.conf.get(_FLOOR_KEY)
+        except Exception:
+            prior_floor = None
+        ctx.spark.conf.set(_FLOOR_KEY, "1m")
+        try:
+            return self._run_all(ctx)
+        finally:
+            if prior_floor is not None:
+                ctx.spark.conf.set(_FLOOR_KEY, prior_floor)
+            else:
+                ctx.spark.conf.unset(_FLOOR_KEY)
+
+    def _run_all(self, ctx: RunContext) -> list[ModelResult]:
         if self.parallel_within_group:
             results = self._run_dag(ctx)
         else:
