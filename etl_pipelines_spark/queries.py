@@ -6063,7 +6063,16 @@ def scd2_history_core(events: DataFrame) -> DataFrame:
             # retry scope); the wrapper node still keeps the logical
             # tree linear, and the RDD materializes once on first
             # action with all three next-round branches sharing it.
-            hist = hist.localCheckpoint(eager=False)
+            # coalesce first: each merge UNIONS three branches, so
+            # the checkpointed RDD's partition count otherwise sums
+            # per round (~32 x rounds — measured 992 tasks by round
+            # 4, 35 s of task time for 10 s of CPU, pure per-task
+            # overhead). coalesce is a narrow dependency — no
+            # shuffle; it only folds the union's sibling partitions
+            # into defaultParallelism materialization tasks.
+            hist = hist.coalesce(
+                hist.sparkSession.sparkContext.defaultParallelism
+            ).localCheckpoint(eager=False)
     return hist.select(
         "user_id", "n_events", "n_purchases", "valid_from", "valid_to"
     )

@@ -297,6 +297,20 @@ class TestScd2:
         b = sorted(map(str, relational.collect()))
         assert a == b and len(a) > 0
 
+    def test_merge_replay_partition_count_bounded(self, spark, sf_dir):
+        """Each scd2_merge round UNIONS three branches, so the
+        replayed history's partition count would otherwise sum per
+        round (measured r12: 992 materialization tasks by round 4,
+        ~3.5x task time over CPU — pure per-task overhead). The
+        pre-checkpoint coalesce in scd2_history_core must keep the
+        final frame at defaultParallelism partitions regardless of
+        replay depth."""
+        from etl_pipelines_spark.queries import load, scd2_history_core
+
+        hist = scd2_history_core(load(spark, sf_dir, "events"))
+        n = hist.rdd.getNumPartitions()
+        assert n <= spark.sparkContext.defaultParallelism
+
     def test_same_day_rerun_replaces_in_place(self, spark):
         """A same-run_date re-merge with different values must NOT
         mint a zero-length (valid_from == valid_to] interval — the
