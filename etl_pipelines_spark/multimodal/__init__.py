@@ -20,18 +20,26 @@ partitioning — is real and tested either way.
 """
 
 from .audio import audio_band_energy
-from .jpeg import decode_jpeg_image, synth_jpeg_payloads
+from .jpeg import decode_jpeg_image, synth_decode_jpeg, synth_jpeg_payloads
 from .video import (
     extract_mp4_frames,
     extract_mp4_meta,
+    synth_extract_mp4_frames,
+    synth_extract_mp4_meta,
     parse_mp4_frames,
     parse_mp4_meta,
     synth_mp4_framed_payloads,
     synth_mp4_payloads,
 )
-from .mp3 import extract_mp3_meta, parse_mp3_meta, synth_mp3_payloads
+from .mp3 import (
+    extract_mp3_meta,
+    parse_mp3_meta,
+    synth_extract_mp3_meta,
+    synth_mp3_payloads,
+)
 from .avi import (
     decode_avi_frames,
+    synth_decode_avi_frames,
     parse_avi_mjpeg,
     synth_avi_mjpeg_payload,
     synth_avi_payloads,
@@ -45,6 +53,9 @@ from .binary import (
     decode_gif_image,
     decode_png_image,
     decode_ppm_image,
+    synth_decode_gif,
+    synth_decode_png,
+    fuse_pandas_stages,
     decode_wav_audio,
     extract_binary_meta,
     fake_feature_extract,
@@ -77,6 +88,14 @@ __all__ = [
     "parse_mp4_meta",
     "synth_mp4_framed_payloads",
     "synth_mp4_payloads",
+    "synth_extract_mp4_frames",
+    "synth_extract_mp4_meta",
+    "synth_extract_mp3_meta",
+    "synth_decode_jpeg",
+    "synth_decode_gif",
+    "synth_decode_png",
+    "synth_decode_avi_frames",
+    "fuse_pandas_stages",
     "decode_png_image",
     "decode_ppm_image",
     "decode_wav_audio",

@@ -188,11 +188,14 @@ def parse_avi_mjpeg(buf: bytes) -> dict:
     return meta
 
 
-def synth_avi_payloads(df: DataFrame) -> DataFrame:
-    """(media_id, width, height, n_frames, us_per_frame) ->
-    (media_id, payload): a real MJPEG AVI per row."""
-    out_schema = "media_id long, payload binary"
+_AVI_SYNTH_COLS = ["media_id", "width", "height", "n_frames", "us_per_frame"]
+_AVI_FRAMES_SCHEMA = (
+    "media_id long, frame_idx int, ts_ms long, "
+    "width int, height int, sum_luma long"
+)
 
+
+def _avi_synth_gen():
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, payloads = [], []
@@ -208,22 +211,18 @@ def synth_avi_payloads(df: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    return df.select(
-        "media_id", "width", "height", "n_frames", "us_per_frame"
-    ).mapInPandas(_synth, schema=out_schema)
+    return _synth
 
 
-def decode_avi_frames(df: DataFrame, sample_every: int = 1) -> DataFrame:
-    """REAL per-frame video decode: container walk -> chunk slice ->
-    baseline-JPEG decode -> exact integer luma sum per frame. One row
-    per (kept) frame: media_id, frame_idx, ts_ms, width, height,
-    sum_luma. ``sample_every`` keeps frames where
-    ``frame_idx % sample_every == 0`` INSIDE the Arrow batch — the
-    1-in-N training-data sampling path decodes only what it keeps."""
-    out_schema = (
-        "media_id long, frame_idx int, ts_ms long, "
-        "width int, height int, sum_luma long"
+def synth_avi_payloads(df: DataFrame) -> DataFrame:
+    """(media_id, width, height, n_frames, us_per_frame) ->
+    (media_id, payload): a real MJPEG AVI per row."""
+    return df.select(*_AVI_SYNTH_COLS).mapInPandas(
+        _avi_synth_gen(), schema="media_id long, payload binary"
     )
+
+
+def _avi_frames_gen(sample_every: int = 1):
     _, jpeg_decode = _jpeg_codec()
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -252,6 +251,28 @@ def decode_avi_frames(df: DataFrame, sample_every: int = 1) -> DataFrame:
                     )
             yield pd.DataFrame(rows)
 
+    return _decode
+
+
+def decode_avi_frames(df: DataFrame, sample_every: int = 1) -> DataFrame:
+    """REAL per-frame video decode: container walk -> chunk slice ->
+    baseline-JPEG decode -> exact integer luma sum per frame. One row
+    per (kept) frame: media_id, frame_idx, ts_ms, width, height,
+    sum_luma. ``sample_every`` keeps frames where
+    ``frame_idx % sample_every == 0`` INSIDE the Arrow batch — the
+    1-in-N training-data sampling path decodes only what it keeps."""
     return df.select("media_id", "payload").mapInPandas(
-        _decode, schema=out_schema
+        _avi_frames_gen(sample_every), schema=_AVI_FRAMES_SCHEMA
+    )
+
+
+def synth_decode_avi_frames(df: DataFrame, sample_every: int = 1) -> DataFrame:
+    """synth_avi_payloads → decode_avi_frames fused into ONE Python
+    stage (binary.fuse_pandas_stages): the AVI container bytes never
+    cross the JVM↔Python boundary. Same output, same oracle."""
+    from .binary import fuse_pandas_stages
+
+    return fuse_pandas_stages(
+        df, _avi_synth_gen, lambda: _avi_frames_gen(sample_every),
+        _AVI_SYNTH_COLS, _AVI_FRAMES_SCHEMA,
     )

@@ -567,12 +567,14 @@ def _jpeg_codec():
     return encode, decode
 
 
-def synth_jpeg_payloads(df: DataFrame) -> DataFrame:
-    """Arrow-batched JPEG ENCODER: (media_id, width, height) -> a
-    real baseline JPEG, solid gray level id%256. Solid + flat-8
-    quantization = exact round-trip, so downstream sums are
-    closed-form integers."""
-    out_schema = "media_id long, payload binary"
+_JPEG_SYNTH_COLS = ["media_id", "width", "height"]
+_JPEG_DECODE_SCHEMA = (
+    "media_id long, width int, height int, channels int, "
+    "sum_r long, sum_g long, sum_b long"
+)
+
+
+def _jpeg_synth_gen():
     encode, _ = _jpeg_codec()
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -586,21 +588,20 @@ def synth_jpeg_payloads(df: DataFrame) -> DataFrame:
                 payloads.append(encode(arr))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    return df.select("media_id", "width", "height").mapInPandas(
-        _encode, schema=out_schema
+    return _encode
+
+
+def synth_jpeg_payloads(df: DataFrame) -> DataFrame:
+    """Arrow-batched JPEG ENCODER: (media_id, width, height) -> a
+    real baseline JPEG, solid gray level id%256. Solid + flat-8
+    quantization = exact round-trip, so downstream sums are
+    closed-form integers."""
+    return df.select(*_JPEG_SYNTH_COLS).mapInPandas(
+        _jpeg_synth_gen(), schema="media_id long, payload binary"
     )
 
 
-def decode_jpeg_image(df: DataFrame) -> DataFrame:
-    """REAL JPEG decode: full baseline pipeline (Huffman → dequant →
-    IDCT → reassembly). Output: dims + per-channel INTEGER pixel sums
-    (exact BIGINTs, the decode_gif_image discipline — no float
-    division crosses an engine boundary); grayscale reports its
-    single channel in all three sums. Narrow mapInPandas."""
-    out_schema = (
-        "media_id long, width int, height int, channels int, "
-        "sum_r long, sum_g long, sum_b long"
-    )
+def _jpeg_decode_gen():
     _, decode = _jpeg_codec()
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -625,6 +626,27 @@ def decode_jpeg_image(df: DataFrame) -> DataFrame:
                 rows["sum_b"].append(int(sums[2]))
             yield pd.DataFrame(rows)
 
+    return _decode
+
+
+def decode_jpeg_image(df: DataFrame) -> DataFrame:
+    """REAL JPEG decode: full baseline pipeline (Huffman → dequant →
+    IDCT → reassembly). Output: dims + per-channel INTEGER pixel sums
+    (exact BIGINTs, the decode_gif_image discipline — no float
+    division crosses an engine boundary); grayscale reports its
+    single channel in all three sums. Narrow mapInPandas."""
     return df.select("media_id", "payload").mapInPandas(
-        _decode, schema=out_schema
+        _jpeg_decode_gen(), schema=_JPEG_DECODE_SCHEMA
+    )
+
+
+def synth_decode_jpeg(df: DataFrame) -> DataFrame:
+    """synth_jpeg_payloads → decode_jpeg_image fused into ONE Python
+    stage (binary.fuse_pandas_stages): the JPEG bytes never cross
+    the JVM↔Python boundary. Same output, same oracle."""
+    from .binary import fuse_pandas_stages
+
+    return fuse_pandas_stages(
+        df, _jpeg_synth_gen, _jpeg_decode_gen,
+        _JPEG_SYNTH_COLS, _JPEG_DECODE_SCHEMA,
     )

@@ -174,10 +174,15 @@ def synth_mp3_payload(media_id: int, n_frames: int) -> bytes:
     return id3 + frame * n_frames
 
 
-def synth_mp3_payloads(df: DataFrame) -> DataFrame:
-    """(media_id, n_frames) -> real MP3 bytes."""
-    out_schema = "media_id long, payload binary"
+_MP3_SYNTH_COLS = ["media_id", "n_frames"]
+_MP3_META_SCHEMA = (
+    "media_id long, version string, n_frames long, "
+    "bitrate_kbps int, is_cbr boolean, sample_rate int, "
+    "channels int, duration_ms long, has_id3 boolean"
+)
 
+
+def _mp3_synth_gen():
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = [
@@ -188,20 +193,17 @@ def synth_mp3_payloads(df: DataFrame) -> DataFrame:
                 {"media_id": pdf["media_id"], "payload": payloads}
             )
 
-    return df.select("media_id", "n_frames").mapInPandas(
-        _gen, schema=out_schema
+    return _gen
+
+
+def synth_mp3_payloads(df: DataFrame) -> DataFrame:
+    """(media_id, n_frames) -> real MP3 bytes."""
+    return df.select(*_MP3_SYNTH_COLS).mapInPandas(
+        _mp3_synth_gen(), schema="media_id long, payload binary"
     )
 
 
-def extract_mp3_meta(df: DataFrame) -> DataFrame:
-    """Frame-walk metadata extraction as a narrow Arrow map —
-    integer/string/bool columns only, exact across engines."""
-    out_schema = (
-        "media_id long, version string, n_frames long, "
-        "bitrate_kbps int, is_cbr boolean, sample_rate int, "
-        "channels int, duration_ms long, has_id3 boolean"
-    )
-
+def _mp3_meta_gen():
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: dict = {k: [] for k in (
@@ -217,6 +219,24 @@ def extract_mp3_meta(df: DataFrame) -> DataFrame:
                     rows[k].append(m[k])
             yield pd.DataFrame(rows)
 
+    return _extract
+
+
+def extract_mp3_meta(df: DataFrame) -> DataFrame:
+    """Frame-walk metadata extraction as a narrow Arrow map —
+    integer/string/bool columns only, exact across engines."""
     return df.select("media_id", "payload").mapInPandas(
-        _extract, schema=out_schema
+        _mp3_meta_gen(), schema=_MP3_META_SCHEMA
+    )
+
+
+def synth_extract_mp3_meta(df: DataFrame) -> DataFrame:
+    """synth_mp3_payloads → extract_mp3_meta fused into ONE Python
+    stage (binary.fuse_pandas_stages): the MP3 bytes never cross the
+    JVM↔Python boundary. Same output, same oracle."""
+    from .binary import fuse_pandas_stages
+
+    return fuse_pandas_stages(
+        df, _mp3_synth_gen, _mp3_meta_gen,
+        _MP3_SYNTH_COLS, _MP3_META_SCHEMA,
     )

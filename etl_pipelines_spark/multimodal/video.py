@@ -280,10 +280,19 @@ def synth_mp4_payload(
     return ftyp + moov
 
 
-def synth_mp4_payloads(df: DataFrame) -> DataFrame:
-    """(media_id, duration_s, width, height) -> real ISO-BMFF bytes."""
-    out_schema = "media_id long, payload binary"
+_MP4_SYNTH_COLS = ["media_id", "duration_s", "width", "height"]
+_MP4_FRAMED_SYNTH_COLS = ["media_id", "n_frames", "delta"]
+_MP4_META_SCHEMA = (
+    "media_id long, brand string, duration_ms long, n_tracks int, "
+    "handler string, codec string, width int, height int"
+)
+_MP4_FRAMES_SCHEMA = (
+    "media_id long, frame_idx int, ts_ms long, duration_ms int, "
+    "byte_offset long, byte_size int"
+)
 
+
+def _mp4_synth_gen():
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = [
@@ -297,18 +306,17 @@ def synth_mp4_payloads(df: DataFrame) -> DataFrame:
                 {"media_id": pdf["media_id"], "payload": payloads}
             )
 
-    return df.select(
-        "media_id", "duration_s", "width", "height"
-    ).mapInPandas(_gen, schema=out_schema)
+    return _gen
 
 
-def synth_mp4_framed_payloads(df: DataFrame) -> DataFrame:
-    """(media_id, n_frames, delta) -> ISO-BMFF bytes WITH sample
-    tables; per-sample sizes are the closed form
-    100 + ((media_id + i) % 7) * 10 so the oracle can regenerate
-    them relationally."""
-    out_schema = "media_id long, payload binary"
+def synth_mp4_payloads(df: DataFrame) -> DataFrame:
+    """(media_id, duration_s, width, height) -> real ISO-BMFF bytes."""
+    return df.select(*_MP4_SYNTH_COLS).mapInPandas(
+        _mp4_synth_gen(), schema="media_id long, payload binary"
+    )
 
+
+def _mp4_framed_synth_gen():
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
@@ -327,22 +335,20 @@ def synth_mp4_framed_payloads(df: DataFrame) -> DataFrame:
                 {"media_id": pdf["media_id"], "payload": payloads}
             )
 
-    return df.select("media_id", "n_frames", "delta").mapInPandas(
-        _gen, schema=out_schema
+    return _gen
+
+
+def synth_mp4_framed_payloads(df: DataFrame) -> DataFrame:
+    """(media_id, n_frames, delta) -> ISO-BMFF bytes WITH sample
+    tables; per-sample sizes are the closed form
+    100 + ((media_id + i) % 7) * 10 so the oracle can regenerate
+    them relationally."""
+    return df.select(*_MP4_FRAMED_SYNTH_COLS).mapInPandas(
+        _mp4_framed_synth_gen(), schema="media_id long, payload binary"
     )
 
 
-def extract_mp4_frames(df: DataFrame) -> DataFrame:
-    """Per-frame seek metadata as a narrow Arrow map, one output row
-    per sample: (media_id, frame_idx, ts_ms, duration_ms,
-    byte_offset, byte_size) — integers only, exact across engines.
-    Payload bytes never leave the Arrow batch; the fan-out happens
-    map-side so no shuffle carries video bytes."""
-    out_schema = (
-        "media_id long, frame_idx int, ts_ms long, duration_ms int, "
-        "byte_offset long, byte_size int"
-    )
-
+def _mp4_frames_gen():
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: dict = {k: [] for k in (
@@ -356,20 +362,21 @@ def extract_mp4_frames(df: DataFrame) -> DataFrame:
                         rows[k].append(fr[k])
             yield pd.DataFrame(rows)
 
+    return _extract
+
+
+def extract_mp4_frames(df: DataFrame) -> DataFrame:
+    """Per-frame seek metadata as a narrow Arrow map, one output row
+    per sample: (media_id, frame_idx, ts_ms, duration_ms,
+    byte_offset, byte_size) — integers only, exact across engines.
+    Payload bytes never leave the Arrow batch; the fan-out happens
+    map-side so no shuffle carries video bytes."""
     return df.select("media_id", "payload").mapInPandas(
-        _extract, schema=out_schema
+        _mp4_frames_gen(), schema=_MP4_FRAMES_SCHEMA
     )
 
 
-def extract_mp4_meta(df: DataFrame) -> DataFrame:
-    """Container metadata extraction as a narrow Arrow map: media_id,
-    brand, duration_ms, n_tracks, handler, codec, width, height —
-    integer/string columns only, exact across engines."""
-    out_schema = (
-        "media_id long, brand string, duration_ms long, n_tracks int, "
-        "handler string, codec string, width int, height int"
-    )
-
+def _mp4_meta_gen():
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {k: [] for k in (
@@ -388,6 +395,37 @@ def extract_mp4_meta(df: DataFrame) -> DataFrame:
                 rows["height"].append(t.get("height", 0))
             yield pd.DataFrame(rows)
 
+    return _extract
+
+
+def extract_mp4_meta(df: DataFrame) -> DataFrame:
+    """Container metadata extraction as a narrow Arrow map: media_id,
+    brand, duration_ms, n_tracks, handler, codec, width, height —
+    integer/string columns only, exact across engines."""
     return df.select("media_id", "payload").mapInPandas(
-        _extract, schema=out_schema
+        _mp4_meta_gen(), schema=_MP4_META_SCHEMA
+    )
+
+
+def synth_extract_mp4_meta(df: DataFrame) -> DataFrame:
+    """synth_mp4_payloads → extract_mp4_meta fused into ONE Python
+    stage (binary.fuse_pandas_stages): the ISO-BMFF bytes never
+    cross the JVM↔Python boundary. Same output, same oracle."""
+    from .binary import fuse_pandas_stages
+
+    return fuse_pandas_stages(
+        df, _mp4_synth_gen, _mp4_meta_gen,
+        _MP4_SYNTH_COLS, _MP4_META_SCHEMA,
+    )
+
+
+def synth_extract_mp4_frames(df: DataFrame) -> DataFrame:
+    """synth_mp4_framed_payloads → extract_mp4_frames fused into ONE
+    Python stage: payload bytes stay inside the worker; only ~40-byte
+    frame rows return to the JVM. Same output, same oracle."""
+    from .binary import fuse_pandas_stages
+
+    return fuse_pandas_stages(
+        df, _mp4_framed_synth_gen, _mp4_frames_gen,
+        _MP4_FRAMED_SYNTH_COLS, _MP4_FRAMES_SCHEMA,
     )

@@ -675,8 +675,14 @@ def build_warehouse_pipeline(**kwargs) -> Pipeline:
     independent subtrees concurrently the way Airflow does —
     3 topological levels: ods → {segment, master, finance, gc,
     reporting marts} → {historical, marketing, monitors}."""
-    # 6 concurrent models: measured sweet spot on local[32] (4 →
-    # level barriers dominate, 8 → job-convoy thrash); on a real
-    # cluster this maps to Airflow's parallelism knob.
-    kwargs.setdefault("max_parallel", 6)
+    # 10 concurrent models: r12 paired A/B on the 31-model rebuild
+    # (post rebalance-write + DAG-floor changes, which removed the
+    # old "8 → job-convoy thrash" regime) reads par=6 ≈ 10.9-11.8 s,
+    # par=8 ≈ 9.8-10.6, par=10 ≈ 9.6-10.3, par=12 regressing — and
+    # the SAME ordering holds at local[8] (par=4 12-15 s, par=8/10
+    # ≈ 9 s): the DAG at bench scale is model-LATENCY-bound, not
+    # CPU-bound, so oversubscribing the pool overlaps fixed per-model
+    # latencies (plan+codegen, job submission, write commits). On a
+    # real cluster this maps to Airflow's parallelism knob.
+    kwargs.setdefault("max_parallel", 10)
     return Pipeline(name="fullload", groups=_promoted_groups(), **kwargs)

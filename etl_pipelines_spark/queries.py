@@ -6231,23 +6231,20 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter) are pytest-gated (tests/test_multimodal.py). Scale: two
     chained narrow mapInPandas stages (encode, decode) + output sort;
     payload bytes never leave the Arrow batch, nothing shuffles."""
-    from .multimodal import decode_png_image, synth_png_payloads
+    from .multimodal import synth_decode_png
 
     d = load_spread(spark, sf_dir, "documents")
     did = F.col("doc_id")
-    media = synth_png_payloads(
-        d.select(
-            did.alias("media_id"),
-            (F.pmod(did, 16) + 4).cast("int").alias("width"),
-            (F.pmod(did, 12) + 4).cast("int").alias("height"),
-        )
+    media_in = d.select(
+        did.alias("media_id"),
+        (F.pmod(did, 16) + 4).cast("int").alias("width"),
+        (F.pmod(did, 12) + 4).cast("int").alias("height"),
     )
-    # r12: cache the decoded metadata frame before the output sort —
-    # range-partition SAMPLING otherwise re-executes the whole Python
-    # synth+decode chain a second time (measured: the doubled 32-task
-    # stage pair in OPTIMIZATION_r12.md; gif 1.68 -> 1.07 s). The
-    # cached frame is rows x scalar metadata, never payload bytes.
-    return decode_png_image(media).transform(tracked_cache).orderBy("media_id")
+    # r12 batch 6: synth+decode FUSED into one mapInPandas
+    # (fuse_pandas_stages) — the payload bytes no longer cross
+    # Python→JVM→Python between the two stages; cache before the
+    # output sort unchanged (range sampling would re-run the chain).
+    return synth_decode_png(media_in).transform(tracked_cache).orderBy("media_id")
 
 
 @q(
@@ -6287,23 +6284,20 @@ def mm_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     compressed stream are pytest-gated (tests/test_gif_codec.py).
     Scale: two chained narrow mapInPandas stages; bytes never leave
     the Arrow batch."""
-    from .multimodal import decode_gif_image, synth_gif_payloads
+    from .multimodal import synth_decode_gif
 
     d = load_spread(spark, sf_dir, "documents")
     did = F.col("doc_id")
-    media = synth_gif_payloads(
-        d.select(
-            did.alias("media_id"),
-            (F.pmod(did, 16) + 4).cast("int").alias("width"),
-            (F.pmod(did, 12) + 4).cast("int").alias("height"),
-        )
+    media_in = d.select(
+        did.alias("media_id"),
+        (F.pmod(did, 16) + 4).cast("int").alias("width"),
+        (F.pmod(did, 12) + 4).cast("int").alias("height"),
     )
-    # r12: cache the decoded metadata frame before the output sort —
-    # range-partition SAMPLING otherwise re-executes the whole Python
-    # synth+decode chain a second time (measured: the doubled 32-task
-    # stage pair in OPTIMIZATION_r12.md; gif 1.68 -> 1.07 s). The
-    # cached frame is rows x scalar metadata, never payload bytes.
-    return decode_gif_image(media).transform(tracked_cache).orderBy("media_id")
+    # r12 batch 6: synth+decode FUSED into one mapInPandas
+    # (fuse_pandas_stages) — the payload bytes no longer cross
+    # Python→JVM→Python between the two stages; cache before the
+    # output sort unchanged (range sampling would re-run the chain).
+    return synth_decode_gif(media_in).transform(tracked_cache).orderBy("media_id")
 
 
 @q(
@@ -6334,23 +6328,20 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     4:4:4, restart markers, and progressive rejection are
     pytest-gated (tests/test_jpeg_codec.py). Scale: two chained
     narrow mapInPandas stages; bytes never leave the Arrow batch."""
-    from .multimodal import decode_jpeg_image, synth_jpeg_payloads
+    from .multimodal import synth_decode_jpeg
 
     d = load_spread(spark, sf_dir, "documents")
     did = F.col("doc_id")
-    media = synth_jpeg_payloads(
-        d.select(
-            did.alias("media_id"),
-            (F.pmod(did, 16) + 4).cast("int").alias("width"),
-            (F.pmod(did, 12) + 4).cast("int").alias("height"),
-        )
+    media_in = d.select(
+        did.alias("media_id"),
+        (F.pmod(did, 16) + 4).cast("int").alias("width"),
+        (F.pmod(did, 12) + 4).cast("int").alias("height"),
     )
-    # r12: cache the decoded metadata frame before the output sort —
-    # range-partition SAMPLING otherwise re-executes the whole Python
-    # synth+decode chain a second time (measured: the doubled 32-task
-    # stage pair in OPTIMIZATION_r12.md; gif 1.68 -> 1.07 s). The
-    # cached frame is rows x scalar metadata, never payload bytes.
-    return decode_jpeg_image(media).transform(tracked_cache).orderBy("media_id")
+    # r12 batch 6: synth+decode FUSED into one mapInPandas
+    # (fuse_pandas_stages) — the payload bytes no longer cross
+    # Python→JVM→Python between the two stages; cache before the
+    # output sort unchanged (range sampling would re-run the chain).
+    return synth_decode_jpeg(media_in).transform(tracked_cache).orderBy("media_id")
 
 
 @q(
@@ -6380,24 +6371,21 @@ def mm_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     line, honestly out of scope. Integer/string columns only — the
     oracle is closed-form with zero tolerance. Narrow mapInPandas
     both ways; bytes never leave the Arrow batch."""
-    from .multimodal import extract_mp4_meta, synth_mp4_payloads
+    from .multimodal import synth_extract_mp4_meta
 
     d = load_spread(spark, sf_dir, "documents")
     did = F.col("doc_id")
-    media = synth_mp4_payloads(
-        d.select(
-            did.alias("media_id"),
-            (F.pmod(did, 300) + 5).cast("int").alias("duration_s"),
-            (F.pmod(did, 640) + 64).cast("int").alias("width"),
-            (F.pmod(did, 360) + 64).cast("int").alias("height"),
-        )
+    media_in = d.select(
+        did.alias("media_id"),
+        (F.pmod(did, 300) + 5).cast("int").alias("duration_s"),
+        (F.pmod(did, 640) + 64).cast("int").alias("width"),
+        (F.pmod(did, 360) + 64).cast("int").alias("height"),
     )
-    # r12: cache the decoded metadata frame before the output sort —
-    # range-partition SAMPLING otherwise re-executes the whole Python
-    # synth+decode chain a second time (measured: the doubled 32-task
-    # stage pair in OPTIMIZATION_r12.md; gif 1.68 -> 1.07 s). The
-    # cached frame is rows x scalar metadata, never payload bytes.
-    return extract_mp4_meta(media).transform(tracked_cache).orderBy("media_id")
+    # r12 batch 6: synth+decode FUSED into one mapInPandas
+    # (fuse_pandas_stages) — the payload bytes no longer cross
+    # Python→JVM→Python between the two stages; cache before the
+    # output sort unchanged (range sampling would re-run the chain).
+    return synth_extract_mp4_meta(media_in).transform(tracked_cache).orderBy("media_id")
 
 
 @q(
@@ -6439,25 +6427,22 @@ def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     relationally (running byte offset = window sum of prior sample
     sizes). Narrow Arrow map; payload bytes never shuffle — the
     per-frame fan-out happens map-side."""
-    from .multimodal import extract_mp4_frames, synth_mp4_framed_payloads
+    from .multimodal import synth_extract_mp4_frames
 
     d = load_spread(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 5 == 0
     )
     did = F.col("doc_id")
-    media = synth_mp4_framed_payloads(
-        d.select(
-            did.alias("media_id"),
-            (F.pmod(did, 24) + 2).cast("int").alias("n_frames"),
-            (40 * (F.pmod(did, 3) + 1)).cast("int").alias("delta"),
-        )
+    media_in = d.select(
+        did.alias("media_id"),
+        (F.pmod(did, 24) + 2).cast("int").alias("n_frames"),
+        (40 * (F.pmod(did, 3) + 1)).cast("int").alias("delta"),
     )
-    # r12: cache the decoded metadata frame before the output sort —
-    # range-partition SAMPLING otherwise re-executes the whole Python
-    # synth+decode chain a second time (measured: the doubled 32-task
-    # stage pair in OPTIMIZATION_r12.md; gif 1.68 -> 1.07 s). The
-    # cached frame is rows x scalar metadata, never payload bytes.
-    return extract_mp4_frames(media).transform(tracked_cache).orderBy("media_id", "frame_idx")
+    # r12 batch 6: synth+decode FUSED into one mapInPandas
+    # (fuse_pandas_stages) — the payload bytes no longer cross
+    # Python→JVM→Python between the two stages; cache before the
+    # output sort unchanged (range sampling would re-run the chain).
+    return synth_extract_mp4_frames(media_in).transform(tracked_cache).orderBy("media_id", "frame_idx")
 
 
 @q(
@@ -6502,29 +6487,26 @@ def mm_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchanges (plan-asserted in tests/test_avi_codec.py) — payload
     bytes never shuffle; at 100 TB of video the per-frame fan-out
     happens map-side and only ~40-byte frame rows hit the wire."""
-    from .multimodal import decode_avi_frames, synth_avi_payloads
+    from .multimodal import synth_decode_avi_frames
 
     d = load_spread(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 7 == 0
     )
     did = F.col("doc_id")
-    media = synth_avi_payloads(
-        d.select(
-            did.alias("media_id"),
-            (F.pmod(did, 32) + 16).cast("int").alias("width"),
-            (F.pmod(did, 24) + 16).cast("int").alias("height"),
-            (F.pmod(did, 12) + 2).cast("int").alias("n_frames"),
-            ((F.pmod(did, 3) + 1) * 20000).cast("int").alias(
-                "us_per_frame"
-            ),
-        )
+    media_in = d.select(
+        did.alias("media_id"),
+        (F.pmod(did, 32) + 16).cast("int").alias("width"),
+        (F.pmod(did, 24) + 16).cast("int").alias("height"),
+        (F.pmod(did, 12) + 2).cast("int").alias("n_frames"),
+        ((F.pmod(did, 3) + 1) * 20000).cast("int").alias(
+            "us_per_frame"
+        ),
     )
-    # r12: cache the decoded metadata frame before the output sort —
-    # range-partition SAMPLING otherwise re-executes the whole Python
-    # synth+decode chain a second time (measured: the doubled 32-task
-    # stage pair in OPTIMIZATION_r12.md; gif 1.68 -> 1.07 s). The
-    # cached frame is rows x scalar metadata, never payload bytes.
-    return decode_avi_frames(media, sample_every=2).transform(
+    # r12 batch 6: synth+decode FUSED into one mapInPandas
+    # (fuse_pandas_stages) — the payload bytes no longer cross
+    # Python→JVM→Python between the two stages; cache before the
+    # output sort unchanged (range sampling would re-run the chain).
+    return synth_decode_avi_frames(media_in, sample_every=2).transform(
         tracked_cache
     ).orderBy("media_id", "frame_idx")
 
@@ -6575,22 +6557,19 @@ def mm_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     bitrate/sample-rate tables rendered as SQL list literals.
     Narrow mapInPandas both ways; bytes never leave the Arrow
     batch."""
-    from .multimodal import extract_mp3_meta, synth_mp3_payloads
+    from .multimodal import synth_extract_mp3_meta
 
     d = load_spread(spark, sf_dir, "documents")
     did = F.col("doc_id")
-    media = synth_mp3_payloads(
-        d.select(
-            did.alias("media_id"),
-            (F.pmod(did, 120) + 8).cast("int").alias("n_frames"),
-        )
+    media_in = d.select(
+        did.alias("media_id"),
+        (F.pmod(did, 120) + 8).cast("int").alias("n_frames"),
     )
-    # r12: cache the decoded metadata frame before the output sort —
-    # range-partition SAMPLING otherwise re-executes the whole Python
-    # synth+decode chain a second time (measured: the doubled 32-task
-    # stage pair in OPTIMIZATION_r12.md; gif 1.68 -> 1.07 s). The
-    # cached frame is rows x scalar metadata, never payload bytes.
-    return extract_mp3_meta(media).transform(tracked_cache).orderBy("media_id")
+    # r12 batch 6: synth+decode FUSED into one mapInPandas
+    # (fuse_pandas_stages) — the payload bytes no longer cross
+    # Python→JVM→Python between the two stages; cache before the
+    # output sort unchanged (range sampling would re-run the chain).
+    return synth_extract_mp3_meta(media_in).transform(tracked_cache).orderBy("media_id")
 
 
 

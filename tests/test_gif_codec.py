@@ -167,3 +167,32 @@ class TestSparkPlumbing:
             c = [mid % 256, (mid * 5) % 256, (mid * 11) % 256]
             for ch, s in zip(c, [r.sum_r, r.sum_g, r.sum_b]):
                 assert s == h * ((w // 2) * ch + (w - w // 2) * (255 - ch))
+
+    def test_fused_equals_two_stage_and_single_python_node(self, spark):
+        """r12 batch 6: synth→decode fused into ONE mapInPandas
+        (binary.fuse_pandas_stages) must (a) return exactly the rows
+        of the two-stage chain and (b) plan a SINGLE Python node —
+        the payload bytes never re-cross the JVM↔Python boundary."""
+        from pyspark.sql import functions as F
+
+        from etl_pipelines_spark.multimodal import (
+            decode_gif_image,
+            synth_decode_gif,
+            synth_gif_payloads,
+        )
+
+        base = spark.range(0, 40).select(
+            F.col("id").alias("media_id"),
+            (F.pmod("id", 16) + 4).cast("int").alias("width"),
+            (F.pmod("id", 12) + 4).cast("int").alias("height"),
+        )
+        two = decode_gif_image(synth_gif_payloads(base))
+        fused = synth_decode_gif(base)
+        key = sorted(two.columns)
+        rows_two = sorted(map(repr, two.select(*key).collect()))
+        rows_fused = sorted(map(repr, fused.select(*key).collect()))
+        assert rows_two == rows_fused
+        plan = fused._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("MapInPandas") == 1
+        two_plan = two._jdf.queryExecution().executedPlan().toString()
+        assert two_plan.count("MapInPandas") == 2  # negative control
