@@ -6282,8 +6282,8 @@ def mm_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     tolerance (a wrong LZW table rebuild or palette offset corrupts
     every sum). Exact random round-trips + a true table-growth
     compressed stream are pytest-gated (tests/test_gif_codec.py).
-    Scale: two chained narrow mapInPandas stages; bytes never leave
-    the Arrow batch."""
+    Scale: ONE fused narrow mapInPandas stage (r12 batch 6); bytes
+    never leave the Python worker."""
     from .multimodal import synth_decode_gif
 
     d = load_spread(spark, sf_dir, "documents")
@@ -6326,8 +6326,9 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-channel integer pixel sum is closed-form: w·h·(id%256)).
     Random-image round-trips within quantization tolerance, color
     4:4:4, restart markers, and progressive rejection are
-    pytest-gated (tests/test_jpeg_codec.py). Scale: two chained
-    narrow mapInPandas stages; bytes never leave the Arrow batch."""
+    pytest-gated (tests/test_jpeg_codec.py). Scale: ONE fused
+    narrow mapInPandas stage (r12 batch 6); bytes never leave the
+    Python worker."""
     from .multimodal import synth_decode_jpeg
 
     d = load_spread(spark, sf_dir, "documents")
@@ -6483,10 +6484,11 @@ def mm_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames are never JPEG-decoded, and the oracle replicates the
     keep-rule relationally (u.i % 2 = 0).
 
-    Scale: narrow mapInPandas synth → mapInPandas decode, zero
-    exchanges (plan-asserted in tests/test_avi_codec.py) — payload
-    bytes never shuffle; at 100 TB of video the per-frame fan-out
-    happens map-side and only ~40-byte frame rows hit the wire."""
+    Scale: ONE fused mapInPandas (synth+decode composed, r12 batch
+    6), zero exchanges (plan-asserted in tests/test_avi_codec.py) —
+    payload bytes never shuffle, never even cross the Python
+    boundary; at 100 TB of video the per-frame fan-out happens
+    map-side and only ~40-byte frame rows hit the wire."""
     from .multimodal import synth_decode_avi_frames
 
     d = load_spread(spark, sf_dir, "documents").filter(
