@@ -8139,13 +8139,26 @@ _DRIVER_WINDOW = [
     # follows because the transpiler changed this round (r11 ADVICE
     # #1/#2: LISTAGG DISTINCT direction-modifier preservation,
     # unit-first TRUNC date_trunc rewrite + loud-stop) — its window
-    # row re-proves the dialect layer end-to-end post-change. Then
-    # 44 of the 48 r9-aged rows. Four r9-green composites are
-    # deferred to the r13 window to fit (none touched since r9, all
-    # green in CORRECTNESS_r09.json): m_date_spine, wh_daily_kpi,
-    # tx_merge_readback, sessions_union_stitch — after this window
-    # no registry row's newest evidence predates r9. Union coverage
-    # across r1-r12 stays total (test-pinned,
+    # row re-proves the dialect layer end-to-end post-change. Next
+    # the five media queries whose CODE changed in this round's
+    # batches 2+6 (decode-once cache, then synth+decode fusion) and
+    # that were not already windowed: mm_png_decode, mm_gif_decode,
+    # mm_jpeg_decode, mm_mp4_meta, mm_mjpeg_frames — the r11
+    # precedent (every broadcast-swept query re-proved in-window)
+    # applies to the fusion; the two other fused queries
+    # (mm_mp3_meta, mm_video_frames) sit in the r9-aged cohort
+    # below. Then 39 of the 48 r9-aged rows. Deferred to the r13
+    # window to fit (none touched since r9, all green in committed
+    # CORRECTNESS_r*.json): m_date_spine, wh_daily_kpi,
+    # tx_merge_readback, sessions_union_stitch, and five
+    # family-redundant rows displaced by the fused five —
+    # txt_source_mix + txt_stratified_sample (txt_hash_split keeps
+    # the hash-mod sampling family's row), mm_patch_plan
+    # (mm_frame_plan leads this window for the offsets-plan family),
+    # txt_repetition (txt_gopher_filter keeps the quality-filter
+    # row), txt_ngram_decontam (txt_contamination keeps the
+    # decontamination row; dd_ngram_jaccard was r11-green). Union
+    # coverage across r1-r12 stays total (test-pinned,
     # tests/test_registry_window.py).
     "mm_binary_meta",
     "mm_frame_plan",
@@ -8154,7 +8167,13 @@ _DRIVER_WINDOW = [
     "txt_weighted_sample",
     # transpiler changed this round (r11 ADVICE #1/#2):
     "compat_redshift_script",
-    # r9-aged cohort (44 of 48):
+    # media code changed this round (batches 2+6 — cache + fusion):
+    "mm_png_decode",
+    "mm_gif_decode",
+    "mm_jpeg_decode",
+    "mm_mp4_meta",
+    "mm_mjpeg_frames",
+    # r9-aged cohort (39 of 48):
     "a_rollup_multigrain",
     "ann_brute_topk",
     "ann_ivf_topk",
@@ -8174,7 +8193,6 @@ _DRIVER_WINDOW = [
     "ml_mlp_score",
     "ml_price_score",
     "mm_mp3_meta",
-    "mm_patch_plan",
     "mm_ppm_decode",
     "mm_video_frames",
     "mm_wav_decode",
@@ -8191,11 +8209,7 @@ _DRIVER_WINDOW = [
     "txt_gopher_filter",
     "txt_hash_split",
     "txt_langid",
-    "txt_ngram_decontam",
     "txt_pii_redact",
-    "txt_repetition",
-    "txt_source_mix",
-    "txt_stratified_sample",
     "txt_unigram_logprob",
     "w_time_range_rolling",
     "wh_track_events",
