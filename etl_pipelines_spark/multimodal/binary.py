@@ -676,11 +676,31 @@ def fuse_pandas_stages(
 
     ``make_stageN()`` return fresh generator functions of the
     mapInPandas contract; stage 2 must consume exactly the DataFrame
-    shape stage 1 yields."""
+    shape stage 1 yields (checked on the first batch so a mismatched
+    pairing fails fast with the pairing named, instead of an opaque
+    worker KeyError deep inside stage 2 — ADVICE r12 #3)."""
     g1, g2 = make_stage1(), make_stage2()
 
     def _pipe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        yield from g2(g1(batches))
+        def _checked(inner: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            first = True
+            for b in inner:
+                if first:
+                    first = False
+                    missing = [c for c in in_cols if c not in b.columns]
+                    # stage 1 must at least preserve the id/payload
+                    # columns stage 2's contract is written against;
+                    # a wrong pairing shows up as dropped columns.
+                    if len(b.columns) == 0 or missing and len(missing) == len(in_cols):
+                        raise ValueError(
+                            "fuse_pandas_stages: stage 1 yielded columns "
+                            f"{list(b.columns)!r}, none of the declared "
+                            f"inputs {in_cols!r} survive - mismatched "
+                            "stage pairing?"
+                        )
+                yield b
+
+        yield from g2(_checked(g1(batches)))
 
     return df.select(*in_cols).mapInPandas(_pipe, schema=schema)
 

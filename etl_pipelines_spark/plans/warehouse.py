@@ -15,6 +15,8 @@ a daily snapshot partition overwrite (W4).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -684,5 +686,7 @@ def build_warehouse_pipeline(**kwargs) -> Pipeline:
     # CPU-bound, so oversubscribing the pool overlaps fixed per-model
     # latencies (plan+codegen, job submission, write commits). On a
     # real cluster this maps to Airflow's parallelism knob.
-    kwargs.setdefault("max_parallel", 10)
+    kwargs.setdefault(
+        "max_parallel", int(os.environ.get("SPARK_GRAFT_DAG_POOL", "10"))
+    )
     return Pipeline(name="fullload", groups=_promoted_groups(), **kwargs)

@@ -118,6 +118,28 @@ def load_spread(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+def range_feed(df: DataFrame, *keys: str) -> DataFrame:
+    """Range-partition a (cheap, pre-synth) spec frame by the output
+    sort key BEFORE a fused Python decode stage (guide §2.4: establish
+    the partitioning once, where it is cheapest).
+
+    The r12 shape (decode -> tracked_cache -> orderBy) existed because
+    orderBy's RangePartitioning samples its child and then re-executes
+    it, running the whole Python chain twice; the cache stopped the
+    double execution but still materialized the decoded frame and
+    shuffled its metadata. Range-partitioning the SPEC rows instead
+    means the sampling pass touches only the scan+projection (pruned
+    columns, no Python), the decode runs exactly once at full
+    parallelism, and a partition-local sort afterwards yields the same
+    total order with no cache and no post-decode exchange at any
+    scale. The partition count is explicit (REPARTITION_BY_NUM) so AQE
+    cannot coalesce the tiny spec exchange to one task and serialize
+    the decode — the r12 negative result with the implicit form.
+    Scale-adaptive: defaultParallelism is the cluster's core count."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartitionByRange(n, *keys)
+
+
 # Exact-decimal casts for money-ish doubles (values are 2-decimal).
 def _d(c, p: int = 12) -> F.Column:
     return c.cast(f"decimal({p},2)")
@@ -6228,12 +6250,13 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     PIXELS through the full filter family — a wrong Paeth/Average
     reconstruction corrupts the means on every row with height > 3.
     Random-pixel exact round-trips (gray/RGB/RGBA, every forced
-    filter) are pytest-gated (tests/test_multimodal.py). Scale: two
-    chained narrow mapInPandas stages (encode, decode) + output sort;
-    payload bytes never leave the Arrow batch, nothing shuffles."""
+    filter) are pytest-gated (tests/test_multimodal.py). Scale: ONE
+    fused mapInPandas over a range-partitioned spec feed + local
+    sort; payload bytes never leave the Arrow batch, and only 8-byte
+    spec rows ever shuffle."""
     from .multimodal import synth_decode_png
 
-    d = load_spread(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents")
     did = F.col("doc_id")
     media_in = d.select(
         did.alias("media_id"),
@@ -6242,9 +6265,12 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # r12 batch 6: synth+decode FUSED into one mapInPandas
     # (fuse_pandas_stages) — the payload bytes no longer cross
-    # Python→JVM→Python between the two stages; cache before the
-    # output sort unchanged (range sampling would re-run the chain).
-    return synth_decode_png(media_in).transform(tracked_cache).orderBy("media_id")
+    # Python→JVM→Python between the two stages. r13: the spec rows
+    # are range-partitioned by the output key BEFORE the fused stage
+    # (range_feed) and the output sorted within partitions — same
+    # total order, decode runs once, no cache, no post-decode
+    # exchange.
+    return synth_decode_png(range_feed(media_in, "media_id")).sortWithinPartitions("media_id")
 
 
 @q(
@@ -6286,7 +6312,7 @@ def mm_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     never leave the Python worker."""
     from .multimodal import synth_decode_gif
 
-    d = load_spread(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents")
     did = F.col("doc_id")
     media_in = d.select(
         did.alias("media_id"),
@@ -6295,9 +6321,12 @@ def mm_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # r12 batch 6: synth+decode FUSED into one mapInPandas
     # (fuse_pandas_stages) — the payload bytes no longer cross
-    # Python→JVM→Python between the two stages; cache before the
-    # output sort unchanged (range sampling would re-run the chain).
-    return synth_decode_gif(media_in).transform(tracked_cache).orderBy("media_id")
+    # Python→JVM→Python between the two stages. r13: the spec rows
+    # are range-partitioned by the output key BEFORE the fused stage
+    # (range_feed) and the output sorted within partitions — same
+    # total order, decode runs once, no cache, no post-decode
+    # exchange.
+    return synth_decode_gif(range_feed(media_in, "media_id")).sortWithinPartitions("media_id")
 
 
 @q(
@@ -6331,7 +6360,7 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python worker."""
     from .multimodal import synth_decode_jpeg
 
-    d = load_spread(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents")
     did = F.col("doc_id")
     media_in = d.select(
         did.alias("media_id"),
@@ -6340,9 +6369,12 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # r12 batch 6: synth+decode FUSED into one mapInPandas
     # (fuse_pandas_stages) — the payload bytes no longer cross
-    # Python→JVM→Python between the two stages; cache before the
-    # output sort unchanged (range sampling would re-run the chain).
-    return synth_decode_jpeg(media_in).transform(tracked_cache).orderBy("media_id")
+    # Python→JVM→Python between the two stages. r13: the spec rows
+    # are range-partitioned by the output key BEFORE the fused stage
+    # (range_feed) and the output sorted within partitions — same
+    # total order, decode runs once, no cache, no post-decode
+    # exchange.
+    return synth_decode_jpeg(range_feed(media_in, "media_id")).sortWithinPartitions("media_id")
 
 
 @q(
@@ -6374,7 +6406,7 @@ def mm_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     both ways; bytes never leave the Arrow batch."""
     from .multimodal import synth_extract_mp4_meta
 
-    d = load_spread(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents")
     did = F.col("doc_id")
     media_in = d.select(
         did.alias("media_id"),
@@ -6384,9 +6416,12 @@ def mm_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # r12 batch 6: synth+decode FUSED into one mapInPandas
     # (fuse_pandas_stages) — the payload bytes no longer cross
-    # Python→JVM→Python between the two stages; cache before the
-    # output sort unchanged (range sampling would re-run the chain).
-    return synth_extract_mp4_meta(media_in).transform(tracked_cache).orderBy("media_id")
+    # Python→JVM→Python between the two stages. r13: the spec rows
+    # are range-partitioned by the output key BEFORE the fused stage
+    # (range_feed) and the output sorted within partitions — same
+    # total order, decode runs once, no cache, no post-decode
+    # exchange.
+    return synth_extract_mp4_meta(range_feed(media_in, "media_id")).sortWithinPartitions("media_id")
 
 
 @q(
@@ -6430,7 +6465,7 @@ def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-frame fan-out happens map-side."""
     from .multimodal import synth_extract_mp4_frames
 
-    d = load_spread(spark, sf_dir, "documents").filter(
+    d = load(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 5 == 0
     )
     did = F.col("doc_id")
@@ -6441,9 +6476,12 @@ def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # r12 batch 6: synth+decode FUSED into one mapInPandas
     # (fuse_pandas_stages) — the payload bytes no longer cross
-    # Python→JVM→Python between the two stages; cache before the
-    # output sort unchanged (range sampling would re-run the chain).
-    return synth_extract_mp4_frames(media_in).transform(tracked_cache).orderBy("media_id", "frame_idx")
+    # Python→JVM→Python between the two stages. r13: the spec rows
+    # are range-partitioned by the output key BEFORE the fused stage
+    # (range_feed) and the output sorted within partitions — same
+    # total order, decode runs once, no cache, no post-decode
+    # exchange.
+    return synth_extract_mp4_frames(range_feed(media_in, "media_id")).sortWithinPartitions("media_id", "frame_idx")
 
 
 @q(
@@ -6485,13 +6523,16 @@ def mm_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-rule relationally (u.i % 2 = 0).
 
     Scale: ONE fused mapInPandas (synth+decode composed, r12 batch
-    6), zero exchanges (plan-asserted in tests/test_avi_codec.py) —
-    payload bytes never shuffle, never even cross the Python
-    boundary; at 100 TB of video the per-frame fan-out happens
-    map-side and only ~40-byte frame rows hit the wire."""
+    6; the fused operator plans narrow — asserted in
+    tests/test_avi_codec.py::test_fused_equals_two_stage_and_plans_narrow)
+    over a range-partitioned spec feed (the query's only exchange
+    carries spec rows) — payload bytes never shuffle, never even
+    cross the Python boundary; at 100 TB of video the per-frame
+    fan-out happens map-side and only ~40-byte frame rows hit the
+    wire."""
     from .multimodal import synth_decode_avi_frames
 
-    d = load_spread(spark, sf_dir, "documents").filter(
+    d = load(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 7 == 0
     )
     did = F.col("doc_id")
@@ -6506,11 +6547,14 @@ def mm_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # r12 batch 6: synth+decode FUSED into one mapInPandas
     # (fuse_pandas_stages) — the payload bytes no longer cross
-    # Python→JVM→Python between the two stages; cache before the
-    # output sort unchanged (range sampling would re-run the chain).
-    return synth_decode_avi_frames(media_in, sample_every=2).transform(
-        tracked_cache
-    ).orderBy("media_id", "frame_idx")
+    # Python→JVM→Python between the two stages. r13: the spec rows
+    # are range-partitioned by the output key BEFORE the fused stage
+    # (range_feed) and the output sorted within partitions — same
+    # total order, decode runs once, no cache, no post-decode
+    # exchange.
+    return synth_decode_avi_frames(
+        range_feed(media_in, "media_id"), sample_every=2
+    ).sortWithinPartitions("media_id", "frame_idx")
 
 
 def _mp3_oracle() -> str:
@@ -6561,7 +6605,7 @@ def mm_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch."""
     from .multimodal import synth_extract_mp3_meta
 
-    d = load_spread(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents")
     did = F.col("doc_id")
     media_in = d.select(
         did.alias("media_id"),
@@ -6569,9 +6613,12 @@ def mm_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # r12 batch 6: synth+decode FUSED into one mapInPandas
     # (fuse_pandas_stages) — the payload bytes no longer cross
-    # Python→JVM→Python between the two stages; cache before the
-    # output sort unchanged (range sampling would re-run the chain).
-    return synth_extract_mp3_meta(media_in).transform(tracked_cache).orderBy("media_id")
+    # Python→JVM→Python between the two stages. r13: the spec rows
+    # are range-partitioned by the output key BEFORE the fused stage
+    # (range_feed) and the output sorted within partitions — same
+    # total order, decode runs once, no cache, no post-decode
+    # exchange.
+    return synth_extract_mp3_meta(range_feed(media_in, "media_id")).sortWithinPartitions("media_id")
 
 
 

@@ -51,7 +51,9 @@ _DEFAULT_CONF: dict[str, str] = {
     # minPartitionSize), so at production shuffle sizes the floor
     # never binds — it only restores parallelism where shuffles are
     # sub-MiB, i.e. test scale.
-    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": os.environ.get(
+        "SPARK_GRAFT_AQE_FLOOR", "64k"
+    ),
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),

@@ -115,3 +115,35 @@ class TestSparkPlumbing:
         plan = decode_avi_frames(media)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Exchange" not in plan  # bytes never shuffle
+
+    def test_fused_equals_two_stage_and_plans_narrow(self, spark):
+        """ADVICE r12 #1: the AVI fusion uniquely threads
+        sample_every through a lambda factory — prove the fused
+        single-Python-stage form returns exactly the two-stage
+        rows with sample_every=2, and that the fused plan itself is
+        narrow (no Exchange, ONE MapInPandas; the query-level range
+        exchange lives in range_feed, upstream of the fusion)."""
+        from etl_pipelines_spark.multimodal import (
+            synth_decode_avi_frames,
+        )
+
+        base = spark.range(0, 12).select(
+            F.col("id").alias("media_id"),
+            (F.pmod("id", 16) + 4).cast("int").alias("width"),
+            (F.pmod("id", 12) + 4).cast("int").alias("height"),
+            (F.pmod("id", 4) + 2).cast("int").alias("n_frames"),
+            ((F.pmod("id", 5) + 1) * 10000).cast("int").alias(
+                "us_per_frame"
+            ),
+        )
+        two = decode_avi_frames(
+            synth_avi_payloads(base), sample_every=2
+        )
+        fused = synth_decode_avi_frames(base, sample_every=2)
+        key = sorted(two.columns)
+        assert sorted(map(repr, two.select(*key).collect())) == sorted(
+            map(repr, fused.select(*key).collect())
+        )
+        plan = fused._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert plan.count("MapInPandas") == 1

@@ -407,6 +407,34 @@ class TestPlanShapes:
             plan,
         ), plan
 
+    @pytest.mark.parametrize(
+        "name",
+        ["mm_png_decode", "mm_gif_decode", "mm_jpeg_decode", "mm_mp4_meta",
+         "mm_video_frames", "mm_mjpeg_frames", "mm_mp3_meta"],
+    )
+    def test_media_decode_is_pre_ranged_single_python_pass(
+        self, spark, sf_dir, name
+    ):
+        """r13: the fused synth+decode queries range-partition the
+        SPEC rows (REPARTITION_BY_NUM, so AQE cannot collapse the
+        exchange) and sort within partitions AFTER the decode — the
+        Python chain plans exactly once, the only Exchange sits
+        BELOW the Python node (8-byte spec rows, never decoded
+        metadata), and no cache/InMemoryRelation props up a
+        post-decode range sort."""
+        nodes, plan = formatted_plan(spark, name, sf_dir)
+        assert nodes.count("MapInPandas") == 1, plan
+        assert nodes.count("Exchange") == 1, plan
+        assert "InMemoryRelation" not in plan, plan
+        assert re.search(r"rangepartitioning\(media_id", plan), plan
+        assert "REPARTITION_BY_NUM" in plan, plan
+        # the exchange feeds the Python stage, not the other way
+        # around: formatted numbering lists children first, so the
+        # Exchange's operator id must be SMALLER than MapInPandas'.
+        exch = nodes.index("Exchange")
+        py = nodes.index("MapInPandas")
+        assert exch < py, plan
+
     # ---- round-11 broadcast-hint policy lock ---------------------------
 
     # Queries whose builder does EAGER work (training loops, writes,
