@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.cacheutil import tracked_cache
+
 # Whitespace tokenizer + a BPE-ish fallback that also splits
 # punctuation off words (the testdata corpus is already clean
 # lowercase; real corpora aren't).
@@ -246,6 +248,13 @@ def unigram_logprob(
     toks = df.select(
         F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("token")
     )
+    # NOT cached (r13 negative result): freq has two consumers
+    # (total, the lp join), but a tracked_cache here measured WORSE
+    # in paired A/B (0.65-0.96 s uncached vs 0.97-1.34 s cached,
+    # three alternations) — the materialization barrier costs more
+    # than the single corpus re-tokenize it saves at this scale,
+    # unlike the bigram models below where the cache removes three
+    # duplicated corpus passes.
     freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     total = freq.agg(F.sum("cnt").alias("total"))
     lp = freq.crossJoin(F.broadcast(total)).select(
@@ -519,10 +528,15 @@ def bigram_logprob(
     doc_bigrams = base.select(
         id_col, F.explode(bigrams).alias("bigram")
     )
+    # Vocabulary-sized, two consumers (the __v scalar and the w1
+    # join): cached so each does not re-run the corpus tokenize —
+    # uncached this plan carried FOUR Generate (explode) passes over
+    # documents (plans/r13/txt_bigram_logprob_before.txt).
     uni = (
         base.select(F.explode("__t").alias("w1"))
         .groupBy("w1")
         .agg(F.count(F.lit(1)).alias("c1"))
+        .transform(tracked_cache)
     )
     vocab = uni.agg(F.count(F.lit(1)).alias("__v"))
     big = (
@@ -596,10 +610,16 @@ def bigram_logprob_pruned(
         id_col,
         F.explode(bigrams).alias("bigram"),
     ).withColumn("w2", F.element_at(F.split("bigram", " "), 2))
+    # Vocabulary-sized with THREE consumers (tot, the model's w1
+    # join, the backoff table) — uncached the corpus tokenize ran
+    # SIX times in one plan (6 Generate nodes,
+    # plans/r13/txt_bigram_logprob_pruned_before.txt); cached it
+    # runs twice (bigram stream + this fill).
     uni = (
         base.select(F.explode("__t").alias("w1"))
         .groupBy("w1")
         .agg(F.count(F.lit(1)).alias("c1"))
+        .transform(tracked_cache)
     )
     tot = uni.agg(
         F.count(F.lit(1)).alias("__v"),
