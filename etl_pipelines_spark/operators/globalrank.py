@@ -50,6 +50,11 @@ def percent_rank_map(
     (``shuffle.partitions`` rows) crosses a SinglePartition exchange.
     """
     order = F.col(col).asc() if ascending else F.col(col).desc()
+    # The range sampling pass re-executes this histogram once, but
+    # caching it here measured WORSE in paired two-tree A/B (r13:
+    # txt_quality_buckets 0.51 -> 0.70-0.88 s, mon_value_quantiles
+    # 0.64-0.70 -> 0.88 s, control row flat): the map-side-combined
+    # groupBy is cheaper to run twice than to materialize once.
     hist = df.groupBy(col).agg(F.count(F.lit(1)).alias("__cnt"))
     # Range partitioning puts ascending value ranges in ascending
     # partition ids, so pid order == value order. Each distinct value
@@ -130,6 +135,11 @@ def attach_global_rank(
     within-partition window, which is what makes the composition a
     total order.
     """
+    # cache the caller's frame BEFORE range partitioning: the range
+    # sampling pass otherwise re-executes the whole upstream rollup a
+    # second time (r13; same fix as percent_rank_map). Callers rank an
+    # AGGREGATED grain, so the cached frame is bounded by that grain.
+    df = df.transform(tracked_cache)
     ranged = df.repartitionByRange(*order_cols).withColumn(
         "__pid", F.spark_partition_id()
     )
@@ -178,6 +188,8 @@ def exact_quantiles(
     Output: (q, quantile) per requested rational, q rendered as the
     one IEEE division num/den rounded to 6dp."""
     order = F.col(col).asc()
+    # deliberately NOT cached — same negative A/B result as
+    # percent_rank_map above
     hist = df.groupBy(col).agg(F.count(F.lit(1)).alias("__cnt"))
     ranged = hist.repartitionByRange(order).withColumn(
         "__pid", F.spark_partition_id()

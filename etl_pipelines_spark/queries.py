@@ -3933,6 +3933,11 @@ def spv_price_outliers_core(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     # ~|groups|-row medians table, and broadcast back. One window
     # sort remains — the output price_rank the oracle pins.
     okeys = [F.col("coeff"), F.col("l_orderkey"), F.col("l_linenumber")]
+    # cache the 14-day slice BEFORE the range exchange: the range
+    # sampling pass otherwise re-executes the scan+join child a
+    # second time (r13; the media-query sampling fix applied here).
+    # Same bound as the rn cache below — a night's working set.
+    s = s.transform(tracked_cache)
     keyed = s.repartitionByRange(
         F.col("p_brand"), F.col("p_type"), *okeys
     ).withColumn("__pid", F.spark_partition_id())
