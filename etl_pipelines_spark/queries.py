@@ -8183,88 +8183,75 @@ def compat_redshift_script(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _DRIVER_WINDOW = [
-    # --- round-12 window (VERDICT r11 #5): the five r8-aged rows
-    # lead — mm_binary_meta, mm_frame_plan, mm_resize_dims,
-    # txt_fingerprint, txt_weighted_sample were deferred from the
-    # r11 window (the rotation comment promised them for r12; they
-    # are the oldest evidence in the registry). compat_redshift_script
-    # follows because the transpiler changed this round (r11 ADVICE
-    # #1/#2: LISTAGG DISTINCT direction-modifier preservation,
-    # unit-first TRUNC date_trunc rewrite + loud-stop) — its window
-    # row re-proves the dialect layer end-to-end post-change. Next
-    # the five media queries whose CODE changed in this round's
-    # batches 2+6 (decode-once cache, then synth+decode fusion) and
-    # that were not already windowed: mm_png_decode, mm_gif_decode,
-    # mm_jpeg_decode, mm_mp4_meta, mm_mjpeg_frames — the r11
-    # precedent (every broadcast-swept query re-proved in-window)
-    # applies to the fusion; the two other fused queries
-    # (mm_mp3_meta, mm_video_frames) sit in the r9-aged cohort
-    # below. Then 39 of the 48 r9-aged rows. Deferred to the r13
-    # window to fit (none touched since r9, all green in committed
-    # CORRECTNESS_r*.json): m_date_spine, wh_daily_kpi,
-    # tx_merge_readback, sessions_union_stitch, and five
-    # family-redundant rows displaced by the fused five —
-    # txt_source_mix + txt_stratified_sample (txt_hash_split keeps
-    # the hash-mod sampling family's row), mm_patch_plan
-    # (mm_frame_plan leads this window for the offsets-plan family),
-    # txt_repetition (txt_gopher_filter keeps the quality-filter
-    # row), txt_ngram_decontam (txt_contamination keeps the
-    # decontamination row; dd_ngram_jaccard was r11-green). Union
-    # coverage across r1-r12 stays total (test-pinned,
-    # tests/test_registry_window.py).
-    "mm_binary_meta",
-    "mm_frame_plan",
-    "mm_resize_dims",
-    "txt_fingerprint",
-    "txt_weighted_sample",
-    # transpiler changed this round (r11 ADVICE #1/#2):
-    "compat_redshift_script",
-    # media code changed this round (batches 2+6 — cache + fusion):
+    # --- round-13 window (VERDICT r12 #2 leads) -----------------------
+    # First: the two queries whose code changed in r12 but escaped the
+    # r12 driver window, explicitly demanded re-proof by VERDICT r12:
+    "mon_table_stats",
+    "mkt_affiliate_payout",
+    # Code changed THIS round and must earn this round's driver row:
+    # the seven pre-ranged fused media queries (range_feed +
+    # sortWithinPartitions, commit e58dd38), the two bigram LM
+    # scorers (vocabulary-table cache, 231d00a), and the two
+    # range-partition-child cache consumers (8c96975).
     "mm_png_decode",
     "mm_gif_decode",
     "mm_jpeg_decode",
     "mm_mp4_meta",
-    "mm_mjpeg_frames",
-    # r9-aged cohort (39 of 48):
-    "a_rollup_multigrain",
-    "ann_brute_topk",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "ann_pq_adc",
-    "braze_order_attribution",
-    "corpus_curation",
-    "dd_exact_dedup_survivors",
-    "dd_exact_dup_groups",
-    "dd_line_dedup",
-    "dd_simhash_md5",
-    "emb_pq_encode",
-    "gc_account_balance",
-    "j_bloom_prefilter",
-    "master_customer",
-    "ml_churn_score",
-    "ml_mlp_score",
-    "ml_price_score",
-    "mm_mp3_meta",
-    "mm_ppm_decode",
     "mm_video_frames",
-    "mm_wav_decode",
-    "mon_cms_heavyhitters",
-    "mon_hll_distinct",
-    "mon_volume_anomaly",
-    "pay_retry_fanout",
-    "q1_pricing_summary",
-    "scd2_history",
-    "sust_seasonality",
-    "txt_bpe_encode",
-    "txt_chunk_plan",
-    "txt_contamination",
-    "txt_gopher_filter",
-    "txt_hash_split",
-    "txt_langid",
-    "txt_pii_redact",
-    "txt_unigram_logprob",
-    "w_time_range_rolling",
-    "wh_track_events",
+    "mm_mjpeg_frames",
+    "mm_mp3_meta",
+    "txt_bigram_logprob",
+    "txt_bigram_logprob_pruned",
+    "top_products",
+    "spv_price_outliers",
+    # The nine rows the r12 rotation comment deferred to r13 (all
+    # r9-green, the oldest committed evidence in the registry):
+    "m_date_spine",
+    "wh_daily_kpi",
+    "tx_merge_readback",
+    "sessions_union_stitch",
+    "txt_source_mix",
+    "txt_stratified_sample",
+    "mm_patch_plan",
+    "txt_repetition",
+    "txt_ngram_decontam",
+    # r10-aged freshness cohort (28 of the 39 remaining r10 rows;
+    # benched rows whose measurement basis changed this round —
+    # dd_*/quality/quantiles under the fixed harness — lead, then
+    # operator-family breadth. Left r10-green for a future window:
+    # w_rolling_7d, w_running_balance, w_agg_over_partition,
+    # j_dod_delta, a_having_segments, a_listagg_ordered,
+    # a_median_percentiles, a_unpivot_measures,
+    # f_datetime_kitchen_sink, f_string_kitchen_sink,
+    # f_json_extract.
+    "txt_quality_buckets",
+    "mon_value_quantiles",
+    "dd_minhash_lsh",
+    "dd_embedding_neardup",
+    "dd_semantic_dedup",
+    "dd_neardup_components",
+    "skew_salted_rollup",
+    "txt_tfidf_topterms",
+    "txt_collocations",
+    "txt_pack_plan",
+    "dm_rfm_segmentation",
+    "w_rownum_latest_event",
+    "w_percent_rank_spend",
+    "emb_bitext_mine",
+    "txt_vocab_topk",
+    "p_regex",
+    "p_case_nested",
+    "j_full_outer_calendar",
+    "j_anti_not_in",
+    "j_exists_corr",
+    "j_range_bands",
+    "j_asof_attribution",
+    "j_dedup_right",
+    "u_union_all_pad",
+    "w_dense_rank_days",
+    "w_lag_lead_gap",
+    "w_first_last_ignorenulls",
+    "a_count_distinct",
 ]
 
 
